@@ -1,0 +1,136 @@
+"""Join operators (SURVEY §2.3, J1-J3).
+
+The reference has no SQL joins — it runs correlated Python loops of
+point queries (N+1 pattern). Here they are real joins:
+
+- J1: explode composition -> broadcast equi-join against
+  latest-row-per-ticker (replaces dashboard.py:97-117's 100+ queries
+  per render with ONE job).
+- J2: upsert = left-anti join + union (INSERT OR REPLACE semantics,
+  database_manager.py:38-43) — see also pipelines/upsert.py.
+- J3: as-of / nearest-prior-date lookup with a bounded walk-back
+  (dashboard.py:328-343) as a window over a date spine.
+
+Scale notes: J1's build side is the latest composition — ~K rows — so
+it is explicitly broadcast; no shuffle of the fact table. J2's
+anti-join shuffles only on the PK, and with date-partitioned storage
+becomes a partition overwrite instead (no read of old data at all).
+J3 is a window over the union of spine+index, linear in the spine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .windows import latest_per_group
+
+
+def composition_market_caps(
+    index_df: DataFrame, stocks_df: DataFrame, top_n: int = 5
+) -> DataFrame:
+    """J1 + A3 + O6: latest composition joined to latest market caps,
+    top-n constituents kept individually and the rest folded into an
+    OTHERS bucket (reference pie chart, dashboard.py:88-144).
+
+    Output: (name, market_cap_billions) rows — top_n tickers plus one
+    'OTHERS' row, caps scaled /1e9 and rounded to 1dp like the
+    reference (dashboard.py:106,117,119).
+    """
+    latest_comp = (
+        index_df.orderBy(F.col("date").desc())
+        .limit(1)
+        .select(
+            F.posexplode(F.split("composition", ",")).alias("pos", "ticker")
+        )
+    )
+    latest_caps = latest_per_group(stocks_df, "ticker").select(
+        "ticker", "market_cap"
+    )
+    joined = F.broadcast(latest_comp).join(latest_caps, "ticker", "inner")
+    named = joined.select(
+        F.when(F.col("pos") < top_n, F.col("ticker"))
+        .otherwise(F.lit("OTHERS"))
+        .alias("name"),
+        F.col("market_cap"),
+    )
+    return named.groupBy("name").agg(
+        F.round(F.sum(F.col("market_cap") / 1e9), 1).alias(
+            "market_cap_billions"
+        )
+    )
+
+
+def upsert(
+    existing: DataFrame, new: DataFrame, keys: list[str]
+) -> DataFrame:
+    """J2: INSERT OR REPLACE — keep every `new` row, plus `existing`
+    rows whose key is absent from `new` (database_manager.py:38-43).
+
+    Idempotent by construction: upsert(upsert(e, n), n) == upsert(e, n).
+    """
+    replaced = existing.join(
+        new.select(*keys).distinct(), keys, "left_anti"
+    )
+    return replaced.unionByName(new)
+
+
+def asof_walkback(
+    spine: DataFrame,
+    index_df: DataFrame,
+    max_back_days: int = 5,
+) -> DataFrame:
+    """J3: for each spine date, the nearest index row at-or-before it,
+    but only within `max_back_days` calendar days (the reference's
+    ≤5-day holiday walk-back, dashboard.py:328-343).
+
+    spine: DataFrame[date: string]. Implemented as a last-non-null
+    window over the union of spine and index rows — one sort, no
+    quadratic lookup; generalizes to a streaming as-of with
+    `last(..., ignorenulls=True)`.
+    """
+    tagged = index_df.select(
+        "date",
+        F.col("index_value").alias("_iv"),
+        F.col("composition").alias("_comp"),
+        F.lit(0).alias("_is_spine"),
+    ).unionByName(
+        spine.select(
+            "date",
+            F.lit(None).cast("double").alias("_iv"),
+            F.lit(None).cast("string").alias("_comp"),
+            F.lit(1).alias("_is_spine"),
+        )
+    )
+    # Index rows sort before spine rows on the same date so an exact
+    # match is picked up.
+    w = (
+        Window.orderBy("date", "_is_spine")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = tagged.select(
+        "date",
+        "_is_spine",
+        F.last("_iv", ignorenulls=True).over(w).alias("index_value"),
+        F.last("_comp", ignorenulls=True).over(w).alias("composition"),
+        F.last(
+            F.when(F.col("_is_spine") == 0, F.col("date")), ignorenulls=True
+        )
+        .over(w)
+        .alias("matched_date"),
+    )
+    out = filled.filter(F.col("_is_spine") == 1).withColumn(
+        "lag_days", F.datediff(F.to_date("date"), F.to_date("matched_date"))
+    )
+    return out.select(
+        "date",
+        F.when(F.col("lag_days") <= max_back_days, F.col("matched_date")).alias(
+            "matched_date"
+        ),
+        F.when(F.col("lag_days") <= max_back_days, F.col("index_value")).alias(
+            "index_value"
+        ),
+        F.when(F.col("lag_days") <= max_back_days, F.col("composition")).alias(
+            "composition"
+        ),
+    )

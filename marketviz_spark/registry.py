@@ -1,0 +1,602 @@
+"""Query registry: every SURVEY §2 operator as a named (Spark query,
+DuckDB oracle SQL) pair, feeding ``__spark_entry__.py``.
+
+Contract (driver): each Spark callable takes (spark, sf_dir) and
+returns a DataFrame; the oracle is ANSI SQL DuckDB runs over the same
+parquet files (views pre-registered). Row-count + schema +
+order-insensitive value hash must match, so:
+
+- every computed column is aliased identically on both sides
+- aggregates over doubles use exact arithmetic (see tables.py)
+- dates are emitted as ISO strings
+- genuinely order-dependent float sums are rounded identically on
+  both sides (noted per query)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import tables
+from .tables import INDEX_K, oracle_cte
+
+
+@dataclass
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None => non-SQL-expressible, rows-only check
+    survey: str  # SURVEY §2 ids this query covers
+
+
+QUERIES: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None, survey: str):
+    def deco(fn):
+        QUERIES[name] = QueryDef(fn, oracle, survey)
+        return fn
+
+    return deco
+
+
+# ----------------------------------------------------------------------
+# Flagship: the equal-weighted top-K index over every date
+# (entry point 2 generalized; W9 + A1 + A2 + P7).
+# ----------------------------------------------------------------------
+
+
+@register(
+    "index_daily",
+    oracle_cte(index=True)
+    + "SELECT date, index_value, composition FROM index_data",
+    survey="W9,A1,A2,P7,S5",
+)
+def q_index_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.index_data(spark, sf_dir)
+
+
+# ----------------------------------------------------------------------
+# Projections / filters (P1-P7) and simple scans (S8-S9)
+# ----------------------------------------------------------------------
+
+
+@register(
+    "p2_filter_date",
+    oracle_cte()
+    + """
+    SELECT ticker, share_price, market_cap
+    FROM stocks WHERE date = '1997-03-17'
+    """,
+    survey="P1,P2,P5",
+)
+def q_filter_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tables.stocks(spark, sf_dir)
+        .filter(F.col("date") == "1997-03-17")
+        .select("ticker", "share_price", "market_cap")
+    )
+
+
+@register(
+    "p4_ticker_history",
+    oracle_cte()
+    + """
+    SELECT date, share_price, market_cap
+    FROM stocks WHERE ticker = 'T00042'
+    """,
+    survey="P4,S9,O1",
+)
+def q_ticker_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tables.stocks(spark, sf_dir)
+        .filter(F.col("ticker") == "T00042")
+        .orderBy("date")
+        .select("date", "share_price", "market_cap")
+    )
+
+
+@register(
+    "p6_split_repair",
+    oracle_cte(raw_history=True)
+    + """
+    SELECT ticker, date, stock_splits,
+           CASE WHEN stock_splits = 0.0 THEN 1.0 ELSE stock_splits END
+               AS split_factor
+    FROM raw_history
+    """,
+    survey="P6",
+)
+def q_split_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = tables.raw_history(spark, sf_dir)
+    return raw.select(
+        "ticker",
+        "date",
+        "stock_splits",
+        F.when(F.col("stock_splits") == 0.0, F.lit(1.0))
+        .otherwise(F.col("stock_splits"))
+        .alias("split_factor"),
+    )
+
+
+# ----------------------------------------------------------------------
+# Windows (W1-W9)
+# ----------------------------------------------------------------------
+
+
+@register(
+    "w1_split_adjust",
+    oracle_cte(raw_history=True)
+    + """
+    SELECT ticker, date, close AS share_price,
+           power(2.0, twos) * power(3.0, threes) AS cum_split_factor,
+           shares_outstanding / (power(2.0, twos) * power(3.0, threes))
+               AS effective_shares_outstanding,
+           close * (shares_outstanding
+                    / (power(2.0, twos) * power(3.0, threes)))
+               AS market_cap
+    FROM (
+        SELECT *,
+               count(CASE WHEN stock_splits = 2.0 THEN 1 END) OVER w AS twos,
+               count(CASE WHEN stock_splits = 3.0 THEN 1 END) OVER w AS threes
+        FROM raw_history
+        WINDOW w AS (PARTITION BY ticker ORDER BY date DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    """,
+    survey="W1,W2",
+)
+def q_split_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.windows import split_adjust
+
+    return split_adjust(tables.raw_history(spark, sf_dir))
+
+
+@register(
+    "w3_w4_returns",
+    oracle_cte(index=True)
+    + """
+    SELECT date, index_value,
+           (index_value - lag(index_value) OVER (ORDER BY date))
+               / lag(index_value) OVER (ORDER BY date) * 100.0
+               AS daily_return,
+           (index_value - first_value(index_value) OVER w_cum)
+               / first_value(index_value) OVER w_cum * 100.0
+               AS cumulative_return
+    FROM index_data
+    WINDOW w_cum AS (ORDER BY date
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    survey="W3,W4,S8",
+)
+def q_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.windows import daily_and_cumulative_returns
+
+    return daily_and_cumulative_returns(
+        tables.index_data(spark, sf_dir)
+    ).select("date", "index_value", "daily_return", "cumulative_return")
+
+
+@register(
+    "w5_w6_composition_changes",
+    oracle_cte(index=True)
+    + """
+    SELECT date,
+           CASE WHEN prev IS NULL THEN FALSE
+                ELSE len(list_filter(cur, x -> NOT list_contains(prev, x)))
+                   + len(list_filter(prev, x -> NOT list_contains(cur, x)))
+                   > 0
+           END AS composition_changed,
+           CASE WHEN prev IS NULL
+                     OR len(list_filter(cur, x -> NOT list_contains(prev, x)))
+                      + len(list_filter(prev, x -> NOT list_contains(cur, x)))
+                      = 0
+                THEN '-'
+                ELSE printf(
+                    '+(%s) , -(%s)',
+                    coalesce(array_to_string(
+                        list_filter(cur, x -> NOT list_contains(prev, x)),
+                        ', '), ''),
+                    coalesce(array_to_string(
+                        list_filter(prev, x -> NOT list_contains(cur, x)),
+                        ', '), ''))
+           END AS change_label
+    FROM (
+        SELECT date,
+               string_split(composition, ',') AS cur,
+               lag(string_split(composition, ',')) OVER (ORDER BY date)
+                   AS prev
+        FROM index_data
+    )
+    """,
+    survey="W5,W6",
+)
+def q_composition_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.windows import composition_changes
+
+    return composition_changes(tables.index_data(spark, sf_dir)).select(
+        "date", "composition_changed", "change_label"
+    )
+
+
+@register(
+    "w7_latest_stats",
+    oracle_cte(index=True)
+    + """
+    SELECT date AS latest_date,
+           index_value AS current_value,
+           index_value - prev AS daily_change,
+           (index_value - prev) / prev * 100.0 AS daily_change_pct
+    FROM (
+        SELECT *,
+               lead(index_value) OVER (ORDER BY date DESC) AS prev,
+               row_number() OVER (ORDER BY date DESC) AS rn
+        FROM index_data
+    )
+    WHERE rn = 1
+    """,
+    survey="W7,O2",
+)
+def q_latest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.windows import latest_stats
+
+    return latest_stats(tables.index_data(spark, sf_dir))
+
+
+@register(
+    "w8_latest_per_ticker",
+    oracle_cte()
+    + """
+    SELECT ticker, date, share_price, market_cap
+    FROM (
+        SELECT *,
+               row_number() OVER (PARTITION BY ticker ORDER BY date DESC)
+                   AS rn
+        FROM stocks
+    )
+    WHERE rn = 1
+    """,
+    survey="W8,O2",
+)
+def q_latest_per_ticker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.windows import latest_per_group
+
+    return latest_per_group(tables.stocks(spark, sf_dir), "ticker").select(
+        "ticker", "date", "share_price", "market_cap"
+    )
+
+
+@register(
+    "w9_topk_per_date",
+    oracle_cte()
+    + f"""
+    SELECT date, ticker, market_cap, rn AS cap_rank
+    FROM (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY date ORDER BY market_cap DESC, ticker
+               ) AS rn
+        FROM stocks
+    )
+    WHERE rn <= {INDEX_K}
+    """,
+    survey="W9,O3",
+)
+def q_topk_per_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.windows import topk_per_group
+
+    return topk_per_group(
+        tables.stocks(spark, sf_dir),
+        "date",
+        [F.col("market_cap").desc(), F.col("ticker").asc()],
+        INDEX_K,
+    ).select("date", "ticker", "market_cap", F.col("rn").alias("cap_rank"))
+
+
+# ----------------------------------------------------------------------
+# Joins (J1-J3)
+# ----------------------------------------------------------------------
+
+
+@register(
+    "j1_composition_market_cap",
+    oracle_cte(index=True)
+    + """
+    , latest_comp AS (
+        SELECT string_split(composition, ',') AS comp
+        FROM index_data ORDER BY date DESC LIMIT 1
+    ), exploded AS (
+        SELECT unnest(comp) AS ticker,
+               list_position(comp, unnest(comp)) - 1 AS pos
+        FROM latest_comp
+    ), latest_caps AS (
+        SELECT ticker, market_cap
+        FROM (
+            SELECT *,
+                   row_number() OVER (
+                       PARTITION BY ticker ORDER BY date DESC) AS rn
+            FROM stocks
+        ) WHERE rn = 1
+    )
+    SELECT CASE WHEN e.pos < 5 THEN e.ticker ELSE 'OTHERS' END AS name,
+           round(sum(c.market_cap / 1e9), 1) AS market_cap_billions
+    FROM exploded e JOIN latest_caps c ON e.ticker = c.ticker
+    GROUP BY 1
+    """,
+    survey="J1,A3,O6,W8",
+)
+def q_composition_market_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.joins import composition_market_caps
+
+    return composition_market_caps(
+        tables.index_data(spark, sf_dir), tables.stocks(spark, sf_dir)
+    )
+
+
+@register(
+    "j2_upsert",
+    oracle_cte()
+    + """
+    , existing AS (
+        SELECT * FROM stocks
+        WHERE date >= '1998-01-01' AND date <= '1998-03-31'
+    ), new_rows AS (
+        SELECT ticker, date,
+               share_price + 1.0 AS share_price,
+               effective_shares_outstanding,
+               (share_price + 1.0) * effective_shares_outstanding
+                   AS market_cap
+        FROM stocks
+        WHERE date >= '1998-01-01' AND date <= '1998-01-31'
+    )
+    SELECT ticker, date, share_price, effective_shares_outstanding,
+           market_cap
+    FROM new_rows
+    UNION ALL
+    SELECT e.ticker, e.date, e.share_price,
+           e.effective_shares_outstanding, e.market_cap
+    FROM existing e
+    WHERE NOT EXISTS (
+        SELECT 1 FROM new_rows n
+        WHERE n.ticker = e.ticker AND n.date = e.date
+    )
+    """,
+    survey="J2,S6,S7",
+)
+def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.joins import upsert
+
+    s = tables.stocks(spark, sf_dir)
+    existing = s.filter(
+        (F.col("date") >= "1998-01-01") & (F.col("date") <= "1998-03-31")
+    )
+    new = s.filter(
+        (F.col("date") >= "1998-01-01") & (F.col("date") <= "1998-01-31")
+    ).select(
+        "ticker",
+        "date",
+        (F.col("share_price") + 1.0).alias("share_price"),
+        "effective_shares_outstanding",
+        (
+            (F.col("share_price") + 1.0)
+            * F.col("effective_shares_outstanding")
+        ).alias("market_cap"),
+    )
+    return upsert(existing, new, ["ticker", "date"]).select(
+        "ticker",
+        "date",
+        "share_price",
+        "effective_shares_outstanding",
+        "market_cap",
+    )
+
+
+@register(
+    "j3_asof_walkback",
+    oracle_cte(index=True)
+    + """
+    , spine AS (
+        SELECT strftime(d::DATE, '%Y-%m-%d') AS date
+        FROM generate_series(DATE '1999-01-01', DATE '2002-06-30',
+                             INTERVAL 1 DAY) t(d)
+    ), tagged AS (
+        SELECT date, index_value AS _iv, composition AS _comp,
+               0 AS _is_spine
+        FROM index_data
+        UNION ALL
+        SELECT date, NULL, NULL, 1 FROM spine
+    ), filled AS (
+        SELECT date, _is_spine,
+               last_value(_iv IGNORE NULLS) OVER w AS index_value,
+               last_value(_comp IGNORE NULLS) OVER w AS composition,
+               last_value(CASE WHEN _is_spine = 0 THEN date END
+                          IGNORE NULLS) OVER w AS matched_date
+        FROM tagged
+        WINDOW w AS (ORDER BY date, _is_spine
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT date,
+           CASE WHEN lag_days <= 5 THEN matched_date END AS matched_date,
+           CASE WHEN lag_days <= 5 THEN index_value END AS index_value,
+           CASE WHEN lag_days <= 5 THEN composition END AS composition
+    FROM (
+        SELECT *,
+               date_diff('day', matched_date::DATE, date::DATE) AS lag_days
+        FROM filled WHERE _is_spine = 1
+    )
+    """,
+    survey="J3",
+)
+def q_asof_walkback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.joins import asof_walkback
+
+    spine = spark.sql(
+        """
+        SELECT date_format(d, 'yyyy-MM-dd') AS date
+        FROM (SELECT explode(sequence(DATE'1999-01-01', DATE'2002-06-30',
+                                      INTERVAL 1 DAY)) AS d)
+        """
+    )
+    return asof_walkback(spine, tables.index_data(spark, sf_dir))
+
+
+# ----------------------------------------------------------------------
+# Aggregations / summary (A4, A5) and tail-30 (O4, O5)
+# ----------------------------------------------------------------------
+
+
+@register(
+    "a4_a5_summary_metrics",
+    oracle_cte(index=True)
+    + """
+    , enriched AS (
+        SELECT date,
+               CASE WHEN prev IS NULL THEN FALSE
+                    ELSE len(list_filter(cur, x -> NOT list_contains(prev, x)))
+                       + len(list_filter(prev, x -> NOT list_contains(cur, x)))
+                       > 0
+               END AS composition_changed
+        FROM (
+            SELECT date, string_split(composition, ',') AS cur,
+                   lag(string_split(composition, ',')) OVER (ORDER BY date)
+                       AS prev
+            FROM index_data
+        )
+    ), latest AS (
+        SELECT CAST(len(string_split(composition, ',')) AS BIGINT)
+                   AS constituent_count
+        FROM index_data ORDER BY date DESC LIMIT 1
+    )
+    SELECT latest.constituent_count,
+           (SELECT CAST(count(CASE WHEN composition_changed THEN 1 END)
+                        AS BIGINT)
+            FROM enriched) AS change_date_count
+    FROM latest
+    """,
+    survey="A4,A5",
+)
+def q_summary_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.windows import composition_changes
+
+    enriched = composition_changes(tables.index_data(spark, sf_dir))
+    latest = (
+        enriched.orderBy(F.col("date").desc())
+        .limit(1)
+        .select(
+            F.size(F.split("composition", ","))
+            .cast("long")
+            .alias("constituent_count")
+        )
+    )
+    changes = enriched.agg(
+        F.count(F.when(F.col("composition_changed"), 1))
+        .cast("long")
+        .alias("change_date_count")
+    )
+    return latest.crossJoin(changes)
+
+
+@register(
+    "o5_summary_tail30",
+    oracle_cte(index=True)
+    + """
+    , enriched AS (
+        SELECT date, index_value,
+               (index_value - lag(index_value) OVER (ORDER BY date))
+                   / lag(index_value) OVER (ORDER BY date) * 100.0
+                   AS daily_return,
+               (index_value - first_value(index_value) OVER w_cum)
+                   / first_value(index_value) OVER w_cum * 100.0
+                   AS cumulative_return,
+               string_split(composition, ',') AS cur,
+               lag(string_split(composition, ',')) OVER (ORDER BY date)
+                   AS prev
+        FROM index_data
+        WINDOW w_cum AS (ORDER BY date
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT date, index_value, daily_return, cumulative_return,
+           CASE WHEN prev IS NULL
+                     OR len(list_filter(cur, x -> NOT list_contains(prev, x)))
+                      + len(list_filter(prev, x -> NOT list_contains(cur, x)))
+                      = 0
+                THEN '-'
+                ELSE printf(
+                    '+(%s) , -(%s)',
+                    coalesce(array_to_string(
+                        list_filter(cur, x -> NOT list_contains(prev, x)),
+                        ', '), ''),
+                    coalesce(array_to_string(
+                        list_filter(prev, x -> NOT list_contains(cur, x)),
+                        ', '), ''))
+           END AS change_label
+    FROM enriched
+    ORDER BY date DESC LIMIT 30
+    """,
+    survey="O4,O5,W6",
+)
+def q_summary_tail30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipelines.analytics import summary_tail
+
+    return summary_tail(tables.index_data(spark, sf_dir), 30)
+
+
+# ----------------------------------------------------------------------
+# TPC-H-shaped headliners (bench anchors; exercise scan+agg and
+# multi-join paths at scale)
+# ----------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                         AS DECIMAL(28,10))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                         * (1.0 + l_tax)
+                         AS DECIMAL(28,10))) AS DOUBLE) AS sum_charge,
+           sum(l_quantity) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*) AS avg_price,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    survey="A1-class scan+agg (bench anchor)",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    charge = disc_price * (1.0 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_base_price"),
+            F.sum(disc_price.cast("decimal(28,10)"))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum(charge.cast("decimal(28,10)"))
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum("l_quantity") / F.count("*")).alias("avg_qty"),
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                    "double"
+                )
+                / F.count("*")
+            ).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )

@@ -1,0 +1,59 @@
+"""SparkSession factory.
+
+Scale stance: these configs are the local[32] test profile of settings
+that matter identically on a 1000-executor cluster — AQE for runtime
+re-planning (partition coalescing, skew-join splitting), UTC session
+time zone so timestamp semantics match the DuckDB oracle and any
+other engine, Arrow for the pandas boundary, and shuffle partitions
+sized to the parallelism at hand (on a real cluster this would be
+~2-3x total cores or left to AQE's coalescing).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "marketviz_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    On a real cluster ``master`` comes from spark-submit; locally we
+    default to ``local[N]`` with N from $SPARK_GRAFT_CPUS.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        # AQE: runtime partition coalescing, skew-join handling, and
+        # dynamic join-strategy switching — essential at 100 TB where
+        # static planning guesses wrong.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Deterministic timestamp semantics (matches DuckDB's UTC-naive).
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for every pandas-boundary crossing (toPandas, pandas UDFs).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,187 @@
+"""Testdata loaders and the canonical derived market-data views.
+
+The reference's domain tables (``stocks``, ``raw_history``,
+``index_data``) are derived deterministically from the driver's
+TPC-H-ish testdata so every query has a DuckDB-SQL oracle twin over
+the same parquet files. The Spark builders here and the SQL CTE text
+below are intentionally adjacent: they MUST express bit-identical
+arithmetic.
+
+Determinism rules (the oracle hash gate is exact):
+- dates cross the API edge as ISO 'yyyy-MM-dd' strings
+  (the reference also stores ISO strings; SURVEY §1.1)
+- aggregates over doubles use exact forms only: max / count / sums of
+  integer-valued doubles / DECIMAL(18,2)-cast sums of 2-dp prices
+- per-row arithmetic is written with identical association on both
+  sides (IEEE doubles are deterministic given identical expressions)
+
+Scale note: at 100 TB the `stocks` derivation is one map-side
+projection + one hash aggregation on (ticker, date) — Catalyst pushes
+the column pruning into the parquet scan, and the aggregation is
+partial (map-side combine) before the single shuffle. The derived
+table would be written out partitioned by date for partition-pruned
+downstream reads (see pipelines/upsert.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Number of index constituents. The reference uses 100 of a 120-ticker
+# universe (reference constants.py:1); we scale to the testdata's
+# per-date universe the same way.
+INDEX_K = 10
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver testdata table."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_all(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view."""
+    from .schemas import TESTDATA_TABLES
+
+    for name in TESTDATA_TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# ----------------------------------------------------------------------
+# stocks: one row per (ticker, date), derived from lineitem.
+#   ticker  <- 'T' + zero-padded part key
+#   date    <- l_shipdate (ISO string)
+#   share_price <- max(l_extendedprice)            (exact)
+#   effective_shares_outstanding <- sum(l_quantity) * 1000  (integral, exact)
+#   market_cap <- share_price * effective_shares   (single IEEE product)
+# Mirrors the reference fact table (src/data/database_manager.py:13-22).
+# ----------------------------------------------------------------------
+
+STOCKS_SQL = """
+SELECT
+    concat('T', lpad(CAST(l_partkey AS VARCHAR), 5, '0')) AS ticker,
+    strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS date,
+    max(l_extendedprice) AS share_price,
+    sum(l_quantity) * 1000.0 AS effective_shares_outstanding,
+    max(l_extendedprice) * (sum(l_quantity) * 1000.0) AS market_cap
+FROM lineitem
+GROUP BY 1, 2
+"""
+
+
+def stocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    eff = (F.sum("l_quantity") * F.lit(1000.0)).alias(
+        "effective_shares_outstanding"
+    )
+    return (
+        li.groupBy(
+            F.concat(
+                F.lit("T"), F.lpad(F.col("l_partkey").cast("string"), 5, "0")
+            ).alias("ticker"),
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("date"),
+        )
+        .agg(F.max("l_extendedprice").alias("share_price"), eff)
+        .withColumn(
+            "market_cap",
+            F.col("share_price") * F.col("effective_shares_outstanding"),
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# raw_history: pre-transform per-ticker history with a synthetic,
+# deterministic split schedule (reference input shape at
+# src/data/stock_data_fetcher.py:50-57: Date/Close/Stock Splits, with
+# 0.0 meaning "no split" — repaired to 1.0 downstream, P6).
+#   stock_splits: 2.0 when (partkey + day-of-month) % 37 == 0,
+#                 3.0 when % 41 == 0, else 0.0
+#   shares_outstanding: scalar per ticker (partkey * 10000), the
+#                 yfinance `sharesOutstanding` analogue (S3).
+# ----------------------------------------------------------------------
+
+# Expects a `stocks` CTE in scope.
+RAW_HISTORY_FROM_STOCKS_SQL = """
+SELECT
+    ticker,
+    date,
+    share_price AS close,
+    CASE
+        WHEN (pk + dom) % 37 = 0 THEN 2.0
+        WHEN (pk + dom) % 41 = 0 THEN 3.0
+        ELSE 0.0
+    END AS stock_splits,
+    pk * 10000.0 AS shares_outstanding
+FROM (
+    SELECT
+        s.*,
+        CAST(substr(ticker, 2) AS BIGINT) AS pk,
+        CAST(strftime(CAST(date AS DATE), '%d') AS BIGINT) AS dom
+    FROM stocks s
+)
+"""
+
+
+def raw_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = stocks(spark, sf_dir)
+    pk = F.substring("ticker", 2, 10).cast("bigint")
+    dom = F.dayofmonth(F.to_date("date")).cast("bigint")
+    key = pk + dom
+    return s.select(
+        "ticker",
+        "date",
+        F.col("share_price").alias("close"),
+        F.when(key % 37 == 0, F.lit(2.0))
+        .when(key % 41 == 0, F.lit(3.0))
+        .otherwise(F.lit(0.0))
+        .alias("stock_splits"),
+        (pk * F.lit(10000.0)).alias("shares_outstanding"),
+    )
+
+
+# ----------------------------------------------------------------------
+# index_data: the flagship equal-weighted top-K index, one row per
+# date (reference src/index/equal_weight_index.py:9-54, generalized
+# from a 30-iteration per-date loop to ONE windowed job; SURVEY §3).
+#   index_value <- sum(top-K share_price) / K   (decimal-exact sum)
+#   composition <- tickers CSV in desc-market-cap order, ticker tiebreak
+# ----------------------------------------------------------------------
+
+# Expects a `stocks` CTE in scope.
+INDEX_FROM_STOCKS_SQL = """
+SELECT
+    date,
+    CAST(sum(CAST(share_price AS DECIMAL(18,2))) AS DOUBLE) / {k} AS index_value,
+    string_agg(ticker, ',' ORDER BY market_cap DESC, ticker) AS composition
+FROM (
+    SELECT
+        s.*,
+        row_number() OVER (
+            PARTITION BY date ORDER BY market_cap DESC, ticker
+        ) AS rn
+    FROM stocks s
+)
+WHERE rn <= {k}
+GROUP BY date
+"""
+
+
+def oracle_cte(*, raw_history: bool = False, index: bool = False, k: int = INDEX_K) -> str:
+    """Compose the WITH-prefix for an oracle query: always `stocks`,
+    optionally `raw_history` and/or `index_data`."""
+    parts = [f"stocks AS ({STOCKS_SQL})"]
+    if raw_history:
+        parts.append(f"raw_history AS ({RAW_HISTORY_FROM_STOCKS_SQL})")
+    if index:
+        parts.append(
+            f"index_data AS ({INDEX_FROM_STOCKS_SQL.format(k=k)})"
+        )
+    return "WITH " + ",\n".join(parts) + "\n"
+
+
+def index_data(
+    spark: SparkSession, sf_dir: str, k: int = INDEX_K
+) -> DataFrame:
+    from .pipelines.index import compute_index
+
+    return compute_index(stocks(spark, sf_dir), k=k)

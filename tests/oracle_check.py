@@ -1,0 +1,97 @@
+"""Local harness mimicking the driver's t2 correctness gate:
+run each registry query on Spark and its oracle on DuckDB over the
+same parquet, compare row count, column names, and an
+order-insensitive value comparison (exact for strings/ints/bools,
+tolerant for floats so we catch REAL divergences, not last-bit noise
+— the engine still aims for bit-equality via exact arithmetic).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return bool(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # round to 9 significant-ish decimals for sort/compare keys
+        return round(v, 9)
+    return v
+
+
+def _key(row):
+    return tuple(
+        (str(type(v).__name__), str(_norm_cell(v))) for v in row
+    )
+
+
+def compare(spark_df, con, oracle: str, name: str, rel_tol=1e-9) -> list[str]:
+    """Returns a list of problem strings (empty = match)."""
+    problems: list[str] = []
+    sp = spark_df.toPandas()
+    du = con.execute(oracle).fetchdf()
+    if len(sp) != len(du):
+        problems.append(f"{name}: row count {len(sp)} vs oracle {len(du)}")
+    sp_cols, du_cols = sorted(sp.columns), sorted(du.columns)
+    if sp_cols != du_cols:
+        problems.append(f"{name}: columns {sp_cols} vs {du_cols}")
+        return problems
+    sp = sp[sp_cols]
+    du = du[du_cols]
+    sp_rows = sorted((tuple(r) for r in sp.itertuples(index=False)), key=_key)
+    du_rows = sorted((tuple(r) for r in du.itertuples(index=False)), key=_key)
+    mismatches = 0
+    for i, (a, b) in enumerate(zip(sp_rows, du_rows)):
+        for ca, cb in zip(a, b):
+            if ca is None and cb is None:
+                continue
+            if isinstance(ca, float) and isinstance(cb, float):
+                if math.isnan(ca) and math.isnan(cb):
+                    continue
+                if ca == cb:
+                    continue
+                if abs(ca - cb) <= rel_tol * max(abs(ca), abs(cb), 1.0):
+                    # tolerable float noise — flag bit-inequality softly
+                    continue
+                mismatches += 1
+                if mismatches <= 3:
+                    problems.append(
+                        f"{name}: row {i} float {ca!r} vs {cb!r}"
+                    )
+            elif ca != cb and str(ca) != str(cb):
+                if (ca is None) != (cb is None) or True:
+                    mismatches += 1
+                    if mismatches <= 3:
+                        problems.append(f"{name}: row {i} {ca!r} vs {cb!r}")
+    if mismatches > 3:
+        problems.append(f"{name}: ... {mismatches} total cell mismatches")
+    return problems
