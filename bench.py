@@ -1,0 +1,87 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized through the noop sink — full computation
+of every column, no driver collect, no output I/O — the fairest
+proxy for cluster throughput. First query run includes JVM/codegen
+warmup; a warmup pass runs a trivial job first so per-query numbers
+reflect the plans, not startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from marketviz_spark.registry import QUERIES  # noqa: E402
+from marketviz_spark.session import get_spark  # noqa: E402
+
+# Headliners: the scan+agg anchor, the flagship windowed index, the
+# split-adjustment window chain, the broadcast join, upsert, and the
+# data-pipeline extensions as they land.
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "index_daily",
+    "w1_split_adjust",
+    "w8_latest_per_ticker",
+    "j1_composition_market_cap",
+    "j2_upsert",
+    "w3_w4_returns",
+    "o5_summary_tail30",
+]
+
+
+def materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("marketviz_bench")
+
+    # Warmup: JVM, parquet reader, and the exact codegen shapes of the
+    # benched plans — run the same queries at the tiny sf first so the
+    # timings below measure throughput, not class compilation.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for name in BENCH_QUERIES:
+            if name in QUERIES:
+                materialize(QUERIES[name].fn(spark, warm_dir))
+
+    # Two passes at the target sf; report the warm (best) time per
+    # query — the first pass pays AQE-specific codegen compilation.
+    timings: dict[str, float] = {}
+    for _pass in range(2):
+        for name in BENCH_QUERIES:
+            if name not in QUERIES:
+                continue
+            t0 = time.time()
+            materialize(QUERIES[name].fn(spark, sf_dir))
+            dt = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
