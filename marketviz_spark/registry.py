@@ -600,3 +600,228 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("count_order"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# Scalar function bundle (§2.8) and set ops (§2.7)
+# ----------------------------------------------------------------------
+
+
+@register(
+    "scalar_bundle",
+    oracle_cte(index=True)
+    + """
+    SELECT date,
+           replace(composition, ',', '|') AS comp_pipes,
+           string_split(composition, ',')[1] AS top_ticker,
+           upper(string_split(composition, ',')[1]) AS top_ticker_upper,
+           round(index_value, 1) AS index_rounded,
+           format('{:,}', CAST(floor(round(index_value, 2)) AS BIGINT))
+               || '.' || substr(printf('%.2f', index_value), -2)
+               AS index_formatted,
+           strftime(CAST(date AS DATE) - INTERVAL 1 DAY, '%Y-%m-%d')
+               AS prev_day,
+           CAST(day(CAST(date AS DATE)) AS INT) AS dom,
+           concat('IDX-', date) AS idx_key
+    FROM index_data
+    """,
+    survey="§2.8 scalar functions (split/join/replace/format/date/round)",
+)
+def q_scalar_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = tables.index_data(spark, sf_dir)
+    comp = F.split(F.col("composition"), ",")
+    return idx.select(
+        "date",
+        F.regexp_replace("composition", ",", "|").alias("comp_pipes"),
+        F.element_at(comp, 1).alias("top_ticker"),
+        F.upper(F.element_at(comp, 1)).alias("top_ticker_upper"),
+        F.round("index_value", 1).alias("index_rounded"),
+        F.format_number(F.col("index_value"), 2).alias("index_formatted"),
+        F.date_format(
+            F.date_sub(F.to_date("date"), 1), "yyyy-MM-dd"
+        ).alias("prev_day"),
+        F.dayofmonth(F.to_date("date")).alias("dom"),
+        F.concat(F.lit("IDX-"), F.col("date")).alias("idx_key"),
+    )
+
+
+@register(
+    "set_ops",
+    oracle_cte()
+    + """
+    , jan AS (SELECT DISTINCT ticker FROM stocks WHERE date LIKE '1996-01%'),
+      feb AS (SELECT DISTINCT ticker FROM stocks WHERE date LIKE '1996-02%')
+    SELECT ticker, 'both' AS tag FROM (SELECT * FROM jan INTERSECT SELECT * FROM feb)
+    UNION ALL
+    SELECT ticker, 'jan_only' AS tag FROM (SELECT * FROM jan EXCEPT SELECT * FROM feb)
+    UNION ALL
+    SELECT ticker, 'feb_only' AS tag FROM (SELECT * FROM feb EXCEPT SELECT * FROM jan)
+    """,
+    survey="§2.7 union/intersect/except",
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = tables.stocks(spark, sf_dir)
+    jan = s.filter(F.col("date").like("1996-01%")).select("ticker").distinct()
+    feb = s.filter(F.col("date").like("1996-02%")).select("ticker").distinct()
+    return (
+        jan.intersect(feb).select("ticker", F.lit("both").alias("tag"))
+        .unionByName(
+            jan.exceptAll(jan.intersect(feb)).select(
+                "ticker", F.lit("jan_only").alias("tag")
+            )
+        )
+        .unionByName(
+            feb.exceptAll(feb.intersect(jan)).select(
+                "ticker", F.lit("feb_only").alias("tag")
+            )
+        )
+    )
+
+
+# ----------------------------------------------------------------------
+# JSON extraction on events.props (engine extension, SURVEY §2.8 note)
+# ----------------------------------------------------------------------
+
+
+@register(
+    "json_props",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+    survey="JSON extraction (from_json/get_json_object)",
+)
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# ----------------------------------------------------------------------
+# Event-time windows on events.ts (§2.9 extension). Batch semantics
+# here (same operators Structured Streaming uses — see streaming/);
+# each has an exact SQL oracle.
+# ----------------------------------------------------------------------
+
+
+@register(
+    "events_tumbling_1h",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    survey="§2.9 tumbling event-time window",
+)
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,10)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "events_sliding_1h_30m",
+    """
+    WITH shifted AS (
+        SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, value
+        FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '30 minutes', ts)
+                   - INTERVAL 30 MINUTE AS ws, value
+        FROM events
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value
+    FROM shifted
+    GROUP BY 1
+    """,
+    survey="§2.9 sliding event-time window",
+)
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,10)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "events_session_10m",
+    """
+    WITH flagged AS (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               CASE WHEN epoch_us(ts)
+                         - lag(epoch_us(ts)) OVER (
+                               PARTITION BY user_id ORDER BY ts)
+                         >= 600000000
+                         OR lag(epoch_us(ts)) OVER (
+                               PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), sessions AS (
+        SELECT user_id, ts_us,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(min(ts_us) AS BIGINT) AS session_start_us,
+           CAST(max(ts_us) + 600000000 AS BIGINT) AS session_end_us,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    survey="§2.9 session window (gap-merge sessionization)",
+)
+def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", "10 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("session_start_us"),
+            F.unix_micros("session_window.end").alias("session_end_us"),
+            "n_events",
+        )
+    )

@@ -48,6 +48,10 @@ def get_spark(
         # Arrow for every pandas-boundary crossing (toPandas, pandas UDFs).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+        # The events testdata stores TIMESTAMP(NANOS); Spark has no
+        # nanosecond timestamp type, so read as long and convert in
+        # tables.load_events (truncation to micros, matching DuckDB).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
     )

