@@ -1,0 +1,95 @@
+"""Text analysis for large-scale training-data pipelines.
+
+Language-ID (stopword-hit heuristic), quality scoring, token
+counting, and document fingerprinting over the `documents` table —
+all pure built-in-function column expressions (JVM codegen, no
+Python in the hot path), so they scale linearly with a map-only
+plan: no shuffle at all for per-document features.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..numerics import rnd
+
+# Tiny demonstration stopword lists; the operator is the thing, the
+# lists are config.
+STOPWORDS_EN = ["the", "a", "of", "and", "to"]
+STOPWORDS_ES = ["el", "la", "de", "y", "que"]
+STOPWORDS_DE = ["der", "die", "das", "und", "zu"]
+
+
+def tokens(text_col: str = "text") -> Column:
+    """Whitespace tokens with empties dropped (texts may carry
+    trailing separators)."""
+    return F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+
+
+def _hits(toks: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast(
+        "long"
+    )
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Token count, char stats, stopword ratio, quality score."""
+    t = tokens()
+    n_tok = F.size(t).cast("long")
+    sum_len = F.aggregate(
+        F.transform(t, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    stop_ratio = _hits(t, STOPWORDS_EN) / n_tok
+    quality = rnd(
+        F.least(F.lit(1.0), n_tok / 100.0) * (1.0 - stop_ratio), 6
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_computed"),
+        sum_len.alias("sum_token_chars"),
+        (sum_len / n_tok).alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-hit language ID with a fixed priority tiebreak
+    (en > es > de). A real pipeline would swap in char-n-gram
+    profiles; the dataflow is identical."""
+    t = tokens()
+    en, es, de = (
+        _hits(t, STOPWORDS_EN),
+        _hits(t, STOPWORDS_ES),
+        _hits(t, STOPWORDS_DE),
+    )
+    predicted = (
+        F.when((en >= es) & (en >= de), F.lit("en"))
+        .when(es >= de, F.lit("es"))
+        .otherwise(F.lit("de"))
+    )
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        en.alias("en_hits"),
+        es.alias("es_hits"),
+        de.alias("de_hits"),
+        predicted.alias("predicted_lang"),
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Exact and whitespace-normalized md5 fingerprints plus a short
+    prefix key (the bucketing key for a distributed dedup shuffle)."""
+    norm = F.array_join(tokens(), " ")
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("fp_md5"),
+        F.md5(norm).alias("fp_norm_md5"),
+        F.substring(F.md5(F.col("text")), 1, 8).alias("fp_prefix"),
+    )

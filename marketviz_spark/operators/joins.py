@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..numerics import rnd
 from .windows import latest_per_group
 
 
@@ -55,7 +56,7 @@ def composition_market_caps(
         F.col("market_cap"),
     )
     return named.groupBy("name").agg(
-        F.round(F.sum(F.col("market_cap") / 1e9), 1).alias(
+        rnd(F.sum(F.col("market_cap") / 1e9), 1).alias(
             "market_cap_billions"
         )
     )

@@ -22,7 +22,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import tables
+from .numerics import rnd
 from .tables import INDEX_K, oracle_cte
+
+
+def _thousands_2dp(col):
+    """'{:,}.cc' formatting from deterministic integer cents (the
+    reference's f'{v:,.2f}', dashboard.py:243-245, re-done in
+    cross-engine-exact arithmetic)."""
+    cents = F.floor(col * F.lit(100.0) + F.lit(0.5)).cast("long")
+    return F.concat(
+        F.format_number((cents / F.lit(100)).cast("long"), 0),
+        F.lit("."),
+        F.lpad((cents % 100).cast("string"), 2, "0"),
+    )
 
 
 @dataclass
@@ -322,7 +335,8 @@ def q_topk_per_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) WHERE rn = 1
     )
     SELECT CASE WHEN e.pos < 5 THEN e.ticker ELSE 'OTHERS' END AS name,
-           round(sum(c.market_cap / 1e9), 1) AS market_cap_billions
+           floor(sum(c.market_cap / 1e9) * 10.0 + 0.5) / 10.0
+               AS market_cap_billions
     FROM exploded e JOIN latest_caps c ON e.ticker = c.ticker
     GROUP BY 1
     """,
@@ -615,9 +629,12 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
            replace(composition, ',', '|') AS comp_pipes,
            string_split(composition, ',')[1] AS top_ticker,
            upper(string_split(composition, ',')[1]) AS top_ticker_upper,
-           round(index_value, 1) AS index_rounded,
-           format('{:,}', CAST(floor(round(index_value, 2)) AS BIGINT))
-               || '.' || substr(printf('%.2f', index_value), -2)
+           floor(index_value * 10.0 + 0.5) / 10.0 AS index_rounded,
+           format('{:,}', CAST(floor(index_value * 100.0 + 0.5)
+                               AS BIGINT) // 100)
+               || '.'
+               || lpad(CAST(CAST(floor(index_value * 100.0 + 0.5)
+                                 AS BIGINT) % 100 AS VARCHAR), 2, '0')
                AS index_formatted,
            strftime(CAST(date AS DATE) - INTERVAL 1 DAY, '%Y-%m-%d')
                AS prev_day,
@@ -635,8 +652,8 @@ def q_scalar_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("composition", ",", "|").alias("comp_pipes"),
         F.element_at(comp, 1).alias("top_ticker"),
         F.upper(F.element_at(comp, 1)).alias("top_ticker_upper"),
-        F.round("index_value", 1).alias("index_rounded"),
-        F.format_number(F.col("index_value"), 2).alias("index_formatted"),
+        rnd(F.col("index_value"), 1).alias("index_rounded"),
+        _thousands_2dp(F.col("index_value")).alias("index_formatted"),
         F.date_format(
             F.date_sub(F.to_date("date"), 1), "yyyy-MM-dd"
         ).alias("prev_day"),
@@ -825,3 +842,7 @@ def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# Training-data-pipeline operators register themselves on import.
+from . import registry_datapipe  # noqa: E402, F401

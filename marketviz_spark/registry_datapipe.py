@@ -1,0 +1,426 @@
+"""Registry entries for the training-data-pipeline operators
+(dedup, text analysis, similarity search, multimodal plumbing).
+
+Imported by registry.py for its side effects. Oracle SQL for the
+hash-heavy operators (simhash, LSH) is generated programmatically
+from the same constants as the Spark implementations, so both sides
+stay in lockstep by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import tables
+from .datapipe.dedup import (
+    BAND_SIZE,
+    HEX,
+    NUM_HASHES,
+    SIMHASH_BITS,
+    exact_dedup_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from .datapipe.multimodal import payload_features, to_media
+from .datapipe.similarity import (
+    EMB_DIM,
+    N_HYPERPLANES,
+    cosine_topk,
+    hyperplane_lsh_topk,
+)
+from .datapipe.textstats import (
+    STOPWORDS_DE,
+    STOPWORDS_EN,
+    STOPWORDS_ES,
+    fingerprints,
+    lang_id,
+    text_stats,
+)
+from .registry import register
+
+# Shared SQL fragments -------------------------------------------------
+
+TOKS_CTE = """
+toks AS (
+    SELECT doc_id, text, lang,
+           list_filter(string_split(text, ' '), x -> x <> '') AS t
+    FROM documents
+)
+"""
+
+SHINGLES_CTE = """
+sh AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(
+               generate_series(1, len(t) - 2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+    FROM toks
+    WHERE len(t) >= 3
+)
+"""
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+# ----------------------------------------------------------------------
+# Text analysis
+# ----------------------------------------------------------------------
+
+
+@register(
+    "text_stats",
+    f"WITH {TOKS_CTE}"
+    + f"""
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_computed,
+           CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT)
+               AS sum_token_chars,
+           CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT)
+               / CAST(len(t) AS BIGINT) AS avg_token_len,
+           len(list_filter(t, x -> list_contains(
+               {_sql_list(STOPWORDS_EN)}, x))) / len(t) AS stopword_ratio,
+           floor(least(1.0, len(t) / 100.0)
+                 * (1.0 - len(list_filter(t, x -> list_contains(
+                       {_sql_list(STOPWORDS_EN)}, x))) / len(t))
+                 * 1000000.0 + 0.5) / 1000000.0
+               AS quality_score
+    FROM toks
+    """,
+    survey="text quality scoring + token counting (datapipe)",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_stats(tables.load(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_langid",
+    f"WITH {TOKS_CTE}"
+    + f"""
+    SELECT doc_id, lang AS declared_lang,
+           CAST(len(list_filter(t, x -> list_contains(
+               {_sql_list(STOPWORDS_EN)}, x))) AS BIGINT) AS en_hits,
+           CAST(len(list_filter(t, x -> list_contains(
+               {_sql_list(STOPWORDS_ES)}, x))) AS BIGINT) AS es_hits,
+           CAST(len(list_filter(t, x -> list_contains(
+               {_sql_list(STOPWORDS_DE)}, x))) AS BIGINT) AS de_hits,
+           CASE WHEN len(list_filter(t, x -> list_contains(
+                        {_sql_list(STOPWORDS_EN)}, x)))
+                     >= greatest(
+                        len(list_filter(t, x -> list_contains(
+                            {_sql_list(STOPWORDS_ES)}, x))),
+                        len(list_filter(t, x -> list_contains(
+                            {_sql_list(STOPWORDS_DE)}, x))))
+                THEN 'en'
+                WHEN len(list_filter(t, x -> list_contains(
+                        {_sql_list(STOPWORDS_ES)}, x)))
+                     >= len(list_filter(t, x -> list_contains(
+                        {_sql_list(STOPWORDS_DE)}, x)))
+                THEN 'es' ELSE 'de'
+           END AS predicted_lang
+    FROM toks
+    """,
+    survey="language identification heuristic (datapipe)",
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(tables.load(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprints",
+    f"WITH {TOKS_CTE}"
+    + """
+    SELECT doc_id,
+           md5(text) AS fp_md5,
+           md5(array_to_string(t, ' ')) AS fp_norm_md5,
+           substring(md5(text), 1, 8) AS fp_prefix
+    FROM toks
+    """,
+    survey="document fingerprinting (datapipe)",
+)
+def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprints(tables.load(spark, sf_dir, "documents"))
+
+
+# ----------------------------------------------------------------------
+# Deduplication
+# ----------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS fp,
+           CAST(min(doc_id) AS BIGINT) AS rep_doc_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    survey="exact dedup via hash-groupBy (datapipe)",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_groups(tables.load(spark, sf_dir, "documents"))
+
+
+_MINHASH_CTES = (
+    f"WITH {TOKS_CTE}, {SHINGLES_CTE}, "
+    + f"""
+    hashed AS (
+        SELECT doc_id, h,
+               md5(CAST(h AS VARCHAR) || '|' || shingle) AS hv
+        FROM sh, (SELECT unnest(generate_series(0, {NUM_HASHES - 1})) AS h)
+    ), mins AS (
+        SELECT doc_id, h, min(hv) AS mh FROM hashed GROUP BY 1, 2
+    ), sigs AS (
+        SELECT doc_id, string_agg(mh, '|' ORDER BY h) AS sig
+        FROM mins GROUP BY 1
+    )
+    """
+)
+
+_N_BANDS = NUM_HASHES // BAND_SIZE
+
+_BAND_COLS = ", ".join(
+    "string_split(sig, '|')["
+    + "] || '|' || string_split(sig, '|')[".join(
+        str(b * BAND_SIZE + j + 1) for j in range(BAND_SIZE)
+    )
+    + f"] AS band_{b}"
+    for b in range(_N_BANDS)
+)
+
+
+@register(
+    "dedup_minhash_signatures",
+    _MINHASH_CTES
+    + f"SELECT doc_id, sig, {_BAND_COLS} FROM sigs",
+    survey="MinHash signatures + LSH band keys (datapipe)",
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(tables.load(spark, sf_dir, "documents"))
+
+
+_BAND_STACK = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, string_split(sig, '|')[{b * BAND_SIZE + 1}]"
+    f" || '|' || string_split(sig, '|')[{b * BAND_SIZE + 2}] AS key FROM sigs"
+    for b in range(_N_BANDS)
+)
+
+
+@register(
+    "dedup_lsh_pairs",
+    _MINHASH_CTES
+    + f""", stacked AS ({_BAND_STACK})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM stacked a JOIN stacked b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    """,
+    survey="LSH near-dup candidate pairs (datapipe)",
+)
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_candidate_pairs(tables.load(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"WITH {TOKS_CTE}, {SHINGLES_CTE}, "
+    + """
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           floor(n_common / (sa.n_sh + sb.n_sh - n_common)
+                 * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE floor(n_common / (sa.n_sh + sb.n_sh - n_common)
+                * 1000000.0 + 0.5) / 1000000.0 >= 0.05
+    """,
+    survey="n-gram Jaccard near-dup verification (datapipe)",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        tables.load(spark, sf_dir, "documents"), threshold=0.05
+    )
+
+
+def _simhash_sql() -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN ((instr('{HEX}', substring(h4, {b // 4 + 1}, 1)) - 1)"
+        f" // {2 ** (b % 4)}) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    combine = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END"
+        for b in range(SIMHASH_BITS)
+    )
+    return (
+        f"WITH {TOKS_CTE}, "
+        + f"""
+        tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        h AS (SELECT doc_id, substring(md5(tok), 1, 4) AS h4 FROM tok),
+        sums AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+        """,
+        f"SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM sums",
+    )
+
+
+_SIMHASH_CTES, _SIMHASH_SELECT = _simhash_sql()
+
+
+@register(
+    "dedup_simhash",
+    _SIMHASH_CTES + _SIMHASH_SELECT,
+    survey="SimHash document sketches (datapipe)",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(tables.load(spark, sf_dir, "documents"))
+
+
+_SIMHASH_BAND_STACK = " UNION ALL ".join(
+    f"SELECT doc_id, simhash, {band} AS band,"
+    f" (simhash // {16 ** band}) % 16 AS key FROM s"
+    for band in range(4)
+)
+
+
+@register(
+    "dedup_simhash_pairs",
+    _SIMHASH_CTES
+    + f", s AS ({_SIMHASH_SELECT}), stacked AS ({_SIMHASH_BAND_STACK}), "
+    + """
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS sh_a, b.simhash AS sh_b
+        FROM stacked a JOIN stacked b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    """,
+    survey="SimHash near-dup pairs via 4-bit bands (datapipe)",
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_pairs(tables.load(spark, sf_dir, "documents"))
+
+
+# ----------------------------------------------------------------------
+# Similarity search over embeddings
+# ----------------------------------------------------------------------
+
+_VEC_CTE = """
+v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings
+)
+"""
+
+
+@register(
+    "emb_cosine_topk",
+    f"WITH {_VEC_CTE}"
+    + """
+    , pairs AS (
+        SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+               floor(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm)
+                     * 1000000.0 + 0.5) / 1000000.0
+                   AS cosine
+        FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id
+        ) AS rank
+        FROM pairs
+    )
+    WHERE rank <= 5
+    """,
+    survey="brute-force cosine top-k ANN baseline (datapipe)",
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_topk(tables.load(spark, sf_dir, "embeddings"), k=5)
+
+
+def _lsh_bucket_sql() -> str:
+    projs = []
+    for h in range(N_HYPERPLANES):
+        sign = (
+            f"CASE WHEN (instr('{HEX}', substring(md5("
+            f"'{h}-' || CAST(d AS VARCHAR)), 1, 1)) - 1) % 2 = 0"
+            " THEN 1.0 ELSE -1.0 END"
+        )
+        proj = (
+            "list_sum(list_transform("
+            f"generate_series(0, {EMB_DIM - 1}),"
+            f" d -> ({sign}) * vec[d + 1]))"
+        )
+        projs.append(f"CASE WHEN ({proj}) > 0.0 THEN {2 ** h} ELSE 0 END")
+    return " + ".join(projs)
+
+
+@register(
+    "emb_lsh_topk",
+    f"WITH {_VEC_CTE}"
+    + f""", bucketed AS (
+        SELECT vec_id, vec, nrm,
+               CAST({_lsh_bucket_sql()} AS BIGINT) AS bucket
+        FROM v
+    ), pairs AS (
+        SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+               floor(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm)
+                     * 1000000.0 + 0.5) / 1000000.0
+                   AS cosine
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id
+        ) AS rank
+        FROM pairs
+    )
+    WHERE rank <= 3
+    """,
+    survey="hyperplane-LSH bucketed ANN (scale path, datapipe)",
+)
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hyperplane_lsh_topk(tables.load(spark, sf_dir, "embeddings"), k=3)
+
+
+# ----------------------------------------------------------------------
+# Multimodal plumbing (binary payload + pandas-UDF feature extraction)
+# ----------------------------------------------------------------------
+
+
+@register(
+    "mm_payload_features",
+    """
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_md5,
+           CAST(ascii(substring(text, 1, 1)) AS INT) AS first_byte
+    FROM documents
+    """,
+    survey="multimodal binary payload + Arrow-batched features (datapipe)",
+)
+def q_mm_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = to_media(tables.load(spark, sf_dir, "documents"))
+    return payload_features(media)

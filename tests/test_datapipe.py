@@ -1,0 +1,83 @@
+"""Unit tests for the training-data-pipeline operators: invariants
+that the SQL-oracle parity can't express (recall guarantees, stub
+behavior, dedup on crafted near-duplicates)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+BASE = "the quick brown fox jumps over the lazy dog again and again ok"
+
+
+def test_exact_dedup_groups(spark):
+    from marketviz_spark.datapipe.dedup import exact_dedup_groups
+
+    docs = _docs(spark, [BASE, BASE, "something else entirely here now"])
+    out = {r["rep_doc_id"]: r["n_copies"]
+           for r in exact_dedup_groups(docs).collect()}
+    assert out == {0: 2, 2: 1}
+
+
+def test_minhash_identical_docs_collide(spark):
+    from marketviz_spark.datapipe.dedup import lsh_candidate_pairs
+
+    docs = _docs(spark, [BASE, BASE, "x y z " * 10])
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in lsh_candidate_pairs(docs).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs
+
+
+def test_ngram_jaccard_near_dup(spark):
+    from marketviz_spark.datapipe.dedup import ngram_jaccard_pairs
+
+    near = BASE.replace("dog", "cat")
+    docs = _docs(spark, [BASE, near])
+    rows = ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    assert rows and rows[0]["jaccard"] > 0.3
+
+
+def test_simhash_near_dup_low_hamming(spark):
+    from marketviz_spark.datapipe.dedup import simhash_near_pairs
+
+    near = BASE + " extra"
+    docs = _docs(spark, [BASE, near])
+    rows = simhash_near_pairs(docs, max_hamming=4).collect()
+    assert any(r["doc_a"] == 0 and r["doc_b"] == 1 for r in rows)
+
+
+def test_cosine_topk_self_excluded_and_exact(spark):
+    from marketviz_spark.datapipe.similarity import cosine_topk
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in
+           cosine_topk(emb, k=1).collect()}
+    assert out[0]["neighbor_id"] == 1 and out[0]["cosine"] == 1.0
+    assert out[2]["cosine"] == 0.0
+
+
+def test_multimodal_decode_stub_shapes(spark):
+    """The stub decode must flow through mapInPandas with the real
+    schema, flagging non-decodable rows instead of failing the job."""
+    from marketviz_spark.datapipe.multimodal import decode_image, to_media
+
+    docs = _docs(spark, ["plain text payload"])
+    media = to_media(docs)
+    rows = decode_image(media).collect()
+    assert rows[0]["ok"] is True  # deterministic fake for non-image bytes
+    jpeg = media.withColumn(
+        "payload", F.lit(bytearray(b"\xff\xd8rest"))
+    )
+    rows2 = decode_image(jpeg).collect()
+    assert rows2[0]["ok"] is False and "decoding" in rows2[0]["err"]

@@ -1,0 +1,112 @@
+"""Golden-value unit tests for the operator layer on tiny hand-built
+frames — pinning the reference semantics (split adjustment, change
+detection, as-of walk-back, upsert) independent of the testdata."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_reverse_cum_split_factor(spark):
+    """Hand-computed reverse cumprod (reference
+    stock_data_fetcher.py:52,64-66): factors accumulate from the most
+    recent date backwards."""
+    from marketviz_spark.operators.windows import split_adjust
+
+    rows = [
+        # date, close, splits, shares
+        ("T1", "2024-01-01", 10.0, 0.0, 1000.0),
+        ("T1", "2024-01-02", 5.0, 2.0, 1000.0),  # 2:1 split on the 2nd
+        ("T1", "2024-01-03", 5.5, 0.0, 1000.0),
+    ]
+    raw = spark.createDataFrame(
+        rows, "ticker string, date string, close double, "
+        "stock_splits double, shares_outstanding double"
+    )
+    out = {
+        r["date"]: r
+        for r in split_adjust(raw).collect()
+    }
+    # Most recent day: factor 1 -> effective = 1000
+    assert out["2024-01-03"]["cum_split_factor"] == 1.0
+    assert out["2024-01-03"]["effective_shares_outstanding"] == 1000.0
+    # Split day itself includes its factor (cumprod includes current row)
+    assert out["2024-01-02"]["cum_split_factor"] == 2.0
+    assert out["2024-01-02"]["effective_shares_outstanding"] == 500.0
+    # Before the split: still divided by 2
+    assert out["2024-01-01"]["cum_split_factor"] == 2.0
+    assert out["2024-01-01"]["market_cap"] == 10.0 * 500.0
+
+
+def test_composition_changes_set_semantics(spark):
+    """Reorder-only is NOT a change (dashboard.py:166-171); labels
+    format as '+(A) , -(B)' (dashboard.py:180-186)."""
+    from marketviz_spark.operators.windows import composition_changes
+
+    idx = spark.createDataFrame(
+        [
+            ("2024-01-01", 1.0, "A,B,C"),
+            ("2024-01-02", 1.0, "C,B,A"),  # reorder only
+            ("2024-01-03", 1.0, "A,B,D"),  # C -> D
+        ],
+        "date string, index_value double, composition string",
+    )
+    out = {r["date"]: r for r in composition_changes(idx).collect()}
+    assert out["2024-01-01"]["composition_changed"] is False
+    assert out["2024-01-01"]["change_label"] == "-"
+    assert out["2024-01-02"]["composition_changed"] is False
+    assert out["2024-01-03"]["composition_changed"] is True
+    assert out["2024-01-03"]["change_label"] == "+(D) , -(C)"
+
+
+def test_asof_walkback_bounds(spark):
+    """<=5-day walk-back (dashboard.py:328-343): hit within 5 days,
+    NULL beyond."""
+    from marketviz_spark.operators.joins import asof_walkback
+
+    idx = spark.createDataFrame(
+        [("2024-01-01", 100.0, "A,B")],
+        "date string, index_value double, composition string",
+    )
+    spine = spark.createDataFrame(
+        [("2024-01-03",), ("2024-01-09",)], "date string"
+    )
+    out = {r["date"]: r for r in asof_walkback(spine, idx).collect()}
+    assert out["2024-01-03"]["matched_date"] == "2024-01-01"
+    assert out["2024-01-03"]["index_value"] == 100.0
+    assert out["2024-01-09"]["matched_date"] is None
+    assert out["2024-01-09"]["index_value"] is None
+
+
+def test_upsert_replaces_and_keeps(spark):
+    from marketviz_spark.operators.joins import upsert
+
+    existing = spark.createDataFrame(
+        [("T1", "d1", 1.0), ("T1", "d2", 2.0)],
+        "ticker string, date string, v double",
+    )
+    new = spark.createDataFrame(
+        [("T1", "d2", 20.0), ("T2", "d1", 9.0)],
+        "ticker string, date string, v double",
+    )
+    out = {
+        (r["ticker"], r["date"]): r["v"]
+        for r in upsert(existing, new, ["ticker", "date"]).collect()
+    }
+    assert out == {("T1", "d1"): 1.0, ("T1", "d2"): 20.0, ("T2", "d1"): 9.0}
+
+
+def test_index_divides_by_constant_k(spark):
+    """sum(top-K prices)/K even when fewer than K rows exist
+    (equal_weight_index.py:46-47)."""
+    from marketviz_spark.pipelines.index import compute_index
+
+    stocks = spark.createDataFrame(
+        [("T1", "2024-01-01", 10.0, 100.0, 1.0),
+         ("T2", "2024-01-01", 30.0, 300.0, 1.0)],
+        "ticker string, date string, share_price double, "
+        "market_cap double, effective_shares_outstanding double",
+    )
+    row = compute_index(stocks, k=10).collect()[0]
+    assert row["index_value"] == (10.0 + 30.0) / 10
+    assert row["composition"] == "T2,T1"  # desc market cap
