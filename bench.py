@@ -35,6 +35,15 @@ BENCH_QUERIES = [
     "j2_upsert",
     "w3_w4_returns",
     "o5_summary_tail30",
+    # training-data-pipeline headliners
+    "dedup_exact",
+    "dedup_lsh_pairs",
+    "dedup_simhash_pairs",
+    "text_stats",
+    "emb_cosine_topk_blas",
+    "emb_lsh_topk",
+    "events_tumbling_1h",
+    "mm_payload_features",
 ]
 
 

@@ -29,7 +29,8 @@ from .textstats import tokens
 
 NUM_HASHES = 6
 BAND_SIZE = 2  # 3 bands of 2 hashes
-SIMHASH_BITS = 16
+SIMHASH_BITS = 32  # 4 bands of 8 bits; hamming<=3 => >=1 shared band
+SIMHASH_BAND_BITS = 8
 HEX = "0123456789abcdef"
 
 
@@ -47,8 +48,15 @@ def exact_dedup_groups(docs: DataFrame) -> DataFrame:
 
 
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (doc_id, shingle)."""
-    t = tokens()
+    """Distinct word n-gram shingles per document: (doc_id, shingle).
+
+    Tokens are materialized into a column FIRST: inlining the split
+    expression would re-evaluate it inside every element_at lambda
+    (Catalyst does not CSE across lambda invocations — measured ~5x
+    slower).
+    """
+    tk = docs.select("doc_id", tokens().alias("_t"))
+    t = F.col("_t")
     # Guard short docs: Spark's sequence(1, 0) produces a DESCENDING
     # [1, 0] rather than an empty list.
     idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
@@ -62,7 +70,7 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        docs.select("doc_id", F.explode(grams).alias("shingle"))
+        tk.select("doc_id", F.explode(grams).alias("shingle"))
         .distinct()
     )
 
@@ -73,74 +81,85 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     shingle set (min over hex strings == permutation min), plus the
     LSH band keys (concatenation of the band's hashes)."""
     sh = shingles(docs)
-    hashed = sh.select(
-        "doc_id",
-        F.explode(
-            F.array(*[F.lit(h) for h in range(NUM_HASHES)])
-        ).alias("h"),
-        "shingle",
-    ).select(
-        "doc_id",
-        "h",
-        F.md5(
-            F.concat_ws("|", F.col("h").cast("string"), F.col("shingle"))
-        ).alias("hv"),
-    )
-    mins = hashed.groupBy("doc_id", "h").agg(F.min("hv").alias("mh"))
-    per_doc = mins.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("h"), F.col("mh")))
-                ),
-                lambda s: s.getField("mh"),
-            ),
+    # All NUM_HASHES mins in ONE aggregation pass: each seeded hash
+    # is its own min() column, so the whole signature costs a single
+    # shuffle on doc_id (the map side partially aggregates). An
+    # explode-by-seed would multiply the shuffle NUM_HASHES-fold.
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{h}|"), F.col("shingle")))).alias(
+            f"mh{h}"
+        )
+        for h in range(NUM_HASHES)
+    ]
+    per_doc = sh.groupBy("doc_id").agg(*mins)
+    sig = F.concat_ws(
+        "|", *[F.col(f"mh{h}") for h in range(NUM_HASHES)]
+    ).alias("sig")
+    bands = [
+        F.concat_ws(
             "|",
-        ).alias("sig")
+            *[
+                F.col(f"mh{b * BAND_SIZE + j}")
+                for j in range(BAND_SIZE)
+            ],
+        ).alias(f"band_{b}")
+        for b in range(NUM_HASHES // BAND_SIZE)
+    ]
+    return per_doc.select("doc_id", sig, *bands)
+
+
+def _bucket_pairs(
+    stacked: DataFrame, max_bucket: int = 10_000
+) -> DataFrame:
+    """(band, key, id[, extra]) -> distinct (a, b) pairs per bucket.
+
+    One shuffle to the bucket key, pairs generated IN-ARRAY per
+    bucket — crucially the upstream sketch computes once (a self-join
+    would re-evaluate its whole subplan per side and per band).
+    Buckets larger than `max_bucket` are dropped: a degenerate bucket
+    (mass-duplicated boilerplate) would emit O(n²) pairs; real
+    pipelines route those to exact dedup instead.
+    """
+    buckets = (
+        stacked.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list(F.col("item"))).alias("items"))
+        .filter(
+            (F.size("items") > 1) & (F.size("items") <= max_bucket)
+        )
     )
-    cols = ["doc_id", "sig"]
-    out = per_doc
-    n_bands = NUM_HASHES // BAND_SIZE
-    parts = F.split(F.col("sig"), r"\|")
-    for b in range(n_bands):
-        start = b * BAND_SIZE
-        out = out.withColumn(
-            f"band_{b}",
-            F.concat_ws(
-                "|",
-                *[F.element_at(parts, start + j + 1) for j in range(BAND_SIZE)],
+    n = F.size("items")
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.slice(F.col("items"), i + 1, n - i),
+                lambda x: F.struct(
+                    F.element_at(F.col("items"), i).alias("a"),
+                    x.alias("b"),
+                ),
             ),
         )
-        cols.append(f"band_{b}")
-    return out.select(*cols)
+    )
+    return buckets.select(F.explode(pair_arr).alias("p")).select(
+        F.col("p.a").alias("a"), F.col("p.b").alias("b")
+    )
 
 
 def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     """Near-duplicate candidate pairs: docs sharing any LSH band."""
     sigs = minhash_signatures(docs)
     n_bands = NUM_HASHES // BAND_SIZE
-    stacked = None
-    for b in range(n_bands):
-        part = sigs.select(
-            "doc_id", F.lit(b).alias("band"), F.col(f"band_{b}").alias("key")
-        )
-        stacked = part if stacked is None else stacked.unionByName(part)
-    a = stacked.alias("a")
-    b_ = stacked.alias("b")
-    pairs = (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
+    stacked = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"band_{b}") for b in range(n_bands)])
+        ).alias("band", "key"),
+    ).select("band", "key", F.col("doc_id").alias("item"))
+    return (
+        _bucket_pairs(stacked)
+        .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
         .distinct()
     )
-    return pairs
 
 
 def ngram_jaccard_pairs(
@@ -189,7 +208,7 @@ def ngram_jaccard_pairs(
 
 
 def simhash(docs: DataFrame) -> DataFrame:
-    """16-bit SimHash over token frequencies.
+    """SIMHASH_BITS-bit SimHash over token frequencies.
 
     bit b of md5(token) is extracted with integer nibble arithmetic
     (no engine-specific bit functions), summed as +1/-1 across all
@@ -197,7 +216,9 @@ def simhash(docs: DataFrame) -> DataFrame:
     arithmetic end-to-end."""
     tok = docs.select(
         "doc_id", F.explode(tokens()).alias("tok")
-    ).withColumn("h4", F.substring(F.md5("tok"), 1, 4))
+    ).withColumn(
+        "h4", F.substring(F.md5("tok"), 1, SIMHASH_BITS // 4)
+    )
     aggs = []
     for b in range(SIMHASH_BITS):
         mask = 2 ** (b % 4)
@@ -220,34 +241,34 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     bands (pigeonhole guarantees recall at hamming<=3), verified with
     xor + bit_count."""
     s = simhash(docs)
-    stacked = None
-    for band in range(4):
-        part = s.select(
-            "doc_id",
-            "simhash",
-            F.lit(band).alias("band"),
-            ((F.col("simhash") / (16**band)).cast("long") % 16).alias("key"),
-        )
-        stacked = part if stacked is None else stacked.unionByName(part)
-    a, b = stacked.alias("a"), stacked.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .distinct()
-    )
+    # Stack the band keys from ONE simhash evaluation; the bucket
+    # items carry (doc_id, simhash) structs so verification needs no
+    # join back.
+    band_mod = 2**SIMHASH_BAND_BITS
+    n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
+    stacked = s.select(
+        F.struct("doc_id", "simhash").alias("item"),
+        F.posexplode(
+            F.array(
+                *[
+                    (
+                        (F.col("simhash") / (band_mod**band)).cast("long")
+                        % band_mod
+                    )
+                    for band in range(n_bands)
+                ]
+            )
+        ).alias("band", "key"),
+    ).select("band", "key", "item")
+    pairs = _bucket_pairs(stacked).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.simhash").alias("sh_a"),
+        F.col("b.simhash").alias("sh_b"),
+    ).distinct()
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        cand.withColumn("hamming", ham.cast("int"))
+        pairs.withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )

@@ -133,3 +133,67 @@ def hyperplane_lsh_topk(emb: DataFrame, k: int = 3) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("vec_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def blas_cosine_topk(
+    emb: DataFrame, k: int = 5, round_dp: int = 4
+) -> DataFrame:
+    """Brute-force cosine top-k, the throughput path: the right side
+    is broadcast as a dense numpy matrix, each Arrow batch of the
+    left side computes a BLAS matmul block and emits its own top-k.
+
+    ~10-100x faster than the expression-fold version: the O(n·m·d)
+    inner loop runs in BLAS instead of Catalyst expression eval, and
+    only n·k rows ever materialize.
+
+    Scale: the broadcast side here is the whole table (fine to ~1e6
+    vectors); beyond that, block both sides (cross-join of row-range
+    buckets) or switch to hyperplane_lsh_topk / IVF — same dataflow.
+
+    Cosines are rounded (floor-based, numerics.rnd semantics) BEFORE
+    ranking, with a neighbor-id tiebreak, keeping the result
+    reproducible against the SQL oracle despite BLAS sum ordering.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    M = np.array([r.embedding for r in rows], dtype=np.float64)
+    norms = np.sqrt((M * M).sum(axis=1))
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast((ids, M, norms))
+    p = float(10**round_dp)
+
+    def topk(batches):
+        b_ids, b_M, b_norms = bc.value
+        for pdf in batches:
+            A = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            a_norms = np.sqrt((A * A).sum(axis=1))
+            S = A @ b_M.T
+            S /= a_norms[:, None]
+            S /= b_norms[None, :]
+            R = np.floor(S * p + 0.5) / p
+            out_vec, out_nb, out_cos, out_rank = [], [], [], []
+            for i in range(R.shape[0]):
+                mask = b_ids != a_ids[i]
+                cand_ids = b_ids[mask]
+                cand_cos = R[i][mask]
+                order = np.lexsort((cand_ids, -cand_cos))[:k]
+                out_vec.extend([a_ids[i]] * len(order))
+                out_nb.extend(cand_ids[order])
+                out_cos.extend(cand_cos[order])
+                out_rank.extend(range(1, len(order) + 1))
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.array(out_vec, dtype=np.int64),
+                    "neighbor_id": np.array(out_nb, dtype=np.int64),
+                    "cosine": np.array(out_cos, dtype=np.float64),
+                    "rank": np.array(out_rank, dtype=np.int32),
+                }
+            )
+
+    return emb.mapInPandas(
+        topk, "vec_id long, neighbor_id long, cosine double, rank int"
+    )

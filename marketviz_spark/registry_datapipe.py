@@ -270,7 +270,7 @@ def _simhash_sql() -> str:
         f"WITH {TOKS_CTE}, "
         + f"""
         tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
-        h AS (SELECT doc_id, substring(md5(tok), 1, 4) AS h4 FROM tok),
+        h AS (SELECT doc_id, substring(md5(tok), 1, {SIMHASH_BITS // 4}) AS h4 FROM tok),
         sums AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
         """,
         f"SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM sums",
@@ -289,10 +289,14 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(tables.load(spark, sf_dir, "documents"))
 
 
+from .datapipe.dedup import SIMHASH_BAND_BITS  # noqa: E402
+
+_SIMHASH_BAND_MOD = 2**SIMHASH_BAND_BITS
 _SIMHASH_BAND_STACK = " UNION ALL ".join(
     f"SELECT doc_id, simhash, {band} AS band,"
-    f" (simhash // {16 ** band}) % 16 AS key FROM s"
-    for band in range(4)
+    f" (simhash // {_SIMHASH_BAND_MOD ** band}) % {_SIMHASH_BAND_MOD}"
+    " AS key FROM s"
+    for band in range(SIMHASH_BITS // SIMHASH_BAND_BITS)
 )
 
 
@@ -424,3 +428,30 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mm_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = to_media(tables.load(spark, sf_dir, "documents"))
     return payload_features(media)
+
+
+@register(
+    "emb_cosine_topk_blas",
+    f"WITH {_VEC_CTE}"
+    + """
+    , pairs AS (
+        SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+               floor(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm)
+                     * 10000.0 + 0.5) / 10000.0 AS cosine
+        FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id
+        ) AS rank
+        FROM pairs
+    )
+    WHERE rank <= 5
+    """,
+    survey="BLAS-blocked cosine top-k (throughput path, datapipe)",
+)
+def q_cosine_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .datapipe.similarity import blas_cosine_topk
+
+    return blas_cosine_topk(tables.load(spark, sf_dir, "embeddings"), k=5)
