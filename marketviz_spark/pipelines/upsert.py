@@ -1,0 +1,79 @@
+"""S5-S7: table lifecycle + INSERT OR REPLACE semantics on parquet.
+
+The reference upserts row-at-a-time into SQLite PK tables
+(database_manager.py:34-44). Parquet has no PK, so:
+
+- `upsert_by_date_partition` — the scale path: storage partitioned
+  by date; rewriting a date's partition IS the upsert because the
+  reference always recomputes whole dates (app.py:22-23). Dynamic
+  partition overwrite touches only incoming dates; the rest of 100
+  TB is never read or written.
+- `upsert_merge` — the general path for non-partition keys:
+  anti-join old vs new key set, union, rewrite (Delta MERGE
+  semantics without Delta).
+
+Both are idempotent: re-running the same batch yields byte-identical
+table state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.joins import upsert as upsert_df
+
+
+def table_exists(spark: SparkSession, path: str) -> bool:
+    """S12-equivalent existence check for path-backed tables (the
+    reference introspects sqlite_master, equal_weight_index.py:26-31;
+    for catalog tables use spark.catalog.tableExists)."""
+    import os
+
+    return os.path.isdir(path) and any(
+        f.endswith(".parquet") or f == "_SUCCESS"
+        for f in os.listdir(path)
+    )
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_col: str = "date"
+) -> None:
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+
+
+def upsert_by_date_partition(
+    spark: SparkSession,
+    new: DataFrame,
+    path: str,
+    partition_col: str = "date",
+) -> None:
+    """Dynamic partition overwrite: only partitions present in `new`
+    are replaced."""
+    if not table_exists(spark, path):
+        write_partitioned(new, path, partition_col)
+        return
+    (
+        new.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+
+
+def upsert_merge(
+    spark: SparkSession,
+    new: DataFrame,
+    path: str,
+    keys: list[str],
+) -> None:
+    """Anti-join + union rewrite for keyed upserts on unpartitioned
+    storage. Reads the old table, so prefer the partition path at
+    scale."""
+    if not table_exists(spark, path):
+        new.write.mode("overwrite").parquet(path)
+        return
+    existing = spark.read.parquet(path)
+    merged = upsert_df(existing, new, keys)
+    # Materialize before overwriting the path we read from.
+    staged = merged.localCheckpoint(eager=True)
+    staged.write.mode("overwrite").parquet(path)

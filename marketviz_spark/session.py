@@ -52,6 +52,12 @@ def get_spark(
         # nanosecond timestamp type, so read as long and convert in
         # tables.load_events (truncation to micros, matching DuckDB).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Partition values must round-trip as written (ISO strings at
+        # the API edge, SURVEY §1.1) — not be re-inferred as DATE.
+        .config(
+            "spark.sql.sources.partitionColumnTypeInference.enabled",
+            "false",
+        )
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
     )

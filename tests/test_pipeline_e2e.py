@@ -1,0 +1,70 @@
+"""End-to-end pipeline test: synthetic source -> partitioned parquet
+tables -> index -> analytics, plus upsert idempotence on disk."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from marketviz_spark.app import run_pipeline
+from marketviz_spark.pipelines.ingest import (
+    SyntheticHistorySource,
+    UniverseSource,
+)
+from marketviz_spark.pipelines.upsert import upsert_by_date_partition
+
+
+def test_pipeline_end_to_end(spark):
+    universe = UniverseSource(["AAA", "BB/B", "CCC", "DDD", "BAD!"])
+    with tempfile.TemporaryDirectory() as d:
+        out = run_pipeline(
+            spark,
+            universe,
+            SyntheticHistorySource(days=4),
+            data_dir=os.path.join(d, "data"),
+            k=3,
+            export_dir=os.path.join(d, "exports"),
+        )
+        # '/' normalized to '-' (S1); failed ticker routed to errors
+        tickers = {
+            r["ticker"]
+            for r in out["stocks"].select("ticker").distinct().collect()
+        }
+        assert "BB-B" in tickers and "BAD!" not in tickers
+        assert out["errors"].count() == 1
+        # one index row per day, composition has <= k entries
+        idx = out["index_data"].collect()
+        assert len(idx) == 4
+        assert all(
+            len(r["composition"].split(",")) <= 3 for r in idx
+        )
+        # analytics columns materialize
+        a = out["analytics"].orderBy("date").collect()
+        assert a[0]["daily_return"] is None
+        assert a[1]["daily_return"] is not None
+        # exports produced something
+        assert os.listdir(os.path.join(d, "exports"))
+
+
+def test_partition_upsert_idempotent_and_partial(spark):
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t")
+        base = spark.createDataFrame(
+            [("A", "2024-01-01", 1.0), ("A", "2024-01-02", 2.0)],
+            "ticker string, date string, v double",
+        )
+        upsert_by_date_partition(spark, base, path)
+        # overwrite only day 2; day 1 untouched
+        patch = spark.createDataFrame(
+            [("A", "2024-01-02", 20.0)],
+            "ticker string, date string, v double",
+        )
+        upsert_by_date_partition(spark, patch, path)
+        upsert_by_date_partition(spark, patch, path)  # idempotent
+        got = {
+            r["date"]: r["v"]
+            for r in spark.read.parquet(path).collect()
+        }
+        assert got == {"2024-01-01": 1.0, "2024-01-02": 20.0}
