@@ -846,3 +846,222 @@ def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Training-data-pipeline operators register themselves on import.
 from . import registry_datapipe  # noqa: E402, F401
+
+
+# ----------------------------------------------------------------------
+# OLAP surface beyond the reference: distinct/percentile aggregates,
+# cube/rollup, semi/anti joins, pivot, frame windows, range join.
+# These make the engine a complete destination for the reference's
+# users (SURVEY §2.11 lists them as absent in the reference).
+# ----------------------------------------------------------------------
+
+
+@register(
+    "agg_distinct_percentile",
+    """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS median_qty,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    survey="distinct aggregation + exact percentile (engine extension)",
+)
+def q_agg_distinct_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+@register(
+    "cube_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    survey="grouping sets / cube (engine extension)",
+)
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "rollup_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+    survey="rollup (engine extension)",
+)
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tables.load(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@register(
+    "semi_anti_join",
+    """
+    SELECT c_custkey, 'has_urgent_order' AS tag FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderpriority = '1-URGENT')
+    UNION ALL
+    SELECT c_custkey, 'no_urgent_order' AS tag FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderpriority = '1-URGENT')
+    """,
+    survey="left-semi / left-anti joins (engine extension)",
+)
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tables.load(spark, sf_dir, "customer")
+    o = tables.load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    cond = c["c_custkey"] == o["o_custkey"]
+    semi = c.join(o, cond, "left_semi").select(
+        "c_custkey", F.lit("has_urgent_order").alias("tag")
+    )
+    anti = c.join(o, cond, "left_anti").select(
+        "c_custkey", F.lit("no_urgent_order").alias("tag")
+    )
+    return semi.unionByName(anti)
+
+
+@register(
+    "pivot_order_status",
+    """
+    SELECT o_orderpriority,
+           CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END)
+                AS BIGINT) AS "O",
+           CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END)
+                AS BIGINT) AS "F",
+           CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END)
+                AS BIGINT) AS "P"
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    survey="pivot (engine extension)",
+)
+def q_pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tables.load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .na.fill(0, ["O", "F", "P"])
+    )
+
+
+@register(
+    "w_moving_stats",
+    oracle_cte(index=True)
+    + """
+    SELECT date, index_value,
+           CAST(sum(iv_cents) OVER w AS DOUBLE)
+               / (100.0 * count(*) OVER w) AS mov_avg_7,
+           min(index_value) OVER w AS mov_min_7,
+           max(index_value) OVER w AS mov_max_7
+    FROM (
+        SELECT date, index_value,
+               CAST(floor(index_value * 100.0 + 0.5) AS BIGINT)
+                   AS iv_cents
+        FROM index_data
+    )
+    WINDOW w AS (ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    survey="frame-bounded moving window (engine extension)",
+)
+def q_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    idx = tables.index_data(spark, sf_dir)
+    # exact integer cents -> the moving sum is order-independent
+    cents = F.floor(F.col("index_value") * 100.0 + 0.5).cast("long")
+    w = Window.orderBy("date").rowsBetween(-6, Window.currentRow)
+    return idx.select(
+        "date",
+        "index_value",
+        (
+            F.sum(cents).over(w).cast("double")
+            / (100.0 * F.count("*").over(w))
+        ).alias("mov_avg_7"),
+        F.min("index_value").over(w).alias("mov_min_7"),
+        F.max("index_value").over(w).alias("mov_max_7"),
+    )
+
+
+@register(
+    "events_range_join",
+    """
+    WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS us FROM events)
+    SELECT a.event_id,
+           CAST(count(b.event_id) AS BIGINT) AS n_clicks_5m_before
+    FROM (SELECT * FROM e WHERE event_type = 'error') a
+    LEFT JOIN (SELECT * FROM e WHERE event_type = 'click') b
+      ON b.us >= a.us - 300000000 AND b.us < a.us
+    GROUP BY a.event_id
+    """,
+    survey="range/interval join via bucketed equi-join (engine extension)",
+)
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = tables.load_events(spark, sf_dir).select(
+        "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    gap = 300_000_000  # 5 minutes in micros
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("event_id"), F.col("us").alias("a_us")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("b_id"), F.col("us").alias("b_us")
+    )
+    # Bucketize to 5-min cells: a click within (a-5m, a) lives in the
+    # error's bucket or the one before — equi-join on bucket instead
+    # of a full theta join (the O(n·m) plan a naive range join gets).
+    errors_b = errors.withColumn(
+        "bucket", F.explode(
+            F.array(
+                (F.col("a_us") / gap).cast("long"),
+                (F.col("a_us") / gap).cast("long") - 1,
+            )
+        )
+    )
+    clicks_b = clicks.withColumn(
+        "bucket", (F.col("b_us") / gap).cast("long")
+    )
+    # Filter inside the aggregate, not on rows: dropping out-of-range
+    # rows before the groupBy would lose errors whose candidate
+    # clicks all miss the range (left-join row count must not gate
+    # group existence).
+    in_range = (F.col("b_us") >= F.col("a_us") - gap) & (
+        F.col("b_us") < F.col("a_us")
+    )
+    joined = errors_b.join(clicks_b, "bucket", "left")
+    return joined.groupBy("event_id").agg(
+        F.count(F.when(in_range, 1)).alias("n_clicks_5m_before")
+    )

@@ -64,3 +64,31 @@ def test_watermark_drops_late_rows(spark, events_dir):
         QUERIES["events_tumbling_1h"].fn(spark, SF_SMALL).count()
     )
     assert appended <= complete
+
+
+def test_stateful_running_totals_equals_batch(spark, events_dir):
+    """Custom stateful operator: after a bounded replay, the LAST
+    emitted row per user equals the batch aggregate."""
+    from pyspark.sql import functions as F
+
+    from marketviz_spark.streaming.stateful import running_user_totals
+    from marketviz_spark import tables
+
+    stream = read_events_stream(spark, events_dir)
+    run_to_memory(
+        running_user_totals(stream), "t_stateful", "update"
+    )
+    # update mode re-emits per batch; with one input file there is
+    # exactly one batch -> one row per user
+    got = {
+        r["user_id"]: (r["n_events"], round(r["value_sum"], 6))
+        for r in spark.sql("SELECT * FROM t_stateful").collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], round(r["s"], 6))
+        for r in tables.load_events(spark, SF_SMALL)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want
