@@ -44,6 +44,11 @@ BENCH_QUERIES = [
     "emb_lsh_topk",
     "events_tumbling_1h",
     "mm_payload_features",
+    # OLAP extensions
+    "q3_shipping_priority",
+    "cube_revenue",
+    "agg_distinct_percentile",
+    "events_range_join",
 ]
 
 

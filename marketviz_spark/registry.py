@@ -1065,3 +1065,57 @@ def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("event_id").agg(
         F.count(F.when(in_range, 1)).alias("n_clicks_5m_before")
     )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT o_orderkey,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+           o_orderpriority,
+           CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                         AS DECIMAL(28,10))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    survey="multi-join + agg + deterministic top-n (bench anchor)",
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tables.load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = tables.load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1997-06-01"
+    )
+    li = tables.load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1997-06-01"
+    )
+    joined = (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+    )
+    return (
+        joined.groupBy(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).cast(
+                    "decimal(28,10)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
