@@ -48,9 +48,28 @@ class QueryDef:
 QUERIES: dict[str, QueryDef] = {}
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Make any caller-provided SparkSession safe for these queries.
+
+    The driver constructs its own session, so the two configs the
+    engine depends on are (idempotently) applied at query time:
+    UTC timestamps (oracle comparability) and nanos-as-long parquet
+    reads (the events table stores TIMESTAMP(NANOS), which vanilla
+    Spark refuses to read). Both are runtime-settable SQL confs.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def register(name: str, oracle: str | None, survey: str):
     def deco(fn):
-        QUERIES[name] = QueryDef(fn, oracle, survey)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_session_confs(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = QueryDef(wrapped, oracle, survey)
         return fn
 
     return deco
@@ -1118,4 +1137,89 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
+    )
+
+
+@register(
+    "p3_point_lookup",
+    oracle_cte(index=True)
+    + """
+    SELECT date, index_value, composition
+    FROM index_data WHERE date = '1997-03-17'
+    """,
+    survey="P3 (PK point lookup, 0-or-1 row)",
+)
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        tables.index_data(spark, sf_dir)
+        .filter(F.col("date") == "1997-03-17")
+        .limit(1)
+    )
+
+
+@register(
+    "having_big_orders",
+    """
+    SELECT l_orderkey,
+           CAST(sum(l_quantity) AS DOUBLE) AS total_qty,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING sum(l_quantity) > 150
+    """,
+    survey="groupBy + HAVING post-aggregation filter (engine extension)",
+)
+def q_having_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum("l_quantity").alias("total_qty"),
+            F.count("*").alias("n_lines"),
+        )
+        .filter(F.col("total_qty") > 150)
+    )
+
+
+@register(
+    "unpivot_prices",
+    """
+    SELECT p_partkey, 'retail' AS price_kind, p_retailprice AS price
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'size_x100' AS price_kind,
+           CAST(p_size AS DOUBLE) * 100.0 AS price
+    FROM part
+    """,
+    survey="unpivot / melt wide-to-long (engine extension)",
+)
+def q_unpivot_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = tables.load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").alias("retail"),
+        (F.col("p_size").cast("double") * 100.0).alias("size_x100"),
+    )
+    return p.unpivot(
+        "p_partkey", ["retail", "size_x100"], "price_kind", "price"
+    )
+
+
+@register(
+    "agg_approx_sketches",
+    None,  # sketch values are engine-specific: rows-only check
+    survey="approximate aggregates (HLL distinct, approx quantiles)",
+)
+def q_agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) and percentile_approx
+    (KLL-style) — the sketches a 100 TB profile pass uses instead of
+    exact distinct/sort. Sketch internals differ per engine, so this
+    is a rows-only contract entry; the exact twins are oracle-checked
+    in agg_distinct_percentile."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias(
+            "approx_median_price"
+        ),
     )

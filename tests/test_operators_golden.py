@@ -110,3 +110,38 @@ def test_index_divides_by_constant_k(spark):
     row = compute_index(stocks, k=10).collect()[0]
     assert row["index_value"] == (10.0 + 30.0) / 10
     assert row["composition"] == "T2,T1"  # desc market cap
+
+
+def test_salted_agg_matches_plain(spark):
+    from marketviz_spark.operators.skew import salted_agg_sum
+
+    df = spark.createDataFrame(
+        [("hot", float(i)) for i in range(100)]
+        + [("cold", 1.0), ("cold", 2.0)],
+        "k string, v double",
+    )
+    got = {
+        r["k"]: r["sum_v"]
+        for r in salted_agg_sum(df, "k", "v", n_salts=8).collect()
+    }
+    assert got == {"hot": sum(map(float, range(100))), "cold": 3.0}
+
+
+def test_salted_join_matches_plain(spark):
+    from marketviz_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [("a", i) for i in range(50)] + [("b", 99)], "k string, v long"
+    )
+    small = spark.createDataFrame(
+        [("a", "A"), ("b", "B")], "k string, name string"
+    )
+    got = sorted(
+        (r["k"], r["v"], r["name"])
+        for r in salted_join(big, small, "k", n_salts=4).collect()
+    )
+    want = sorted(
+        (r["k"], r["v"], r["name"])
+        for r in big.join(small, "k").collect()
+    )
+    assert got == want
