@@ -92,3 +92,30 @@ def test_stateful_running_totals_equals_batch(spark, events_dir):
         .collect()
     }
     assert got == want
+
+
+def test_sliding_stream_equals_batch(spark, events_dir):
+    from pyspark.sql import functions as F
+
+    from marketviz_spark.streaming.windows import read_events_stream
+
+    stream = read_events_stream(spark, events_dir)
+    slid = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n_events",
+        )
+    )
+    run_to_memory(slid, "t_sliding", "complete")
+    got = _rows(spark.sql("SELECT * FROM t_sliding"))
+    want = _rows(
+        QUERIES["events_sliding_1h_30m"]
+        .fn(spark, SF_SMALL)
+        .select("window_start", "n_events")
+    )
+    assert got == want
