@@ -157,9 +157,10 @@ def blas_cosine_topk(
     import numpy as np
     import pandas as pd
 
-    rows = emb.select("vec_id", "embedding").collect()
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    M = np.array([r.embedding for r in rows], dtype=np.float64)
+    # Arrow path to the driver (toPandas), not row-wise py4j collect.
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
     norms = np.sqrt((M * M).sum(axis=1))
     spark = emb.sparkSession
     bc = spark.sparkContext.broadcast((ids, M, norms))
