@@ -198,3 +198,68 @@ def blas_cosine_topk(
     return emb.mapInPandas(
         topk, "vec_id long, neighbor_id long, cosine double, rank int"
     )
+
+
+N_IVF_CELLS = 16
+
+
+def ivf_assign(emb: DataFrame) -> DataFrame:
+    """IVF coarse quantization with deterministic centroids: the
+    first N_IVF_CELLS vectors by vec_id act as centroids (a stand-in
+    for trained k-means centroids — the assignment/search dataflow is
+    identical). Each vector is assigned to the centroid with the
+    highest rounded cosine (vec-id tiebreak)."""
+    n = with_norm(emb).select("vec_id", "_v", "_norm")
+    centroids = n.orderBy("vec_id").limit(N_IVF_CELLS).select(
+        F.col("vec_id").alias("cell"),
+        F.col("_v").alias("c_v"),
+        F.col("_norm").alias("c_norm"),
+    )
+    scored = n.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "_v",
+        "_norm",
+        "cell",
+        rnd(
+            _dot(F.col("_v"), F.col("c_v"))
+            / (F.col("_norm") * F.col("c_norm")),
+            6,
+        ).alias("c_cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("c_cos").desc(), F.col("cell").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "_v", "_norm", "cell")
+    )
+
+
+def ivf_topk(emb: DataFrame, k: int = 3) -> DataFrame:
+    """IVF search: probe only the query's own cell (nprobe=1).
+    Candidates share a cell -> equi-join on cell, like the LSH path
+    but with data-adaptive partitioning."""
+    assigned = ivf_assign(emb)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cell") == F.col("b.cell"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        rnd(
+            _dot(F.col("a._v"), F.col("b._v"))
+            / (F.col("a._norm") * F.col("b._norm")),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1249,3 +1249,123 @@ def q_agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_median_price"
         ),
     )
+
+
+@register(
+    "w_ticker_trend_slope",
+    oracle_cte()
+    + """
+    , seq AS (
+        SELECT ticker, share_price,
+               CAST(row_number() OVER (
+                   PARTITION BY ticker ORDER BY date) - 1 AS DOUBLE) AS x
+        FROM stocks
+    ), stats AS (
+        SELECT ticker,
+               avg(x) AS xbar,
+               CAST(sum(CAST(share_price AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*) AS ybar,
+               CAST(count(*) AS BIGINT) AS n_days
+        FROM seq GROUP BY ticker
+    )
+    SELECT s.ticker, st.n_days,
+           floor(sum((s.x - st.xbar) * (s.share_price - st.ybar))
+                 / sum((s.x - st.xbar) * (s.x - st.xbar))
+                 * 10000.0 + 0.5) / 10000.0 AS trend_slope
+    FROM seq s JOIN stats st ON s.ticker = st.ticker
+    WHERE st.n_days > 1
+    GROUP BY s.ticker, st.n_days
+    """,
+    survey="grouped-map applyInPandas custom operator (per-ticker OLS)",
+)
+def q_ticker_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ticker OLS trend slope via applyInPandas — the grouped-map
+    pandas shape (each ticker's history as one pandas frame). The
+    two-pass formula matches the SQL oracle; the result is
+    floor-rounded to 4dp before comparison (sum-order noise)."""
+    import numpy as np
+    import pandas as pd
+
+    def slope(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("date")
+        n = len(pdf)
+        if n <= 1:
+            return pd.DataFrame(
+                columns=["ticker", "n_days", "trend_slope"]
+            )
+        x = np.arange(n, dtype=np.float64)
+        y = pdf["share_price"].to_numpy(dtype=np.float64)
+        # exact decimal-mean for y to match the oracle's DECIMAL sum
+        ybar = float(
+            sum(__import__("decimal").Decimal(f"{v:.2f}") for v in y)
+        ) / n
+        xbar = x.mean()
+        num = float(((x - xbar) * (y - ybar)).sum())
+        den = float(((x - xbar) * (x - xbar)).sum())
+        s = np.floor(num / den * 10000.0 + 0.5) / 10000.0
+        return pd.DataFrame(
+            {
+                "ticker": [pdf["ticker"].iloc[0]],
+                "n_days": [n],
+                "trend_slope": [s],
+            }
+        )
+
+    stocks = tables.stocks(spark, sf_dir)
+    return stocks.groupBy("ticker").applyInPandas(
+        slope, "ticker string, n_days long, trend_slope double"
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                         AS DECIMAL(28,10))) AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    survey="6-way join, TPC-H Q5 shape (bench anchor)",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = tables.load(spark, sf_dir, "customer")
+    o = tables.load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = tables.load(spark, sf_dir, "lineitem")
+    s = tables.load(spark, sf_dir, "supplier")
+    n = tables.load(spark, sf_dir, "nation")
+    r = tables.load(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    joined = (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .join(
+            s,
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(n, s["s_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).cast(
+                "decimal(28,10)"
+            )
+        )
+        .cast("double")
+        .alias("revenue")
+    )

@@ -455,3 +455,54 @@ def q_cosine_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .datapipe.similarity import blas_cosine_topk
 
     return blas_cosine_topk(tables.load(spark, sf_dir, "embeddings"), k=5)
+
+
+_IVF_CTE = f"""
+, c AS (
+    SELECT vec_id AS cell, vec AS c_v, nrm AS c_nrm
+    FROM v ORDER BY vec_id LIMIT 16
+), assigned AS (
+    SELECT vec_id, vec, nrm, cell
+    FROM (
+        SELECT v.vec_id, v.vec, v.nrm, c.cell,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY floor(list_dot_product(v.vec, c.c_v)
+                                  / (v.nrm * c.c_nrm)
+                                  * 1000000.0 + 0.5) / 1000000.0 DESC,
+                            c.cell
+               ) AS rn
+        FROM v, c
+    )
+    WHERE rn = 1
+)
+"""
+
+
+@register(
+    "emb_ivf_topk",
+    f"WITH {_VEC_CTE}"
+    + _IVF_CTE
+    + """
+    , pairs AS (
+        SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+               floor(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm)
+                     * 1000000.0 + 0.5) / 1000000.0 AS cosine
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id
+        ) AS rank
+        FROM pairs
+    )
+    WHERE rank <= 3
+    """,
+    survey="IVF coarse-quantized ANN (scale path, datapipe)",
+)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .datapipe.similarity import ivf_topk
+
+    return ivf_topk(tables.load(spark, sf_dir, "embeddings"), k=3)
