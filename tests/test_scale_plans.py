@@ -1,0 +1,96 @@
+"""Physical-plan regression tests: the properties that make these
+queries viable at 100 TB, asserted on the actual executed plans so a
+refactor can't silently lose them (ARCHITECTURE.md documents why
+each matters)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+
+from marketviz_spark.registry import QUERIES
+from tests.conftest import SF_SMALL
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushdown_and_pruning(spark):
+    plan = _plan(QUERIES["q1_pricing_summary"].fn(spark, SF_SMALL))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual" in plan
+    # column pruning: never reads l_orderkey/l_suppkey/l_linenumber
+    scan = next(l for l in plan.splitlines() if "Scan parquet" in l)
+    assert "l_orderkey" not in scan and "l_linenumber" not in scan
+
+
+def test_index_topk_below_shuffle(spark):
+    """WindowGroupLimit must pre-filter top-K map-side (Partial) —
+    the property that keeps the flagship's shuffle payload at K rows
+    per date instead of the whole fact table."""
+    plan = _plan(QUERIES["index_daily"].fn(spark, SF_SMALL))
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange") <= 2  # derive-agg + date window/agg
+
+
+def test_j1_broadcasts_composition(spark):
+    plan = _plan(QUERIES["j1_composition_market_cap"].fn(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_partition_pruning_on_date_partitioned_table(spark):
+    from marketviz_spark import tables
+    from marketviz_spark.pipelines.upsert import write_partitioned
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "stocks_part")
+        write_partitioned(
+            tables.stocks(spark, SF_SMALL).filter(
+                "date >= '1995-01-01' AND date <= '1995-01-10'"
+            ),
+            path,
+        )
+        df = spark.read.parquet(path).filter("date = '1995-01-03'")
+        plan = _plan(df)
+        # the date predicate must become a partition filter, not a
+        # post-scan row filter
+        assert "PartitionFilters" in plan
+        assert "date = 1995-01-03" in plan.replace("'", "") or (
+            "1995-01-03" in plan
+        )
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """bucketBy co-location: joining two tables bucketed on the same
+    key must not exchange either side — the 100 TB co-located join
+    story (SURVEY §4.2 / pyspark guide bucketing)."""
+    from marketviz_spark import tables
+
+    s = tables.stocks(spark, SF_SMALL).filter("date <= '1995-03-31'")
+    for name in ("b_left", "b_right"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            s.write.mode("overwrite")
+            .bucketBy(8, "ticker")
+            .sortBy("ticker")
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    # force the sort-merge path: at test scale the planner would
+    # broadcast (and skip bucketed scans entirely)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        left = spark.table("b_left")
+        right = spark.table("b_right").select(
+            "ticker", "date", "market_cap"
+        )
+        joined = left.join(right, ["ticker"])
+        plan = _plan(joined)
+        # bucket co-location: a sort-merge join with NO shuffle
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
