@@ -68,3 +68,31 @@ def test_partition_upsert_idempotent_and_partial(spark):
             for r in spark.read.parquet(path).collect()
         }
         assert got == {"2024-01-01": 1.0, "2024-01-02": 20.0}
+
+
+def test_upsert_merge_unpartitioned(spark):
+    import tempfile
+
+    from marketviz_spark.pipelines.upsert import upsert_merge
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t")
+        base = spark.createDataFrame(
+            [("A", "d1", 1.0), ("B", "d1", 2.0)],
+            "ticker string, date string, v double",
+        )
+        upsert_merge(spark, base, path, ["ticker", "date"])
+        patch = spark.createDataFrame(
+            [("B", "d1", 20.0), ("C", "d1", 3.0)],
+            "ticker string, date string, v double",
+        )
+        upsert_merge(spark, patch, path, ["ticker", "date"])
+        got = {
+            (r["ticker"], r["date"]): r["v"]
+            for r in spark.read.parquet(path).collect()
+        }
+        assert got == {
+            ("A", "d1"): 1.0,
+            ("B", "d1"): 20.0,
+            ("C", "d1"): 3.0,
+        }

@@ -68,9 +68,17 @@ def test_bucketed_join_has_no_shuffle(spark):
     story (SURVEY §4.2 / pyspark guide bucketing)."""
     from marketviz_spark import tables
 
+    import shutil
+
     s = tables.stocks(spark, SF_SMALL).filter("date <= '1995-03-31'")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
     for name in ("b_left", "b_right"):
+        # DROP only clears the in-memory catalog; the location from a
+        # PREVIOUS session lingers on disk and blocks saveAsTable.
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
         (
             s.write.mode("overwrite")
             .bucketBy(8, "ticker")
