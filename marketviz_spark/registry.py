@@ -1369,3 +1369,28 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue")
     )
+
+
+@register(
+    "json_props_struct",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90
+    """,
+    survey="from_json structured parsing (engine extension)",
+)
+def q_json_props_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-full JSON parsing with from_json (vs the path-extract
+    get_json_object in json_props)."""
+    from pyspark.sql import types as T
+
+    ev = tables.load_events(spark, sf_dir)
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    parsed = ev.select(
+        "event_id", F.from_json("props", schema).alias("p")
+    )
+    return parsed.select("event_id", F.col("p.k").alias("k")).filter(
+        F.col("k") >= 90
+    )

@@ -96,3 +96,28 @@ def test_upsert_merge_unpartitioned(spark):
             ("B", "d1"): 20.0,
             ("C", "d1"): 3.0,
         }
+
+
+def test_dashboard_data_facade(spark):
+    from marketviz_spark import tables
+    from marketviz_spark.pipelines.dashboard_data import DashboardData
+
+    sf = "/root/testdata/sf0.001"
+    dd = DashboardData(
+        tables.index_data(spark, sf), tables.stocks(spark, sf)
+    )
+    try:
+        stats = dd.headline_stats().collect()
+        assert len(stats) == 1 and stats[0]["current_value"] > 0
+        m = dd.metrics().collect()[0]
+        assert m["constituent_count"] >= 1
+        pie = dd.market_cap_pie(top_n=2).collect()
+        # with k=10 constituents and top_n=2, the rest folds to OTHERS
+        assert any(r["name"] == "OTHERS" for r in pie) or len(pie) <= 2
+        assert all(r["market_cap_billions"] is not None for r in pie)
+        comp = dd.composition_at("1997-03-18").collect()[0]
+        assert comp["matched_date"] is not None
+        assert dd.change_dates().count() > 0
+        assert dd.summary_30().count() == 30
+    finally:
+        dd.unpersist()
