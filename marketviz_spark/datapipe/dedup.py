@@ -272,3 +272,60 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def dedup_clusters(docs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over the LSH near-dup graph: every doc
+    gets the minimum doc_id of its component as cluster_id (isolated
+    docs are their own cluster). The dedup end-game: keep one
+    representative per cluster.
+
+    Iterative min-label propagation — the canonical Spark iterative
+    algorithm shape: a driver loop of joins with localCheckpoint per
+    round to truncate lineage (without it the plan doubles every
+    iteration), converging in O(component diameter) rounds, each
+    round one shuffle. Near-dup components are tiny by construction
+    (LSH buckets are capped), so convergence is fast at any scale.
+    """
+    pairs = lsh_candidate_pairs(docs)
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).localCheckpoint(eager=True)
+    labels = docs.select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(
+                labels, edges["doc_b"] == labels["doc_id"], "inner"
+            )
+            .groupBy("doc_a")
+            .agg(F.min("cluster_id").alias("n_min"))
+        )
+        updated = (
+            labels.join(
+                neighbor_min,
+                labels["doc_id"] == neighbor_min["doc_a"],
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("n_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels

@@ -506,3 +506,32 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .datapipe.similarity import ivf_topk
 
     return ivf_topk(tables.load(spark, sf_dir, "embeddings"), k=3)
+
+
+@register(
+    "dedup_clusters",
+    _MINHASH_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f""", stacked AS ({_BAND_STACK}),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM stacked a JOIN stacked b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ), edges AS (
+        SELECT doc_a, doc_b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ), reach AS (
+        SELECT doc_id AS doc, doc_id AS r FROM documents
+        UNION
+        SELECT e.doc_a AS doc, reach.r
+        FROM edges e JOIN reach ON e.doc_b = reach.doc
+    )
+    SELECT doc AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY doc
+    """,
+    survey="iterative connected components -> dedup clusters (datapipe)",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .datapipe.dedup import dedup_clusters
+
+    return dedup_clusters(tables.load(spark, sf_dir, "documents"))
