@@ -1394,3 +1394,72 @@ def q_json_props_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select("event_id", F.col("p.k").alias("k")).filter(
         F.col("k") >= 90
     )
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice * l_discount
+                         AS DECIMAL(28,10))) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+    survey="pure filter+agg with full pushdown, TPC-H Q6 shape",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                    "decimal(28,10)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "w_rank_family",
+    oracle_cte()
+    + """
+    SELECT ticker, market_cap,
+           CAST(rank() OVER w AS INT) AS cap_rank,
+           CAST(dense_rank() OVER w AS INT) AS cap_dense_rank,
+           CAST(ntile(4) OVER w AS INT) AS cap_quartile,
+           percent_rank() OVER w AS cap_pct_rank,
+           cume_dist() OVER w AS cap_cume_dist
+    FROM stocks
+    WHERE date = '1997-03-17'
+    WINDOW w AS (ORDER BY market_cap DESC, ticker)
+    """,
+    survey="rank/dense_rank/ntile/percent_rank/cume_dist family",
+)
+def q_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    s = tables.stocks(spark, sf_dir).filter(F.col("date") == "1997-03-17")
+    w = Window.orderBy(F.col("market_cap").desc(), F.col("ticker"))
+    return s.select(
+        "ticker",
+        "market_cap",
+        F.rank().over(w).alias("cap_rank"),
+        F.dense_rank().over(w).alias("cap_dense_rank"),
+        F.ntile(4).over(w).alias("cap_quartile"),
+        F.percent_rank().over(w).alias("cap_pct_rank"),
+        F.cume_dist().over(w).alias("cap_cume_dist"),
+    )

@@ -535,3 +535,45 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .datapipe.dedup import dedup_clusters
 
     return dedup_clusters(tables.load(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_levenshtein",
+    _MINHASH_CTES
+    + f""", stacked AS ({_BAND_STACK}),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM stacked a JOIN stacked b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(levenshtein(da.text, db.text) AS INT) AS edit_distance,
+           CAST(greatest(length(da.text), length(db.text)) AS BIGINT)
+               AS max_len
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    """,
+    survey="edit-distance verification of near-dup candidates (datapipe)",
+)
+def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs)
+    da = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")
+    )
+    db = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")
+    )
+    return (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("text_a", "text_b").alias("edit_distance"),
+            F.greatest(F.length("text_a"), F.length("text_b"))
+            .cast("long")
+            .alias("max_len"),
+        )
+    )

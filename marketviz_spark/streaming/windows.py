@@ -104,3 +104,31 @@ def run_to_memory(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def stream_to_partitioned_table(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    partition_col: str = "window_start",
+):
+    """Exactly-once streaming sink via foreachBatch + idempotent
+    partition overwrite: each micro-batch rewrites only the
+    partitions it touches, so a replayed batch (failure/restart)
+    produces identical table state — the Delta-less exactly-once
+    pattern (checkpoint tracks offsets, overwrite dedups output).
+    """
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from ..pipelines.upsert import upsert_by_date_partition
+
+        upsert_by_date_partition(
+            batch_df.sparkSession, batch_df, path, partition_col
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )

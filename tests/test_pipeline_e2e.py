@@ -121,3 +121,48 @@ def test_dashboard_data_facade(spark):
         assert dd.summary_30().count() == 30
     finally:
         dd.unpersist()
+
+
+def test_multi_format_round_trip(spark):
+    import tempfile
+
+    from marketviz_spark import schemas, tables
+    from marketviz_spark.sources import read_table, write_table
+
+    src = tables.stocks(spark, "/root/testdata/sf0.001").filter(
+        "date <= '1995-01-31'"
+    )
+    cols = sorted(src.columns)
+    want = sorted(map(str, src.select(*cols).collect()))
+    schema = schemas.STOCKS
+    with tempfile.TemporaryDirectory() as d:
+        for fmt in ("parquet", "orc", "json", "csv"):
+            path = os.path.join(d, fmt)
+            write_table(src, path, fmt)
+            got = read_table(spark, path, schema, fmt).select(*cols)
+            # csv/json round floats through text: row-count only
+            if fmt in ("csv", "json"):
+                assert got.count() == src.count(), fmt
+            else:
+                assert sorted(map(str, got.collect())) == want, fmt
+
+
+def test_jdbc_contract_shape(spark):
+    """No JDBC driver in this environment: the call must fail at
+    CONNECTION time (driver class), not in our option plumbing."""
+    import pytest
+
+    from marketviz_spark.sources import read_jdbc
+
+    with pytest.raises(Exception) as e:
+        read_jdbc(
+            spark,
+            "jdbc:postgresql://localhost:5432/x",
+            "t",
+            partition_column="id",
+            lower_bound=0,
+            upper_bound=100,
+        ).count()
+    assert "driver" in str(e.value).lower() or "No suitable" in str(
+        e.value
+    )

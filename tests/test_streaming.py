@@ -119,3 +119,34 @@ def test_sliding_stream_equals_batch(spark, events_dir):
         .select("window_start", "n_events")
     )
     assert got == want
+
+
+def test_foreachbatch_partitioned_sink(spark, events_dir):
+    """foreachBatch + partition overwrite: the streamed tumbling
+    aggregate lands in a parquet table equal to the batch result."""
+    import tempfile
+
+    from marketviz_spark.streaming.windows import (
+        stream_to_partitioned_table,
+        tumbling_counts,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        stream = read_events_stream(spark, events_dir)
+        agg = tumbling_counts(stream)
+        q = stream_to_partitioned_table(
+            agg,
+            os.path.join(d, "table"),
+            os.path.join(d, "ckpt"),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = _rows(
+            spark.read.parquet(os.path.join(d, "table")).select(
+                "window_start", "event_type", "n_events", "sum_value"
+            )
+        )
+        want = _rows(QUERIES["events_tumbling_1h"].fn(spark, SF_SMALL))
+        assert got == want
