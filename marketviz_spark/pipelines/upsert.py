@@ -35,27 +35,40 @@ def table_exists(spark: SparkSession, path: str) -> bool:
     )
 
 
+def _cols(partition_col) -> list:
+    return (
+        [partition_col]
+        if isinstance(partition_col, str)
+        else list(partition_col)
+    )
+
+
 def write_partitioned(
-    df: DataFrame, path: str, partition_col: str = "date"
+    df: DataFrame, path: str, partition_col="date"
 ) -> None:
-    df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    df.write.mode("overwrite").partitionBy(*_cols(partition_col)).parquet(
+        path
+    )
 
 
 def upsert_by_date_partition(
     spark: SparkSession,
     new: DataFrame,
     path: str,
-    partition_col: str = "date",
+    partition_col="date",
 ) -> None:
     """Dynamic partition overwrite: only partitions present in `new`
-    are replaced."""
+    are replaced. `partition_col` may be a single column or a list;
+    the partitioning MUST cover the full logical key of a row — an
+    overwrite of a partition that holds keys absent from `new` would
+    silently drop them (see stream_to_partitioned_table)."""
     if not table_exists(spark, path):
         write_partitioned(new, path, partition_col)
         return
     (
         new.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partition_col)
+        .partitionBy(*_cols(partition_col))
         .parquet(path)
     )
 

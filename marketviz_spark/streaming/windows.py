@@ -110,20 +110,29 @@ def stream_to_partitioned_table(
     stream_df: DataFrame,
     path: str,
     checkpoint_dir: str,
-    partition_col: str = "window_start",
+    partition_cols=("window_start", "event_type"),
 ):
     """Exactly-once streaming sink via foreachBatch + idempotent
     partition overwrite: each micro-batch rewrites only the
     partitions it touches, so a replayed batch (failure/restart)
     produces identical table state — the Delta-less exactly-once
     pattern (checkpoint tracks offsets, overwrite dedups output).
+
+    `partition_cols` must cover the FULL grouping key of the
+    aggregate. Update mode emits only the groups a micro-batch
+    changed; if the sink were partitioned on a key prefix (e.g.
+    window_start alone for a (window, event_type) aggregate), an
+    overwrite would delete the partition's untouched groups written
+    by earlier batches. Partitioning on the whole key makes each
+    emitted group rewrite exactly its own partition, so replays and
+    incremental updates are both idempotent and lossless.
     """
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         from ..pipelines.upsert import upsert_by_date_partition
 
         upsert_by_date_partition(
-            batch_df.sparkSession, batch_df, path, partition_col
+            batch_df.sparkSession, batch_df, path, list(partition_cols)
         )
 
     return (

@@ -150,3 +150,76 @@ def test_foreachbatch_partitioned_sink(spark, events_dir):
         )
         want = _rows(QUERIES["events_tumbling_1h"].fn(spark, SF_SMALL))
         assert got == want
+
+
+def test_foreachbatch_multi_trigger_no_loss(spark):
+    """Regression: a later micro-batch that updates only ONE
+    event_type of an already-written window must not delete the
+    window's other event_type rows (update mode emits only changed
+    groups; the sink must partition on the FULL grouping key)."""
+    import time
+
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    from marketviz_spark.streaming.windows import (
+        stream_to_partitioned_table,
+        tumbling_counts,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), False),
+            T.StructField("ts", T.LongType(), False),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+    ns = 10**9
+    base = 1704103200 * ns  # some instant; window alignment is moot
+    rows1 = [
+        (1, base + 60 * ns, 1, "click", 1.0, None),
+        (2, base + 120 * ns, 1, "click", 2.0, None),
+        (3, base + 180 * ns, 2, "view", 3.0, None),
+    ]
+    rows2 = [(4, base + 240 * ns, 3, "click", 4.0, None)]
+
+    with tempfile.TemporaryDirectory() as src, tempfile.TemporaryDirectory() as d:
+        f1, f2 = os.path.join(src, "a.parquet"), os.path.join(src, "b.parquet")
+        spark.createDataFrame(rows1, schema).toPandas().to_parquet(f1)
+        spark.createDataFrame(rows2, schema).toPandas().to_parquet(f2)
+        now = time.time()
+        os.utime(f1, (now - 60, now - 60))  # f1 triggers first
+        os.utime(f2, (now, now))
+
+        stream = read_events_stream(spark, src, max_files_per_trigger=1)
+        q = stream_to_partitioned_table(
+            tumbling_counts(stream),
+            os.path.join(d, "table"),
+            os.path.join(d, "ckpt"),
+        )
+        try:
+            q.processAllAvailable()
+            n_batches = sum(
+                1 for p in q.recentProgress if p["numInputRows"] > 0
+            )
+        finally:
+            q.stop()
+        assert n_batches >= 2, "test must exercise multiple micro-batches"
+
+        got = _rows(
+            spark.read.parquet(os.path.join(d, "table")).select(
+                "window_start", "event_type", "n_events", "sum_value"
+            )
+        )
+        batch = (
+            spark.read.schema(schema)
+            .parquet(src)
+            .withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        )
+        want = _rows(tumbling_counts(batch))
+        assert got == want
+        # the 'view' group written in batch 1 must have survived batch 2
+        assert any("view" in r for r in got)
