@@ -135,68 +135,113 @@ def hyperplane_lsh_topk(emb: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+BLAS_BLOCK_ROWS = 4096
+
+
 def blas_cosine_topk(
-    emb: DataFrame, k: int = 5, round_dp: int = 4
+    emb: DataFrame,
+    k: int = 5,
+    round_dp: int = 4,
+    block_rows: int = BLAS_BLOCK_ROWS,
 ) -> DataFrame:
-    """Brute-force cosine top-k, the throughput path: the right side
-    is broadcast as a dense numpy matrix, each Arrow batch of the
-    left side computes a BLAS matmul block and emits its own top-k.
+    """Brute-force cosine top-k, the throughput path: block-partitioned
+    BLAS. Both sides are hashed into row blocks; every (A-block,
+    B-block) tile becomes one applyInPandas group that runs a dense
+    matmul and emits its own per-row top-k; a final window merges the
+    tile candidates into the global top-k. NOTHING is collected to the
+    driver — the whole dataflow is shuffle + executor-side BLAS.
 
     ~10-100x faster than the expression-fold version: the O(n·m·d)
     inner loop runs in BLAS instead of Catalyst expression eval, and
-    only n·k rows ever materialize.
+    only n·k·n_blocks candidate rows ever leave the tiles.
 
-    Scale: the broadcast side here is the whole table (fine to ~1e6
-    vectors); beyond that, block both sides (cross-join of row-range
-    buckets) or switch to hyperplane_lsh_topk / IVF — same dataflow.
+    Scale: communication is O(n · n_blocks) rows per side (each block
+    pair must meet), i.e. O(n²·d / block_rows) bytes total — the
+    inherent cost of exact all-pairs. block_rows trades executor
+    memory (a tile holds 2·block_rows vectors) against shuffle volume;
+    4096×64d ≈ 2 MB/side/tile. Past ~1e7 vectors exact all-pairs is
+    the wrong tool regardless of engine — switch to
+    hyperplane_lsh_topk / ivf_topk (same bucket→equi-join→verify
+    dataflow, candidates only).
 
     Cosines are rounded (floor-based, numerics.rnd semantics) BEFORE
-    ranking, with a neighbor-id tiebreak, keeping the result
-    reproducible against the SQL oracle despite BLAS sum ordering.
+    ranking, with a neighbor-id tiebreak, so per-tile top-k + global
+    merge is exactly the full-sort ranking and reproducible against
+    the SQL oracle despite BLAS sum ordering.
     """
+    import math
+
     import numpy as np
     import pandas as pd
 
-    # Arrow path to the driver (toPandas), not row-wise py4j collect.
-    pdf = emb.select("vec_id", "embedding").toPandas()
-    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-    M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-    norms = np.sqrt((M * M).sum(axis=1))
-    spark = emb.sparkSession
-    bc = spark.sparkContext.broadcast((ids, M, norms))
+    # One cheap aggregate (count, not a data collect) sizes the grid.
+    n_rows = emb.count()
+    nb = max(1, math.ceil(n_rows / block_rows))
+    tags = F.array(*[F.lit(i) for i in range(nb)])
+    base = emb.select("vec_id", "embedding")
+    blk = F.pmod(F.col("vec_id"), F.lit(nb)).cast("int")
+    # A rows live in block `ab` and visit every B block; B rows live
+    # in block `bb` and visit every A block -> each (ab, bb) group
+    # holds exactly A-block ab plus B-block bb.
+    a = (
+        base.withColumn("ab", blk)
+        .withColumn("bb", F.explode(tags))
+        .withColumn("side", F.lit("a"))
+    )
+    b = (
+        base.withColumn("bb", blk)
+        .withColumn("ab", F.explode(tags))
+        .withColumn("side", F.lit("b"))
+    )
+    both = a.unionByName(b)
     p = float(10**round_dp)
 
-    def topk(batches):
-        b_ids, b_M, b_norms = bc.value
-        for pdf in batches:
-            A = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            a_norms = np.sqrt((A * A).sum(axis=1))
-            S = A @ b_M.T
-            S /= a_norms[:, None]
-            S /= b_norms[None, :]
-            R = np.floor(S * p + 0.5) / p
-            out_vec, out_nb, out_cos, out_rank = [], [], [], []
-            for i in range(R.shape[0]):
-                mask = b_ids != a_ids[i]
-                cand_ids = b_ids[mask]
-                cand_cos = R[i][mask]
-                order = np.lexsort((cand_ids, -cand_cos))[:k]
-                out_vec.extend([a_ids[i]] * len(order))
-                out_nb.extend(cand_ids[order])
-                out_cos.extend(cand_cos[order])
-                out_rank.extend(range(1, len(order) + 1))
-            yield pd.DataFrame(
+    def tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        A = pdf[pdf["side"] == "a"]
+        B = pdf[pdf["side"] == "b"]
+        if A.empty or B.empty:
+            return pd.DataFrame(
                 {
-                    "vec_id": np.array(out_vec, dtype=np.int64),
-                    "neighbor_id": np.array(out_nb, dtype=np.int64),
-                    "cosine": np.array(out_cos, dtype=np.float64),
-                    "rank": np.array(out_rank, dtype=np.int32),
+                    "vec_id": pd.Series(dtype="int64"),
+                    "neighbor_id": pd.Series(dtype="int64"),
+                    "cosine": pd.Series(dtype="float64"),
                 }
             )
+        a_ids = A["vec_id"].to_numpy(dtype=np.int64)
+        b_ids = B["vec_id"].to_numpy(dtype=np.int64)
+        Am = np.array(A["embedding"].tolist(), dtype=np.float64)
+        Bm = np.array(B["embedding"].tolist(), dtype=np.float64)
+        S = Am @ Bm.T
+        S /= np.sqrt((Am * Am).sum(axis=1))[:, None]
+        S /= np.sqrt((Bm * Bm).sum(axis=1))[None, :]
+        R = np.floor(S * p + 0.5) / p
+        out_vec, out_nb, out_cos = [], [], []
+        for i in range(R.shape[0]):
+            mask = b_ids != a_ids[i]
+            cand_ids = b_ids[mask]
+            cand_cos = R[i][mask]
+            order = np.lexsort((cand_ids, -cand_cos))[:k]
+            out_vec.extend([a_ids[i]] * len(order))
+            out_nb.extend(cand_ids[order])
+            out_cos.extend(cand_cos[order])
+        return pd.DataFrame(
+            {
+                "vec_id": np.array(out_vec, dtype=np.int64),
+                "neighbor_id": np.array(out_nb, dtype=np.int64),
+                "cosine": np.array(out_cos, dtype=np.float64),
+            }
+        )
 
-    return emb.mapInPandas(
-        topk, "vec_id long, neighbor_id long, cosine double, rank int"
+    cands = both.groupBy("ab", "bb").applyInPandas(
+        tile, "vec_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "cosine", "rank")
     )
 
 

@@ -81,3 +81,30 @@ def test_multimodal_decode_stub_shapes(spark):
     )
     rows2 = decode_image(jpeg).collect()
     assert rows2[0]["ok"] is False and "decoding" in rows2[0]["err"]
+
+
+def test_blas_blocked_equals_single_tile(spark):
+    """The block-partitioned BLAS grid (nb > 1, tile top-k + global
+    merge) must produce exactly the single-tile result — per-tile
+    pre-filtering cannot change the global top-k."""
+    from marketviz_spark.datapipe.similarity import blas_cosine_topk
+    from marketviz_spark import tables
+    from tests.conftest import SF_SMALL
+
+    emb = tables.load(spark, SF_SMALL, "embeddings")
+    one = blas_cosine_topk(emb, k=5, block_rows=10**9)  # 1 tile
+    many = blas_cosine_topk(emb, k=5, block_rows=64)  # 8x8 grid
+    assert sorted(map(str, one.collect())) == sorted(
+        map(str, many.collect())
+    )
+
+
+def test_blas_no_driver_collect():
+    """Scale guard: the BLAS query path must never collect the
+    embedding table to the driver."""
+    import inspect
+
+    from marketviz_spark.datapipe import similarity
+
+    src = inspect.getsource(similarity.blas_cosine_topk)
+    assert "toPandas" not in src and "collect()" not in src
