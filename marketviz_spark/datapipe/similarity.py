@@ -246,20 +246,20 @@ def blas_cosine_topk(
 
 
 N_IVF_CELLS = 16
+N_IVF_ITERS = 2
 
 
-def ivf_assign(emb: DataFrame) -> DataFrame:
-    """IVF coarse quantization with deterministic centroids: the
-    first N_IVF_CELLS vectors by vec_id act as centroids (a stand-in
-    for trained k-means centroids — the assignment/search dataflow is
-    identical). Each vector is assigned to the centroid with the
-    highest rounded cosine (vec-id tiebreak)."""
-    n = with_norm(emb).select("vec_id", "_v", "_norm")
-    centroids = n.orderBy("vec_id").limit(N_IVF_CELLS).select(
-        F.col("vec_id").alias("cell"),
-        F.col("_v").alias("c_v"),
-        F.col("_norm").alias("c_norm"),
-    )
+def _assign_to(n: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment by rounded cosine (cell tiebreak).
+
+    The argmax is a groupBy min(struct(-cos, cell, payload)) rather
+    than a row_number window: partial aggregation collapses the
+    K-per-vector candidate rows map-side, so the shuffle carries one
+    row per vector instead of K (the window variant shuffles and
+    sorts all n·K scored rows). Struct comparison is field-order
+    lexicographic, so ties on cosine break to the smallest cell —
+    identical semantics to the oracle's row_number ordering.
+    """
     scored = n.crossJoin(F.broadcast(centroids)).select(
         "vec_id",
         "_v",
@@ -271,14 +271,104 @@ def ivf_assign(emb: DataFrame) -> DataFrame:
             6,
         ).alias("c_cos"),
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("c_cos").desc(), F.col("cell").asc()
+    best = scored.groupBy("vec_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("c_cos")).alias("neg_cos"),
+                F.col("cell").alias("cell"),
+                F.col("_v").alias("_v"),
+                F.col("_norm").alias("_norm"),
+            )
+        ).alias("b")
     )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "_v", "_norm", "cell")
+    return best.select(
+        "vec_id",
+        F.col("b._v").alias("_v"),
+        F.col("b._norm").alias("_norm"),
+        F.col("b.cell").alias("cell"),
     )
+
+
+def ivf_train(
+    emb: DataFrame,
+    n_cells: int = N_IVF_CELLS,
+    n_iters: int = N_IVF_ITERS,
+) -> DataFrame:
+    """Trained IVF centroids: deterministic Lloyd k-means.
+
+    Seeds with the first `n_cells` vectors by vec_id, then runs a
+    FIXED number of assign/mean iterations. Every step is
+    cross-engine exact so the SQL oracle can unroll the identical
+    training: assignment ranks rounded (6dp) cosines with a cell
+    tiebreak, and each centroid mean is a decimal(30,12)-exact
+    elementwise sum divided by the member count, rounded to 6dp.
+    Cells that lose all members drop out (both engines agree).
+
+    Scale: per iteration, one broadcast of K·d centroid floats for
+    the assignment (map-side only) and ONE shuffle — the groupBy
+    (cell) with d partial-aggregated column sums; no posexplode, so
+    the shuffle carries K·d accumulators per map task, not n·d rows.
+    Driver never sees vector data.
+    """
+    import math
+
+    def centroid_df(rows):
+        # Norm in the same left-to-right order as _dot's fold.
+        data = []
+        for cell, vec in rows:
+            s = 0.0
+            for x in vec:
+                s = s + x * x
+            data.append((cell, vec, math.sqrt(s)))
+        return emb.sparkSession.createDataFrame(
+            data, "cell long, c_v array<double>, c_norm double"
+        )
+
+    n = with_norm(emb).select("vec_id", "_v", "_norm")
+    seed = n.orderBy("vec_id").limit(n_cells).select("vec_id", "_v")
+    # The MODEL (K·d floats) is driver-resident between iterations —
+    # that's K rows of aggregate output, not a data collect (same
+    # shape pyspark.ml.KMeans keeps internally). Materializing it
+    # cuts the lineage so downstream self-joins don't re-run
+    # training, and each assignment broadcasts a literal table.
+    cents = [(r["vec_id"], list(r["_v"])) for r in seed.collect()]
+    for _ in range(n_iters):
+        assigned = _assign_to(n, centroid_df(cents))
+        # Elementwise mean via posexplode + narrow (cell, pos) agg:
+        # partial aggregation collapses the exploded rows to K·d
+        # accumulators per map task BEFORE the shuffle (same traffic
+        # as d sum columns), and the 3-expression plan avoids the
+        # multi-second codegen of a d-wide decimal aggregate.
+        sums = (
+            assigned.select(
+                "cell", F.posexplode("_v").alias("pos", "val")
+            )
+            .groupBy("cell", "pos")
+            .agg(
+                F.count("*").alias("n_members"),
+                F.sum(F.col("val").cast("decimal(30,12)"))
+                .cast("double")
+                .alias("s"),
+            )
+        )
+        by_cell: dict = {}
+        for row in sums.collect():  # K·d aggregate rows (the model)
+            by_cell.setdefault(row["cell"], {})[row["pos"]] = (
+                math.floor(row["s"] / row["n_members"] * 1e6 + 0.5) / 1e6
+            )
+        cents = [
+            (cell, [dims[d] for d in range(EMB_DIM)])
+            for cell, dims in sorted(by_cell.items())
+        ]
+    return centroid_df(cents)
+
+
+def ivf_assign(emb: DataFrame) -> DataFrame:
+    """IVF coarse quantization against the trained centroids: each
+    vector goes to the centroid with the highest rounded cosine
+    (cell tiebreak)."""
+    n = with_norm(emb).select("vec_id", "_v", "_norm")
+    return _assign_to(n, ivf_train(emb))
 
 
 def ivf_topk(emb: DataFrame, k: int = 3) -> DataFrame:

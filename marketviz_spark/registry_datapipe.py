@@ -457,26 +457,67 @@ def q_cosine_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blas_cosine_topk(tables.load(spark, sf_dir, "embeddings"), k=5)
 
 
-_IVF_CTE = f"""
-, c AS (
-    SELECT vec_id AS cell, vec AS c_v, nrm AS c_nrm
-    FROM v ORDER BY vec_id LIMIT 16
-), assigned AS (
+def _ivf_assign_sql(src: str, cent: str, out: str) -> str:
+    """One nearest-centroid assignment CTE (rounded cosine, cell
+    tiebreak) — the SQL twin of similarity._assign_to."""
+    return f"""
+, {out} AS (
     SELECT vec_id, vec, nrm, cell
     FROM (
-        SELECT v.vec_id, v.vec, v.nrm, c.cell,
+        SELECT {src}.vec_id, {src}.vec, {src}.nrm, {cent}.cell,
                row_number() OVER (
-                   PARTITION BY v.vec_id
-                   ORDER BY floor(list_dot_product(v.vec, c.c_v)
-                                  / (v.nrm * c.c_nrm)
+                   PARTITION BY {src}.vec_id
+                   ORDER BY floor(list_dot_product({src}.vec, {cent}.c_v)
+                                  / ({src}.nrm * {cent}.c_nrm)
                                   * 1000000.0 + 0.5) / 1000000.0 DESC,
-                            c.cell
+                            {cent}.cell
                ) AS rn
-        FROM v, c
+        FROM {src}, {cent}
     )
     WHERE rn = 1
 )
 """
+
+
+def _ivf_mean_sql(assigned: str, out: str) -> str:
+    """Centroid re-estimation CTE: decimal-exact elementwise mean
+    rounded to 6dp — the SQL twin of similarity.ivf_train's sums."""
+    return f"""
+, {out} AS (
+    SELECT cell, c_v, sqrt(list_dot_product(c_v, c_v)) AS c_nrm
+    FROM (
+        SELECT cell, list(mv ORDER BY pos) AS c_v
+        FROM (
+            SELECT cell, pos,
+                   floor(CAST(sum(CAST(val AS DECIMAL(30,12))) AS DOUBLE)
+                         / count(*) * 1000000.0 + 0.5) / 1000000.0 AS mv
+            FROM (
+                SELECT cell, unnest(vec) AS val,
+                       generate_subscripts(vec, 1) AS pos
+                FROM {assigned}
+            )
+            GROUP BY cell, pos
+        )
+        GROUP BY cell
+    )
+)
+"""
+
+
+# Trained-IVF oracle: seed = first 16 by vec_id, then the SAME two
+# deterministic Lloyd iterations similarity.ivf_train runs, unrolled.
+_IVF_CTE = (
+    """
+, c0 AS (
+    SELECT vec_id AS cell, vec AS c_v, nrm AS c_nrm
+    FROM v ORDER BY vec_id LIMIT 16
+)"""
+    + _ivf_assign_sql("v", "c0", "a0")
+    + _ivf_mean_sql("a0", "c1")
+    + _ivf_assign_sql("v", "c1", "a1")
+    + _ivf_mean_sql("a1", "c2")
+    + _ivf_assign_sql("v", "c2", "assigned")
+)
 
 
 @register(

@@ -108,3 +108,65 @@ def test_blas_no_driver_collect():
 
     src = inspect.getsource(similarity.blas_cosine_topk)
     assert "toPandas" not in src and "collect()" not in src
+
+
+def test_ivf_trained_centroids_recall(spark):
+    """Trained (Lloyd) IVF must beat the untrained seed assignment
+    on recall vs the exact brute-force top-k, and clear an absolute
+    floor well above the 1/n_cells chance level (~0.06). Data and
+    training are fully deterministic, so exact thresholds are safe."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from marketviz_spark import tables
+    from marketviz_spark.datapipe.similarity import (
+        _assign_to,
+        _dot,
+        cosine_topk,
+        ivf_topk,
+        ivf_train,
+        with_norm,
+    )
+    from marketviz_spark.numerics import rnd
+    from tests.conftest import SF_SMALL
+
+    emb = tables.load(spark, SF_SMALL, "embeddings")
+    exact = {
+        (r.vec_id, r.neighbor_id) for r in cosine_topk(emb, k=3).collect()
+    }
+    trained = {
+        (r.vec_id, r.neighbor_id) for r in ivf_topk(emb, k=3).collect()
+    }
+
+    def cell_topk_pairs(assigned):
+        a, b = assigned.alias("a"), assigned.alias("b")
+        pairs = a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        ).select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            rnd(
+                _dot(F.col("a._v"), F.col("b._v"))
+                / (F.col("a._norm") * F.col("b._norm")),
+                6,
+            ).alias("cosine"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
+        )
+        return {
+            (r.vec_id, r.neighbor_id)
+            for r in pairs.withColumn("rank", F.row_number().over(w))
+            .filter("rank <= 3")
+            .collect()
+        }
+
+    n = with_norm(emb).select("vec_id", "_v", "_norm")
+    untrained = cell_topk_pairs(_assign_to(n, ivf_train(emb, n_iters=0)))
+
+    recall_trained = len(exact & trained) / len(exact)
+    recall_untrained = len(exact & untrained) / len(exact)
+    assert recall_trained > recall_untrained
+    assert recall_trained >= 0.2
