@@ -108,40 +108,63 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     return per_doc.select("doc_id", sig, *bands)
 
 
+MAX_BUCKET = 2_000
+
+
 def _bucket_pairs(
-    stacked: DataFrame, max_bucket: int = 10_000
+    stacked: DataFrame, max_bucket: int = MAX_BUCKET
 ) -> DataFrame:
     """(band, key, id[, extra]) -> distinct (a, b) pairs per bucket.
 
-    One shuffle to the bucket key, pairs generated IN-ARRAY per
-    bucket — crucially the upstream sketch computes once (a self-join
-    would re-evaluate its whole subplan per side and per band).
-    Buckets larger than `max_bucket` are dropped: a degenerate bucket
-    (mass-duplicated boilerplate) would emit O(n²) pairs; real
-    pipelines route those to exact dedup instead.
+    Memory is bounded at EVERY operator, even against degenerate
+    buckets (mass-duplicated boilerplate):
+
+    - a row_number cap keeps at most max_bucket+1 rows per bucket
+      BEFORE collect_list, so no unbounded array ever materializes
+      (row_number streams; it buffers nothing);
+    - buckets that hit the cap (size == max_bucket+1) are oversized
+      and dropped — their O(b²) pairs cover content exact dedup
+      already collapses; route the keys via `bucket_overflow_keys`;
+    - pairs STREAM out of two chained explodes (posexplode for the
+      left element, explode of the items tail for the right): the
+      largest single-row object is the bucket's item array
+      (≤ max_bucket elements), never the O(b²) pair set. The pair
+      rows flow through whole-stage codegen a batch at a time.
+
+    The groupBy reuses the window's (band, key) hash partitioning,
+    so the whole thing still costs ONE shuffle — and the upstream
+    sketch computes once (a self-join would re-evaluate its whole
+    subplan per side and per band).
     """
+    w = Window.partitionBy("band", "key").orderBy("item")
+    capped = stacked.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= max_bucket + 1
+    )
     buckets = (
-        stacked.groupBy("band", "key")
+        capped.groupBy("band", "key")
         .agg(F.sort_array(F.collect_list(F.col("item"))).alias("items"))
         .filter(
             (F.size("items") > 1) & (F.size("items") <= max_bucket)
         )
     )
-    n = F.size("items")
-    pair_arr = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.transform(
-                F.slice(F.col("items"), i + 1, n - i),
-                lambda x: F.struct(
-                    F.element_at(F.col("items"), i).alias("a"),
-                    x.alias("b"),
-                ),
-            ),
-        )
+    left = buckets.select("items", F.posexplode("items").alias("i", "a"))
+    tail = F.slice(
+        F.col("items"), F.col("i") + 2, F.size("items") - F.col("i") - 1
     )
-    return buckets.select(F.explode(pair_arr).alias("p")).select(
-        F.col("p.a").alias("a"), F.col("p.b").alias("b")
+    return left.select(F.col("a"), F.explode(tail).alias("b"))
+
+
+def bucket_overflow_keys(
+    stacked: DataFrame, max_bucket: int = MAX_BUCKET
+) -> DataFrame:
+    """The (band, key, n_items) buckets `_bucket_pairs` refuses —
+    the exact-dedup routing side-channel for degenerate mass
+    duplication (a 100 TB pipeline alerts on these instead of
+    pairing them)."""
+    return (
+        stacked.groupBy("band", "key")
+        .agg(F.count("*").alias("n_items"))
+        .filter(F.col("n_items") > max_bucket)
     )
 
 
@@ -274,28 +297,46 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
-def dedup_clusters(docs: DataFrame, max_iter: int = 20) -> DataFrame:
+def dedup_clusters(
+    docs: DataFrame, max_iter: int = 20, reliable_checkpoint: bool = False
+) -> DataFrame:
     """Connected components over the LSH near-dup graph: every doc
     gets the minimum doc_id of its component as cluster_id (isolated
     docs are their own cluster). The dedup end-game: keep one
     representative per cluster.
 
     Iterative min-label propagation — the canonical Spark iterative
-    algorithm shape: a driver loop of joins with localCheckpoint per
+    algorithm shape: a driver loop of joins with a checkpoint per
     round to truncate lineage (without it the plan doubles every
     iteration), converging in O(component diameter) rounds, each
     round one shuffle. Near-dup components are tiny by construction
     (LSH buckets are capped), so convergence is fast at any scale.
+
+    `reliable_checkpoint=True` uses `DataFrame.checkpoint` (requires
+    `spark.sparkContext.setCheckpointDir` on fault-tolerant storage)
+    so a lost executor replays from the checkpoint instead of
+    re-deriving rounds; localCheckpoint (the default, fine for
+    local/interactive) stores blocks on executors and dies with
+    them. Both paths are semantically identical.
     """
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        if reliable_checkpoint:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     pairs = lsh_candidate_pairs(docs)
-    edges = pairs.unionByName(
-        pairs.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+    edges = ckpt(
+        pairs.unionByName(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"),
+                F.col("doc_a").alias("doc_b"),
+            )
         )
-    ).localCheckpoint(eager=True)
-    labels = docs.select(
-        "doc_id", F.col("doc_id").alias("cluster_id")
-    ).localCheckpoint(eager=True)
+    )
+    labels = ckpt(
+        docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    )
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(
@@ -317,8 +358,8 @@ def dedup_clusters(docs: DataFrame, max_iter: int = 20) -> DataFrame:
                     F.coalesce(F.col("n_min"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
-            .localCheckpoint(eager=True)
         )
+        updated = ckpt(updated)
         changed = (
             updated.alias("u")
             .join(labels.alias("l"), "doc_id")

@@ -170,3 +170,61 @@ def test_ivf_trained_centroids_recall(spark):
     recall_untrained = len(exact & untrained) / len(exact)
     assert recall_trained > recall_untrained
     assert recall_trained >= 0.2
+
+
+def test_bucket_pairs_degenerate_bucket_bounded(spark):
+    """A 1k-copy degenerate fixture must complete with streamed pair
+    generation (no O(b^2) single-row array) and produce exactly
+    C(1000,2) pairs; past the cap the bucket is refused and surfaces
+    via bucket_overflow_keys."""
+    from pyspark.sql import functions as F
+
+    from marketviz_spark.datapipe.dedup import (
+        _bucket_pairs,
+        bucket_overflow_keys,
+    )
+
+    stacked = spark.range(1000).select(
+        F.lit(0).alias("band"),
+        F.lit("k").alias("key"),
+        F.col("id").alias("item"),
+    )
+    assert _bucket_pairs(stacked).count() == 1000 * 999 // 2
+    assert bucket_overflow_keys(stacked).count() == 0
+
+    # same bucket, cap below its size -> no pairs, one overflow key
+    assert _bucket_pairs(stacked, max_bucket=500).count() == 0
+    ov = bucket_overflow_keys(stacked, max_bucket=500).collect()
+    assert [(r.band, r.key, r.n_items) for r in ov] == [(0, "k", 1000)]
+
+
+def test_bucket_pairs_ordering_and_small_buckets(spark):
+    """Pairs are (min, max)-ordered per sorted bucket, across
+    multiple buckets."""
+    from pyspark.sql import functions as F
+
+    from marketviz_spark.datapipe.dedup import _bucket_pairs
+
+    rows = [(0, "x", 3), (0, "x", 1), (0, "x", 2), (1, "y", 9), (1, "y", 5)]
+    stacked = spark.createDataFrame(
+        rows, "band int, key string, item long"
+    )
+    got = {(r.a, r.b) for r in _bucket_pairs(stacked).collect()}
+    assert got == {(1, 2), (1, 3), (2, 3), (5, 9)}
+
+
+def test_dedup_clusters_reliable_checkpoint(spark, tmp_path):
+    """Reliable checkpoint() and localCheckpoint() converge to the
+    identical clustering."""
+    from marketviz_spark.datapipe.dedup import dedup_clusters
+
+    docs = _docs(
+        spark,
+        [BASE, BASE + " x", "another doc entirely", BASE + " y"],
+    )
+    local = sorted(map(str, dedup_clusters(docs).collect()))
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    reliable = sorted(
+        map(str, dedup_clusters(docs, reliable_checkpoint=True).collect())
+    )
+    assert local == reliable
