@@ -15,6 +15,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _content_salt(cols: list[str], n_salts: int) -> Column:
+    """Deterministic row-content salt: pmod(hash(cols), n_salts).
+    Stable under stage recomputation (unlike rand, which only fixes
+    the seed per partition index)."""
+    return F.pmod(
+        F.hash(*[F.col(c) for c in cols]), F.lit(n_salts)
+    ).alias("_salt")
+
+
 def salted_agg_sum(
     df: DataFrame,
     group_col: str,
@@ -30,8 +39,17 @@ def salted_agg_sum(
     salting matters when the partial results themselves are huge —
     e.g. collect_list/HLL sketches per group — or when a window
     forces a raw shuffle on the skewed key.)
+
+    The salt is a CONTENT hash, not rand(): rand() is deterministic
+    only per partition index, so a recomputed upstream stage with
+    different row placement (executor loss, nondeterministic source)
+    would re-salt rows differently than the data already shuffled —
+    dropping or double-counting. Content-hash salting is stable
+    under any recomputation; its limit (identical rows share a salt)
+    only matters for exact-duplicate skew, which exact dedup removes
+    upstream.
     """
-    salt = (F.rand(seed=42) * n_salts).cast("int").alias("_salt")
+    salt = _content_salt([group_col, value_col], n_salts)
     partial = (
         df.select(F.col(group_col), F.col(value_col), salt)
         .groupBy(group_col, "_salt")
@@ -52,9 +70,14 @@ def salted_join(
     randomly, replicate the small side once per salt value, join on
     (key, salt). The hot key's rows land on `n_salts` reducers
     instead of one. Cost: small side shuffles n_salts-fold — use for
-    genuinely small dimensions (or pre-filter to the hot keys)."""
+    genuinely small dimensions (or pre-filter to the hot keys).
+
+    Salts derive from row content (see salted_agg_sum) so a
+    recomputed big side re-salts identically — a rand() salt could
+    disagree with already-shuffled data after an executor loss,
+    silently dropping or duplicating joined rows."""
     big_salted = big.withColumn(
-        "_salt", (F.rand(seed=42) * n_salts).cast("int")
+        "_salt", _content_salt(big.columns, n_salts)
     )
     salts = F.explode(
         F.sequence(F.lit(0), F.lit(n_salts - 1))

@@ -148,7 +148,8 @@ def fetch_universe(
                         ]
                     ]
                 )
-            yield pd.concat(frames, ignore_index=True)
+            if frames:  # a zero-row Arrow batch yields no frames
+                yield pd.concat(frames, ignore_index=True)
 
     return universe.repartition("ticker").mapInPandas(
         fetch_partition, RAW_SCHEMA

@@ -18,7 +18,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import tables
@@ -699,15 +699,18 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = tables.stocks(spark, sf_dir)
     jan = s.filter(F.col("date").like("1996-01%")).select("ticker").distinct()
     feb = s.filter(F.col("date").like("1996-02%")).select("ticker").distinct()
+    # subtract == EXCEPT on these already-distinct sets; each branch
+    # evaluates one set op instead of re-deriving the intersect
+    # subplan per side (3 evaluations before).
     return (
         jan.intersect(feb).select("ticker", F.lit("both").alias("tag"))
         .unionByName(
-            jan.exceptAll(jan.intersect(feb)).select(
+            jan.subtract(feb).select(
                 "ticker", F.lit("jan_only").alias("tag")
             )
         )
         .unionByName(
-            feb.exceptAll(feb.intersect(jan)).select(
+            feb.subtract(jan).select(
                 "ticker", F.lit("feb_only").alias("tag")
             )
         )
@@ -907,13 +910,44 @@ def q_agg_distinct_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.count("*").alias("n_parts"))
     )
+    # Exact median WITHOUT percentile()'s per-group value buffer
+    # (that buffer is an OOM at 100 TB): rank with a spillable
+    # window sort, keep only the 1-2 rows at the interpolation
+    # positions, and apply percentile's own lo + (hi-lo)*frac
+    # formula so the value is bit-identical to quantile_cont(0.5).
+    cnt = li.groupBy("l_returnflag").agg(F.count("*").alias("_n"))
+    w_med = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    pos = (F.col("_n") - 1) / F.lit(2.0)  # 0-based, frac in {0, .5}
+    ranked = (
+        li.select("l_returnflag", "l_quantity")
+        .join(F.broadcast(cnt), "l_returnflag")
+        .withColumn("_rn", F.row_number().over(w_med))
+        .filter(
+            (F.col("_rn") == F.floor(pos) + 1)
+            | (F.col("_rn") == F.ceil(pos) + 1)
+        )
+    )
+    med = ranked.groupBy("l_returnflag").agg(
+        F.min("l_quantity").alias("_lo"),
+        F.max("l_quantity").alias("_hi"),
+        F.first("_n").alias("_n"),
+    )
+    frac = (F.col("_n") - 1) / F.lit(2.0) - F.floor(
+        (F.col("_n") - 1) / F.lit(2.0)
+    )
+    med = med.select(
+        "l_returnflag",
+        (F.col("_lo") + (F.col("_hi") - F.col("_lo")) * frac).alias(
+            "median_qty"
+        ),
+    )
     rest = li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
     )
     return (
-        rest.join(n_o, "l_returnflag")
+        rest.join(med, "l_returnflag")
+        .join(n_o, "l_returnflag")
         .join(n_p, "l_returnflag")
         .select(
             "l_returnflag",

@@ -416,11 +416,20 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_payload_features",
+    # first_byte is the first UTF-8 BYTE (hex-nibble arithmetic on
+    # the encode()d blob), matching the Spark side's payload[0] —
+    # ascii() would return the first CODE POINT and diverge on
+    # non-ASCII text; CAST(.. AS BLOB) rejects non-ASCII outright.
     """
     SELECT doc_id,
-           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            md5(text) AS payload_md5,
-           CAST(ascii(substring(text, 1, 1)) AS INT) AS first_byte
+           CAST(CASE WHEN octet_length(encode(text)) = 0 THEN -1
+                ELSE (instr('0123456789ABCDEF',
+                            substring(hex(encode(text)), 1, 1)) - 1) * 16
+                   + (instr('0123456789ABCDEF',
+                            substring(hex(encode(text)), 2, 1)) - 1)
+                END AS INT) AS first_byte
     FROM documents
     """,
     survey="multimodal binary payload + Arrow-batched features (datapipe)",

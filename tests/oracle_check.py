@@ -60,7 +60,16 @@ def compare(spark_df, con, oracle: str, name: str, rel_tol=1e-9) -> list[str]:
     sp = spark_df.toPandas()
     du = con.execute(oracle).fetchdf()
     if len(sp) != len(du):
+        # Bail out: zip() below would silently truncate to the shared
+        # prefix; with differing counts, show the symmetric difference.
         problems.append(f"{name}: row count {len(sp)} vs oracle {len(du)}")
+        sp_keys = {tuple(map(str, r)) for r in sp.itertuples(index=False)}
+        du_keys = {tuple(map(str, r)) for r in du.itertuples(index=False)}
+        for extra in list(sp_keys - du_keys)[:3]:
+            problems.append(f"{name}: spark-only row {extra}")
+        for extra in list(du_keys - sp_keys)[:3]:
+            problems.append(f"{name}: oracle-only row {extra}")
+        return problems
     sp_cols, du_cols = sorted(sp.columns), sorted(du.columns)
     if sp_cols != du_cols:
         problems.append(f"{name}: columns {sp_cols} vs {du_cols}")
@@ -88,10 +97,9 @@ def compare(spark_df, con, oracle: str, name: str, rel_tol=1e-9) -> list[str]:
                         f"{name}: row {i} float {ca!r} vs {cb!r}"
                     )
             elif ca != cb and str(ca) != str(cb):
-                if (ca is None) != (cb is None) or True:
-                    mismatches += 1
-                    if mismatches <= 3:
-                        problems.append(f"{name}: row {i} {ca!r} vs {cb!r}")
+                mismatches += 1
+                if mismatches <= 3:
+                    problems.append(f"{name}: row {i} {ca!r} vs {cb!r}")
     if mismatches > 3:
         problems.append(f"{name}: ... {mismatches} total cell mismatches")
     return problems

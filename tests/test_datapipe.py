@@ -228,3 +228,35 @@ def test_dedup_clusters_reliable_checkpoint(spark, tmp_path):
         map(str, dedup_clusters(docs, reliable_checkpoint=True).collect())
     )
     assert local == reliable
+
+
+def test_mm_payload_first_byte_non_ascii(spark):
+    """Spark payload features and the DuckDB oracle must agree on
+    BYTE semantics for non-ASCII and empty documents (the oracle
+    previously used ascii() = first code point)."""
+    import duckdb
+
+    from marketviz_spark.datapipe.multimodal import (
+        payload_features,
+        to_media,
+    )
+    from marketviz_spark.registry import QUERIES
+
+    texts = ["hello", "éclair", "", "日本 text"]
+    docs = _docs(spark, texts)
+    got = sorted(
+        (r.doc_id, r.n_bytes, r.payload_md5, r.first_byte)
+        for r in payload_features(to_media(docs)).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)", list(enumerate(texts))
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            QUERIES["mm_payload_features"].oracle
+        ).fetchall()
+    )
+    assert got == want
