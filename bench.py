@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "cube_revenue",
     "agg_distinct_percentile",
     "events_range_join",
+    "skew_salted_join",
 ]
 
 

@@ -65,13 +65,20 @@ class YFinanceHistorySource(HistorySource):
     def __init__(self, period: str = "1mo"):
         self.period = period
 
-    def fetch(self, ticker: str) -> pd.DataFrame:  # pragma: no cover
-        import yfinance as yf  # noqa: F401
-
-        t = yf.Ticker(ticker)
-        hist = t.history(period=self.period)
-        shares = t.info.get("sharesOutstanding")
-        if shares is None:
+    @staticmethod
+    def shape(
+        hist: pd.DataFrame, shares, ticker: str
+    ) -> pd.DataFrame:
+        """Shape a yfinance-style history frame (DatetimeIndex named
+        Date; Close / Stock Splits columns) into the flat RAW_SCHEMA
+        rows the distributed pipeline consumes. Falsy shares raises,
+        exactly like the reference (stock_data_fetcher.py:61-62 uses
+        `if not shares_outstanding`, so 0 fails too). The reference's
+        driver-side reverse + cumprod split adjustment
+        (stock_data_fetcher.py:52-70) is NOT done here — split
+        adjustment runs distributed in operators.windows.split_adjust,
+        so the source emits raw per-day rows in any order."""
+        if not shares:
             raise ValueError(f"no sharesOutstanding for {ticker}")
         hist = hist.reset_index()
         return pd.DataFrame(
@@ -81,6 +88,16 @@ class YFinanceHistorySource(HistorySource):
                 "stock_splits": hist["Stock Splits"],
                 "shares_outstanding": float(shares),
             }
+        )
+
+    def fetch(self, ticker: str) -> pd.DataFrame:  # pragma: no cover
+        import yfinance as yf  # noqa: F401
+
+        t = yf.Ticker(ticker)
+        return self.shape(
+            t.history(period=self.period),
+            t.info.get("sharesOutstanding"),
+            ticker,
         )
 
 

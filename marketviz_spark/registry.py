@@ -717,6 +717,47 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "skew_salted_join",
+    """
+    SELECT concat('S_', l_linestatus) AS status_label,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+    survey="salted shuffle join on a skewed key (skew ops, extension)",
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perf-regression guard for operators.skew.salted_join: join the
+    fact table to a tiny dim on l_linestatus — a 3-value key, the
+    worst shuffle-skew shape (each key is ~1/3 of 100 TB on one
+    reducer). The shuffle_hash hint forces the join OFF the broadcast
+    path so the salt actually spreads reducers, as it would when the
+    dim exceeds the broadcast threshold at scale."""
+    from .operators.skew import salted_join
+
+    li = tables.load(spark, sf_dir, "lineitem").select(
+        "l_linestatus", "l_extendedprice"
+    )
+    dim = (
+        li.select("l_linestatus")
+        .distinct()
+        .withColumn(
+            "status_label", F.concat(F.lit("S_"), F.col("l_linestatus"))
+        )
+        .hint("shuffle_hash")
+    )
+    joined = salted_join(li, dim, "l_linestatus")
+    return joined.groupBy("status_label").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
 # ----------------------------------------------------------------------
 # JSON extraction on events.props (engine extension, SURVEY §2.8 note)
 # ----------------------------------------------------------------------

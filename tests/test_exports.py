@@ -1,7 +1,7 @@
 from __future__ import annotations
 
-import glob
 import os
+import re
 import tempfile
 
 from marketviz_spark import tables
@@ -9,19 +9,78 @@ from marketviz_spark.pipelines.export import export_pdf, export_xlsx
 from tests.conftest import SF_SMALL
 
 
-def test_export_xlsx_fallback(spark):
+def test_export_xlsx_real_workbook_roundtrip(spark):
+    """export_xlsx emits a REAL workbook (no CSV fallback): sheet
+    names, reference header strings, row counts, and value types
+    survive a read-back through the independent stdlib parser."""
+    from tests.xlsx_reader import column_width, read_workbook
+
     idx = tables.index_data(spark, SF_SMALL)
+    n_dates = idx.count()
+    n = min(30, n_dates)
     with tempfile.TemporaryDirectory() as d:
-        out = export_xlsx(idx, os.path.join(d, "index_data.xlsx"))
-        produced = glob.glob(os.path.join(d, "*"))
-        assert produced, out
-        # Performance sheet content exists in some produced artifact
-        names = " ".join(produced)
-        assert "Performance" in names or out.endswith(".xlsx")
+        path = os.path.join(d, "index_data.xlsx")
+        out = export_xlsx(idx, path)
+        assert out == path
+        wb = read_workbook(path)
+        assert column_width(path, 1) == 15.0
+    assert list(wb) == ["Performance", "Composition", "Composition Changes"]
+    perf = wb["Performance"]
+    assert perf[0] == [
+        "Date",
+        "Price",
+        "Daily Return (%)",
+        "Cumulative Return (%)",
+    ]
+    assert len(perf) == n + 1
+    assert all(isinstance(r[0], str) for r in perf[1:])
+    assert all(isinstance(r[1], float) for r in perf[1:])
+    # newest first
+    dates = [r[0] for r in perf[1:]]
+    assert dates == sorted(dates, reverse=True)
+    assert wb["Composition"][0] == ["Date", "Composition"]
+    assert wb["Composition Changes"][0] == ["Date", "Composition Changes"]
+    assert len(wb["Composition"]) == n + 1
+    assert len(wb["Composition Changes"]) == n + 1
+    labels = {r[1] for r in wb["Composition Changes"][1:]}
+    assert all(
+        v == "-" or re.fullmatch(r"\+\(.*\) , -\(.*\)", v) for v in labels
+    )
 
 
-def test_export_pdf_fallback(spark):
+def test_export_pdf_real_pdf_structure(spark):
+    """export_pdf emits a structurally valid PDF: header/EOF
+    markers, a correct startxref offset, the report title, and the
+    reference's .2f% cell formatting in the content stream."""
     idx = tables.index_data(spark, SF_SMALL)
     with tempfile.TemporaryDirectory() as d:
-        out = export_pdf(idx, os.path.join(d, "index_data.pdf"))
-        assert glob.glob(os.path.join(d, "*")), out
+        path = os.path.join(d, "index_data.pdf")
+        out = export_pdf(idx, path)
+        assert out == path
+        raw = open(path, "rb").read()
+    assert raw.startswith(b"%PDF-1.")
+    assert raw.rstrip().endswith(b"%%EOF")
+    m = re.search(rb"startxref\s+(\d+)\s+%%EOF\s*$", raw)
+    assert m, "missing startxref"
+    assert raw[int(m.group(1)) :].startswith(b"xref")
+    assert b"(Index Report) Tj" in raw
+    assert b"/Helvetica-Bold" in raw and b"/Helvetica" in raw
+    # body cells carry the reference's formatting: 2dp + % suffix
+    assert re.search(rb"\(-?\d+\.\d\d%\) Tj", raw)
+    # every page object resolves its content stream
+    assert raw.count(b"/Type /Page ") == raw.count(b"/Contents")
+
+
+def test_export_pdf_paginates(spark):
+    """More rows than fit one page -> multiple /Page objects."""
+    from marketviz_spark.pipelines.pdf_lite import write_pdf
+
+    rows = [[f"2024-01-{i:02d}", "1.00", "0.00%", "0.00%"] for i in range(1, 29)]
+    rows = rows * 3  # 84 rows, ~2.8 pages
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "big.pdf")
+        write_pdf(path, "Index Report", ["Date", "V", "D", "C"], rows)
+        raw = open(path, "rb").read()
+    n_pages = raw.count(b"/Type /Page ")
+    assert n_pages >= 2
+    assert b"/Count %d" % n_pages in raw

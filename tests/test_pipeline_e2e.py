@@ -166,3 +166,97 @@ def test_jdbc_contract_shape(spark):
     assert "driver" in str(e.value).lower() or "No suitable" in str(
         e.value
     )
+
+
+def _yf_history(dates, closes, splits):
+    """A canned yfinance-shaped frame: tz-aware DatetimeIndex named
+    Date, extra OHLC columns the shaper must ignore."""
+    import pandas as pd
+
+    idx = pd.DatetimeIndex(
+        pd.to_datetime(dates).tz_localize("America/New_York"), name="Date"
+    )
+    return pd.DataFrame(
+        {
+            "Open": [c - 1 for c in closes],
+            "High": [c + 1 for c in closes],
+            "Low": [c - 2 for c in closes],
+            "Close": closes,
+            "Volume": [1000] * len(closes),
+            "Dividends": [0.0] * len(closes),
+            "Stock Splits": splits,
+        },
+        index=idx,
+    )
+
+
+def test_yfinance_shape_canned_fixture():
+    from marketviz_spark.pipelines.ingest import YFinanceHistorySource
+
+    hist = _yf_history(
+        ["2024-03-01", "2024-03-04", "2024-03-05"],
+        [10.0, 20.0, 30.0],
+        [0.0, 2.0, 0.0],
+    )
+    out = YFinanceHistorySource.shape(hist, 5000, "ZZZ")
+    assert list(out["date"]) == ["2024-03-01", "2024-03-04", "2024-03-05"]
+    assert list(out["close"]) == [10.0, 20.0, 30.0]
+    assert list(out["stock_splits"]) == [0.0, 2.0, 0.0]
+    assert set(out["shares_outstanding"]) == {5000.0}
+
+
+def test_yfinance_shape_missing_shares_raises():
+    import pytest as _pytest
+
+    from marketviz_spark.pipelines.ingest import YFinanceHistorySource
+
+    hist = _yf_history(["2024-03-01"], [10.0], [0.0])
+    for bad in (None, 0):  # reference: `if not shares_outstanding`
+        with _pytest.raises(ValueError, match="ZZZ"):
+            YFinanceHistorySource.shape(hist, bad, "ZZZ")
+
+
+def test_yfinance_shaped_source_through_ingest(spark):
+    """End-to-end: a source emitting yfinance-shaped frames through
+    the real shaper must reproduce the reference's reverse-cumprod
+    split adjustment (stock_data_fetcher.py:64-70) when run through
+    the distributed split_adjust path."""
+    from marketviz_spark.pipelines.ingest import (
+        HistorySource,
+        UniverseSource,
+        YFinanceHistorySource,
+        ingest,
+    )
+
+    dates = ["2024-03-01", "2024-03-04", "2024-03-05", "2024-03-06"]
+    closes = [10.0, 20.0, 30.0, 40.0]
+    splits = [0.0, 2.0, 0.0, 3.0]
+    shares = 6000.0
+
+    class CannedYF(HistorySource):
+        def fetch(self, ticker):
+            return YFinanceHistorySource.shape(
+                _yf_history(dates, closes, splits), shares, ticker
+            )
+
+    stocks, errors = ingest(
+        UniverseSource(["ZZZ"]).to_df(spark), CannedYF()
+    )
+    assert errors.count() == 0
+    got = {
+        r["date"]: (r["effective_shares_outstanding"], r["market_cap"])
+        for r in stocks.collect()
+    }
+    # reference algorithm: newest-first frame, cumprod of split
+    # factors (0 -> 1) INCLUSIVE of each row's own split, effective
+    # shares = shares / cumfactor, cap = close * effective
+    inc = 1.0
+    want = {}
+    for d, c, s in reversed(list(zip(dates, closes, splits))):
+        inc = inc * (s if s else 1.0)
+        want[d] = (shares / inc, c * (shares / inc))
+    for d in dates:
+        eff, cap = got[d]
+        weff, wcap = want[d]
+        assert abs(eff - weff) < 1e-6, (d, eff, weff)
+        assert abs(cap - wcap) < 1e-6, (d, cap, wcap)

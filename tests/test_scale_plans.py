@@ -102,3 +102,16 @@ def test_bucketed_join_has_no_shuffle(spark):
         assert "Exchange hashpartitioning" not in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_salted_join_query_uses_shuffle_not_broadcast(spark):
+    """The skew bench query must exercise the salted SHUFFLE join
+    path (a broadcast would make the salt a no-op)."""
+    from marketviz_spark.registry import QUERIES
+
+    df = QUERIES["skew_salted_join"].fn(spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "_salt" in plan
