@@ -245,6 +245,75 @@ def blas_cosine_topk(
     )
 
 
+EMB_TABLES = 4
+EMB_TABLE_BITS = 6
+NEAR_DUP_COSINE = 0.35
+
+
+def embedding_near_pairs(
+    emb: DataFrame,
+    threshold: float = NEAR_DUP_COSINE,
+    n_tables: int = EMB_TABLES,
+    bits: int = EMB_TABLE_BITS,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the dedup-family
+    member over the embedding column: candidates come from
+    `n_tables` independent hyperplane-LSH tables (each a `bits`-bit
+    sign bucket; multi-table OR-ing is the standard recall
+    amplifier: P(candidate) = 1-(1-p^bits)^n_tables with
+    p = 1 - theta/pi), then exact rounded cosine verifies
+    candidates against `threshold`.
+
+    Scale: ONE shuffle to the (table, key) buckets (each vector
+    ships n_tables copies), pairs stream in-bucket via
+    dedup._bucket_pairs (bounded memory, degenerate buckets
+    refused), verification is inline on the carried vectors — no
+    join back to the vector table. The operator's CONTRACT is
+    bucketed recall (both engines evaluate identical tables), so
+    the SQL oracle reproduces the bucketing bit-for-bit via the
+    same md5-derived planes.
+    """
+    from .dedup import _bucket_pairs
+
+    n = with_norm(emb)
+    keys = []
+    for t in range(n_tables):
+        key = F.lit(0)
+        for j in range(bits):
+            h = t * bits + j
+            warr = F.array(
+                *[
+                    F.lit(float(_plane_sign(h, d)))
+                    for d in range(EMB_DIM)
+                ]
+            )
+            key = key + F.when(
+                _dot(F.col("_v"), warr) > 0.0, F.lit(2**j)
+            ).otherwise(F.lit(0))
+        keys.append(key.cast("long"))
+    stacked = n.select(
+        F.struct(
+            F.col("vec_id").alias("vec_id"),
+            F.col("_v").alias("_v"),
+            F.col("_norm").alias("_norm"),
+        ).alias("item"),
+        F.posexplode(F.array(*keys)).alias("band", "key"),
+    ).select("band", "key", "item")
+    pairs = _bucket_pairs(stacked).select(
+        F.col("a.vec_id").alias("doc_a"),
+        F.col("b.vec_id").alias("doc_b"),
+        rnd(
+            _dot(F.col("a._v"), F.col("b._v"))
+            / (F.col("a._norm") * F.col("b._norm")),
+            6,
+        ).alias("cosine"),
+    )
+    return (
+        pairs.filter(F.col("cosine") >= threshold)
+        .distinct()
+    )
+
+
 N_IVF_CELLS = 16
 N_IVF_ITERS = 2
 

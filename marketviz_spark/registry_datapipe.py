@@ -362,6 +362,27 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(tables.load(spark, sf_dir, "embeddings"), k=5)
 
 
+def _table_key_sql(t: int, bits: int) -> str:
+    """bits-bit sign-bucket key of hyperplane table t — planes
+    h = t*bits + j with the same md5-derived weights the Spark side
+    uses (similarity._plane_sign)."""
+    projs = []
+    for j in range(bits):
+        h = t * bits + j
+        sign = (
+            f"CASE WHEN (instr('{HEX}', substring(md5("
+            f"'{h}-' || CAST(d AS VARCHAR)), 1, 1)) - 1) % 2 = 0"
+            " THEN 1.0 ELSE -1.0 END"
+        )
+        proj = (
+            "list_sum(list_transform("
+            f"generate_series(0, {EMB_DIM - 1}),"
+            f" d -> ({sign}) * vec[d + 1]))"
+        )
+        projs.append(f"CASE WHEN ({proj}) > 0.0 THEN {2 ** j} ELSE 0 END")
+    return " + ".join(projs)
+
+
 def _lsh_bucket_sql() -> str:
     projs = []
     for h in range(N_HYPERPLANES):
@@ -377,6 +398,51 @@ def _lsh_bucket_sql() -> str:
         )
         projs.append(f"CASE WHEN ({proj}) > 0.0 THEN {2 ** h} ELSE 0 END")
     return " + ".join(projs)
+
+
+def _near_dup_oracle() -> str:
+    from .datapipe.similarity import (
+        EMB_TABLES,
+        EMB_TABLE_BITS,
+        NEAR_DUP_COSINE,
+    )
+
+    tables_sql = "\n    UNION ALL\n".join(
+        f"    SELECT {t} AS tbl, CAST({_table_key_sql(t, EMB_TABLE_BITS)}"
+        " AS BIGINT) AS key, vec_id, vec, nrm FROM v"
+        for t in range(EMB_TABLES)
+    )
+    return (
+        f"WITH {_VEC_CTE}"
+        + f""", stacked AS (
+{tables_sql}
+    ), cand AS (
+        SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+        FROM stacked a JOIN stacked b
+          ON a.tbl = b.tbl AND a.key = b.key AND a.vec_id < b.vec_id
+    )
+    SELECT doc_a, doc_b, cosine FROM (
+        SELECT c.doc_a, c.doc_b,
+               floor(list_dot_product(x.vec, y.vec) / (x.nrm * y.nrm)
+                     * 1000000.0 + 0.5) / 1000000.0 AS cosine
+        FROM cand c
+        JOIN v x ON x.vec_id = c.doc_a
+        JOIN v y ON y.vec_id = c.doc_b
+    )
+    WHERE cosine >= {NEAR_DUP_COSINE}
+    """
+    )
+
+
+@register(
+    "dedup_embedding_pairs",
+    _near_dup_oracle(),
+    survey="embedding-cosine near-dup pairs (multi-table LSH, datapipe)",
+)
+def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .datapipe.similarity import embedding_near_pairs
+
+    return embedding_near_pairs(tables.load(spark, sf_dir, "embeddings"))
 
 
 @register(

@@ -260,3 +260,29 @@ def test_mm_payload_first_byte_non_ascii(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_embedding_near_pairs_sound_and_multi_table_recall(spark):
+    """Every emitted pair must truly clear the cosine threshold
+    (soundness), and OR-ing 4 LSH tables must recall at least as
+    many true pairs as any single table (the amplification
+    argument), strictly more on this fixture."""
+    from marketviz_spark import tables
+    from marketviz_spark.datapipe.similarity import (
+        NEAR_DUP_COSINE,
+        cosine_topk,
+        embedding_near_pairs,
+    )
+    from tests.conftest import SF_SMALL
+
+    emb = tables.load(spark, SF_SMALL, "embeddings")
+    multi = embedding_near_pairs(emb).collect()
+    assert multi, "fixture must produce near-dup pairs"
+    assert all(r["cosine"] >= NEAR_DUP_COSINE for r in multi)
+    assert all(r["doc_a"] < r["doc_b"] for r in multi)
+
+    single = embedding_near_pairs(emb, n_tables=1).collect()
+    assert {(r.doc_a, r.doc_b) for r in single} <= {
+        (r.doc_a, r.doc_b) for r in multi
+    } or len(single) <= len(multi)
+    assert len(multi) > len(single)
