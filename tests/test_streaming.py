@@ -223,3 +223,53 @@ def test_foreachbatch_multi_trigger_no_loss(spark):
         assert got == want
         # the 'view' group written in batch 1 must have survived batch 2
         assert any("view" in r for r in got)
+
+
+def test_stream_dedup_exact_across_batches(spark):
+    """Duplicate event_ids arriving in LATER micro-batches (within
+    the watermark) are dropped; the surviving set equals batch
+    dropDuplicates."""
+    import time
+
+    import pyspark.sql.types as T
+
+    from marketviz_spark.streaming.dedup import stream_dedup_exact
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), False),
+            T.StructField("ts", T.LongType(), False),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+    ns = 10**9
+    base = 1704103200 * ns
+    batch1 = [
+        (1, base + 60 * ns, 1, "click", 1.0, None),
+        (2, base + 120 * ns, 1, "view", 2.0, None),
+    ]
+    batch2 = [
+        (1, base + 61 * ns, 1, "click", 1.0, None),  # dup key, later ts
+        (3, base + 180 * ns, 2, "click", 3.0, None),
+    ]
+    with tempfile.TemporaryDirectory() as src:
+        f1, f2 = os.path.join(src, "a.parquet"), os.path.join(src, "b.parquet")
+        spark.createDataFrame(batch1, schema).toPandas().to_parquet(f1)
+        spark.createDataFrame(batch2, schema).toPandas().to_parquet(f2)
+        now = time.time()
+        os.utime(f1, (now - 60, now - 60))
+        os.utime(f2, (now, now))
+
+        stream = read_events_stream(spark, src, max_files_per_trigger=1)
+        run_to_memory(
+            stream_dedup_exact(stream).select("event_id"),
+            "t_dedup",
+            "append",
+        )
+        got = sorted(
+            r.event_id for r in spark.sql("SELECT * FROM t_dedup").collect()
+        )
+    assert got == [1, 2, 3]
