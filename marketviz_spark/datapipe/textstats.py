@@ -27,6 +27,40 @@ def tokens(text_col: str = "text") -> Column:
     return F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
 
 
+# GPT-2-style pretokenizer, simplified to the RE2/Java-regex common
+# subset (no lookahead): contractions, space-prefixed letter runs,
+# digit runs, punctuation runs, residual whitespace. Alternation
+# order matters and both engines match leftmost-first, so counts are
+# engine-identical.
+BPE_PATTERN = r"'(s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_tokens(text_col: str = "text") -> Column:
+    """BPE-ish pretokens (the unit an LLM tokenizer would merge
+    within) — a whole different count than whitespace words for
+    punctuation/number-heavy text."""
+    return F.regexp_extract_all(
+        F.col(text_col), F.lit(BPE_PATTERN), F.lit(0)
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace vs BPE-ish token counts per document, plus the
+    ratio an LLM-cost estimator would use. Map-only, JVM regex."""
+    ws = F.size(tokens()).cast("long")
+    bpe = F.size(
+        F.filter(bpe_tokens(), lambda t: F.trim(t) != "")
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        rnd(bpe / F.greatest(ws, F.lit(1).cast("long")), 6).alias(
+            "bpe_per_word"
+        ),
+    )
+
+
 def _hits(toks: Column, words: list[str]) -> Column:
     arr = F.array(*[F.lit(w) for w in words])
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast(

@@ -100,6 +100,32 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_token_bpe",
+    f"WITH {TOKS_CTE}"
+    + r"""
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_ws_tokens,
+           CAST(len(list_filter(regexp_extract_all(text,
+               '''(s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'),
+               x -> trim(x) <> '')) AS BIGINT) AS n_bpe_tokens,
+           floor(CAST(len(list_filter(regexp_extract_all(text,
+               '''(s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'),
+               x -> trim(x) <> '')) AS BIGINT)
+               / greatest(CAST(len(t) AS BIGINT), 1)
+               * 1000000.0 + 0.5) / 1000000.0 AS bpe_per_word
+    FROM toks
+    """,
+    survey="BPE-ish regex token counting (LLM cost estimator, datapipe)",
+)
+def q_text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .datapipe.textstats import token_counts
+
+    return token_counts(tables.load(spark, sf_dir, "documents"))
+
+
+
+
+@register(
     "text_langid",
     f"WITH {TOKS_CTE}"
     + f"""
@@ -225,6 +251,40 @@ _BAND_STACK = " UNION ALL ".join(
 )
 def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(tables.load(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_bucket_overflow",
+    _MINHASH_CTES
+    + f""", stacked AS ({_BAND_STACK})
+    SELECT band, key, CAST(count(*) AS BIGINT) AS n_items
+    FROM stacked
+    GROUP BY band, key
+    HAVING count(*) > 2
+    """,
+    survey="LSH bucket overflow report (degenerate-dup routing, datapipe)",
+)
+def q_dedup_bucket_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-dedup routing side-channel as a first-class query:
+    buckets larger than the pairing cap (set to 2 here so the
+    fixture exercises the path; production uses dedup.MAX_BUCKET).
+    """
+    from .datapipe.dedup import (
+        BAND_SIZE,
+        NUM_HASHES,
+        bucket_overflow_keys,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(tables.load(spark, sf_dir, "documents"))
+    n_bands = NUM_HASHES // BAND_SIZE
+    stacked = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"band_{b}") for b in range(n_bands)])
+        ).alias("band", "key"),
+    ).select("band", "key", F.col("doc_id").alias("item"))
+    return bucket_overflow_keys(stacked, max_bucket=2)
 
 
 @register(

@@ -286,3 +286,43 @@ def test_embedding_near_pairs_sound_and_multi_table_recall(spark):
         (r.doc_a, r.doc_b) for r in multi
     } or len(single) <= len(multi)
     assert len(multi) > len(single)
+
+
+def test_bpe_tokens_diverge_from_whitespace(spark):
+    """On punctuation/contraction/number-heavy text the BPE-ish
+    pretokenizer must split more finely than whitespace, and Spark's
+    Java-regex counts must equal DuckDB's RE2 counts cell-for-cell."""
+    import duckdb
+
+    from marketviz_spark.datapipe.textstats import token_counts
+    from marketviz_spark.registry import QUERIES
+
+    texts = [
+        "it's a well-known fact: 42 isn't 'nothing'!",
+        "plain words only here",
+        "a1b2c3 ... (x+y)=z",
+    ]
+    docs = _docs(spark, texts)
+    got = {
+        r.doc_id: (r.n_ws_tokens, r.n_bpe_tokens, r.bpe_per_word)
+        for r in token_counts(docs).collect()
+    }
+    assert got[0][1] > got[0][0]  # punctuation splits
+    assert got[1][1] == got[1][0]  # plain words: identical
+    assert got[2][1] > got[2][0]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents(doc_id BIGINT, text VARCHAR, lang VARCHAR)"
+    )
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?, 'en')",
+        list(enumerate(texts)),
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            QUERIES["text_token_bpe"].oracle
+        ).fetchall()
+    }
+    assert got == want
