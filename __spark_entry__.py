@@ -39,6 +39,9 @@ _FIRST = [
     "q6_forecast_revenue",
     "w_rank_family",
     "w_ticker_trend_slope",
+    "dedup_embedding_pairs",
+    "text_token_bpe",
+    "dedup_bucket_overflow",
     "skew_salted_join",
     "emb_ivf_topk",
     "emb_cosine_topk_blas",
