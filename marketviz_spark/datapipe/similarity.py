@@ -143,62 +143,97 @@ def blas_cosine_topk(
     k: int = 5,
     round_dp: int = 4,
     block_rows: int = BLAS_BLOCK_ROWS,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Brute-force cosine top-k, the throughput path: block-partitioned
-    BLAS. Both sides are hashed into row blocks; every (A-block,
-    B-block) tile becomes one applyInPandas group that runs a dense
-    matmul and emits its own per-row top-k; a final window merges the
-    tile candidates into the global top-k. NOTHING is collected to the
-    driver — the whole dataflow is shuffle + executor-side BLAS.
+    BLAS. Rows are hashed into `nb` blocks; every UPPER-TRIANGULAR
+    (ab <= bb) block pair becomes one applyInPandas group that runs a
+    dense matmul once and emits per-row top-k candidates for BOTH pair
+    orientations; a final window merges the tile candidates into the
+    global top-k. NOTHING is collected to the driver — the whole
+    dataflow is shuffle + executor-side BLAS.
 
-    ~10-100x faster than the expression-fold version: the O(n·m·d)
-    inner loop runs in BLAS instead of Catalyst expression eval, and
-    only n·k·n_blocks candidate rows ever leave the tiles.
+    Grid sizing is parallelism-aware, not data-constant:
+    ``nb = max(ceil(n/block_rows), ceil(sqrt(2·defaultParallelism)))``
+    so small inputs still fan out to ~one tile per core (nb(nb+1)/2
+    tiles) instead of degenerating to a single task, while large
+    inputs keep tiles bounded at `block_rows` vectors per side.
+    When `n_rows` isn't supplied the input is persisted and counted —
+    the count doubles as the cache warm for the two shuffle branches;
+    at real scale pass the catalog's row count instead.
 
-    Scale: communication is O(n · n_blocks) rows per side (each block
-    pair must meet), i.e. O(n²·d / block_rows) bytes total — the
-    inherent cost of exact all-pairs. block_rows trades executor
-    memory (a tile holds 2·block_rows vectors) against shuffle volume;
-    4096×64d ≈ 2 MB/side/tile. Past ~1e7 vectors exact all-pairs is
-    the wrong tool regardless of engine — switch to
-    hyperplane_lsh_topk / ivf_topk (same bucket→equi-join→verify
-    dataflow, candidates only).
+    Scale: each row ships `nb` copies (a-side to tiles (r, r..nb-1),
+    b-side to tiles (0..r-1, r)), i.e. O(n²·d / block_rows) bytes
+    total — half the naive full-grid volume, and the inherent cost of
+    exact all-pairs. block_rows trades executor memory (a tile holds
+    ≤2·block_rows vectors) against shuffle volume; 4096×64d ≈ 2
+    MB/side/tile. Past ~1e7 vectors exact all-pairs is the wrong tool
+    regardless of engine — switch to hyperplane_lsh_topk / ivf_topk
+    (same bucket→equi-join→verify dataflow, candidates only).
 
     Cosines are rounded (floor-based, numerics.rnd semantics) BEFORE
     ranking, with a neighbor-id tiebreak, so per-tile top-k + global
     merge is exactly the full-sort ranking and reproducible against
-    the SQL oracle despite BLAS sum ordering.
+    the SQL oracle despite BLAS sum ordering. The result is invariant
+    to `nb`: every unordered pair meets in exactly one tile.
     """
     import math
 
     import numpy as np
     import pandas as pd
 
-    # One cheap aggregate (count, not a data collect) sizes the grid.
-    n_rows = emb.count()
-    nb = max(1, math.ceil(n_rows / block_rows))
-    tags = F.array(*[F.lit(i) for i in range(nb)])
     base = emb.select("vec_id", "embedding")
+    if n_rows is None:
+        base = base.persist()
+        n_rows = base.count()
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    nb = max(
+        math.ceil(n_rows / block_rows),
+        math.ceil(math.sqrt(2.0 * par)),
+        1,
+    )
     blk = F.pmod(F.col("vec_id"), F.lit(nb)).cast("int")
-    # A rows live in block `ab` and visit every B block; B rows live
-    # in block `bb` and visit every A block -> each (ab, bb) group
-    # holds exactly A-block ab plus B-block bb.
+    # Symmetric scheme: a row in block r is the A side of tiles
+    # (r, r..nb-1) and the B side of tiles (0..r-1, r); tile (x, y)
+    # with x < y holds A-block x + B-block y, and the diagonal tile
+    # (r, r) holds block r once (a-side only, B := A inside).
     a = (
         base.withColumn("ab", blk)
-        .withColumn("bb", F.explode(tags))
+        .withColumn("bb", F.explode(F.sequence(blk, F.lit(nb - 1))))
         .withColumn("side", F.lit("a"))
     )
+    # sequence() steps backwards when start > stop, so guard blk=0
+    # with a NULL array — explode() of NULL emits no rows.
     b = (
         base.withColumn("bb", blk)
-        .withColumn("ab", F.explode(tags))
+        .withColumn(
+            "ab",
+            F.explode(
+                F.when(blk > 0, F.sequence(F.lit(0), blk - 1))
+            ),
+        )
         .withColumn("side", F.lit("b"))
     )
     both = a.unionByName(b)
     p = float(10**round_dp)
 
-    def tile(pdf: pd.DataFrame) -> pd.DataFrame:
+    def topk_rows(ids_q, ids_c, R):
+        # Per-query-row top-k over candidate columns of R.
+        out_vec, out_nb, out_cos = [], [], []
+        for i in range(R.shape[0]):
+            mask = ids_c != ids_q[i]
+            cand_ids = ids_c[mask]
+            cand_cos = R[i][mask]
+            order = np.lexsort((cand_ids, -cand_cos))[:k]
+            out_vec.extend([ids_q[i]] * len(order))
+            out_nb.extend(cand_ids[order])
+            out_cos.extend(cand_cos[order])
+        return out_vec, out_nb, out_cos
+
+    def tile(key, pdf):
+        ab, bb = key
         A = pdf[pdf["side"] == "a"]
-        B = pdf[pdf["side"] == "b"]
+        B = A if ab == bb else pdf[pdf["side"] == "b"]
         if A.empty or B.empty:
             return pd.DataFrame(
                 {
@@ -215,15 +250,13 @@ def blas_cosine_topk(
         S /= np.sqrt((Am * Am).sum(axis=1))[:, None]
         S /= np.sqrt((Bm * Bm).sum(axis=1))[None, :]
         R = np.floor(S * p + 0.5) / p
-        out_vec, out_nb, out_cos = [], [], []
-        for i in range(R.shape[0]):
-            mask = b_ids != a_ids[i]
-            cand_ids = b_ids[mask]
-            cand_cos = R[i][mask]
-            order = np.lexsort((cand_ids, -cand_cos))[:k]
-            out_vec.extend([a_ids[i]] * len(order))
-            out_nb.extend(cand_ids[order])
-            out_cos.extend(cand_cos[order])
+        out_vec, out_nb, out_cos = topk_rows(a_ids, b_ids, R)
+        if ab != bb:
+            # Off-diagonal: one matmul serves both orientations.
+            v2, n2, c2 = topk_rows(b_ids, a_ids, R.T)
+            out_vec.extend(v2)
+            out_nb.extend(n2)
+            out_cos.extend(c2)
         return pd.DataFrame(
             {
                 "vec_id": np.array(out_vec, dtype=np.int64),
