@@ -29,27 +29,27 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver checks queries in dict insertion order and may stop at
-# a count/time budget (round 1 recorded 50 of 55). Front-load the
-# entries that round 1's run missed plus everything changed this
-# round, so a budget cutoff can only ever skip queries that already
-# have a prior green CORRECTNESS row.
+# a count/time budget (50 of 59 in rounds 1-2). Front-load the
+# entries whose last driver row is a round stale (r01 — the 9 the
+# r02 budget skipped) plus everything round 3 touches, so a budget
+# cutoff can only ever skip queries with a fresh green row.
 _FIRST = [
-    "json_props_struct",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "w_rank_family",
-    "w_ticker_trend_slope",
-    "dedup_embedding_pairs",
-    "text_token_bpe",
-    "dedup_bucket_overflow",
-    "skew_salted_join",
-    "emb_ivf_topk",
+    # driver row last green in r01 (skipped by the r02 budget)
+    "semi_anti_join",
+    "pivot_order_status",
+    "w_moving_stats",
+    "events_range_join",
+    "q3_shipping_priority",
+    "p3_point_lookup",
+    "having_big_orders",
+    "unpivot_prices",
+    "agg_approx_sketches",
+    # touched in round 3
     "emb_cosine_topk_blas",
+    "emb_ivf_topk",
     "agg_distinct_percentile",
-    "set_ops",
-    "mm_payload_features",
     "dedup_lsh_pairs",
-    "dedup_simhash_pairs",
+    "dedup_embedding_pairs",
     "dedup_clusters",
 ]
 

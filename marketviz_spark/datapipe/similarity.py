@@ -351,7 +351,9 @@ N_IVF_CELLS = 16
 N_IVF_ITERS = 2
 
 
-def _assign_to(n: DataFrame, centroids: DataFrame) -> DataFrame:
+def _assign_to(
+    n: DataFrame, centroids: DataFrame, nprobe: int = 1
+) -> DataFrame:
     """Nearest-centroid assignment by rounded cosine (cell tiebreak).
 
     The argmax is a groupBy min(struct(-cos, cell, payload)) rather
@@ -361,6 +363,13 @@ def _assign_to(n: DataFrame, centroids: DataFrame) -> DataFrame:
     sorts all n·K scored rows). Struct comparison is field-order
     lexicographic, so ties on cosine break to the smallest cell —
     identical semantics to the oracle's row_number ordering.
+
+    With ``nprobe > 1`` the same single aggregation also emits a
+    ``probe_cells`` array — the vector's `nprobe` nearest cells in
+    the identical (cosine desc, cell asc) order — for IVF search to
+    probe beyond the home cell. The probe structs carry only
+    (neg_cos, cell), 2 scalars × K, so the collect_list stays tiny
+    next to the vector payload already on the row.
     """
     scored = n.crossJoin(F.broadcast(centroids)).select(
         "vec_id",
@@ -373,7 +382,7 @@ def _assign_to(n: DataFrame, centroids: DataFrame) -> DataFrame:
             6,
         ).alias("c_cos"),
     )
-    best = scored.groupBy("vec_id").agg(
+    aggs = [
         F.min(
             F.struct(
                 (-F.col("c_cos")).alias("neg_cos"),
@@ -382,13 +391,36 @@ def _assign_to(n: DataFrame, centroids: DataFrame) -> DataFrame:
                 F.col("_norm").alias("_norm"),
             )
         ).alias("b")
-    )
-    return best.select(
-        "vec_id",
+    ]
+    if nprobe > 1:
+        aggs.append(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("c_cos")).alias("neg_cos"),
+                            F.col("cell").alias("cell"),
+                        )
+                    )
+                ),
+                1,
+                nprobe,
+            ).alias("pr")
+        )
+    best = scored.groupBy("vec_id").agg(*aggs)
+    cols = [
+        F.col("vec_id"),
         F.col("b._v").alias("_v"),
         F.col("b._norm").alias("_norm"),
         F.col("b.cell").alias("cell"),
-    )
+    ]
+    if nprobe > 1:
+        cols.append(
+            F.transform(F.col("pr"), lambda s: s["cell"]).alias(
+                "probe_cells"
+            )
+        )
+    return best.select(*cols)
 
 
 def ivf_train(
@@ -473,15 +505,35 @@ def ivf_assign(emb: DataFrame) -> DataFrame:
     return _assign_to(n, ivf_train(emb))
 
 
-def ivf_topk(emb: DataFrame, k: int = 3) -> DataFrame:
-    """IVF search: probe only the query's own cell (nprobe=1).
-    Candidates share a cell -> equi-join on cell, like the LSH path
-    but with data-adaptive partitioning."""
-    assigned = ivf_assign(emb)
-    a, b = assigned.alias("a"), assigned.alias("b")
+N_IVF_PROBE = 2
+
+
+def ivf_topk(
+    emb: DataFrame, k: int = 3, nprobe: int = N_IVF_PROBE
+) -> DataFrame:
+    """IVF search: each query probes its `nprobe` nearest cells
+    (candidates are indexed by home cell only, standard IVF). The
+    probe list rides out of the same assignment aggregate, so vs
+    nprobe=1 the only extra cost is the candidate equi-join fanning
+    out `nprobe` probe rows per query — recall across cell
+    boundaries without rescoring the whole index."""
+    n = with_norm(emb).select("vec_id", "_v", "_norm")
+    assigned = _assign_to(n, ivf_train(emb), nprobe=nprobe)
+    cand = assigned.select("vec_id", "_v", "_norm", "cell")
+    qry = assigned.select(
+        "vec_id",
+        "_v",
+        "_norm",
+        F.explode(
+            F.col("probe_cells")
+            if nprobe > 1
+            else F.array(F.col("cell"))
+        ).alias("pcell"),
+    )
+    a, b = qry.alias("a"), cand.alias("b")
     pairs = a.join(
         b,
-        (F.col("a.cell") == F.col("b.cell"))
+        (F.col("a.pcell") == F.col("b.cell"))
         & (F.col("a.vec_id") != F.col("b.vec_id")),
     ).select(
         F.col("a.vec_id").alias("vec_id"),

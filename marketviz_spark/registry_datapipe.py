@@ -614,6 +614,31 @@ def _ivf_assign_sql(src: str, cent: str, out: str) -> str:
 """
 
 
+def _ivf_probe_sql(
+    src: str, cent: str, out: str, nprobe: int
+) -> str:
+    """Probe-list CTE: each vector's `nprobe` nearest cells in the
+    same (rounded cosine desc, cell asc) order — the SQL twin of
+    similarity._assign_to's probe_cells."""
+    return f"""
+, {out} AS (
+    SELECT vec_id, cell
+    FROM (
+        SELECT {src}.vec_id, {cent}.cell,
+               row_number() OVER (
+                   PARTITION BY {src}.vec_id
+                   ORDER BY floor(list_dot_product({src}.vec, {cent}.c_v)
+                                  / ({src}.nrm * {cent}.c_nrm)
+                                  * 1000000.0 + 0.5) / 1000000.0 DESC,
+                            {cent}.cell
+               ) AS rn
+        FROM {src}, {cent}
+    )
+    WHERE rn <= {nprobe}
+)
+"""
+
+
 def _ivf_mean_sql(assigned: str, out: str) -> str:
     """Centroid re-estimation CTE: decimal-exact elementwise mean
     rounded to 6dp — the SQL twin of similarity.ivf_train's sums."""
@@ -652,6 +677,7 @@ _IVF_CTE = (
     + _ivf_assign_sql("v", "c1", "a1")
     + _ivf_mean_sql("a1", "c2")
     + _ivf_assign_sql("v", "c2", "assigned")
+    + _ivf_probe_sql("v", "c2", "probes", 2)
 )
 
 
@@ -664,8 +690,10 @@ _IVF_CTE = (
         SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
                floor(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm)
                      * 1000000.0 + 0.5) / 1000000.0 AS cosine
-        FROM assigned a JOIN assigned b
-          ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        FROM assigned a
+        JOIN probes p ON p.vec_id = a.vec_id
+        JOIN assigned b
+          ON b.cell = p.cell AND b.vec_id <> a.vec_id
     )
     SELECT vec_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
     FROM (
