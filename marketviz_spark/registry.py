@@ -952,42 +952,63 @@ def q_agg_distinct_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_parts"))
     )
     # Exact median WITHOUT percentile()'s per-group value buffer
-    # (that buffer is an OOM at 100 TB): rank with a spillable
-    # window sort, keep only the 1-2 rows at the interpolation
-    # positions, and apply percentile's own lo + (hi-lo)*frac
-    # formula so the value is bit-identical to quantile_cont(0.5).
-    cnt = li.groupBy("l_returnflag").agg(F.count("*").alias("_n"))
-    w_med = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    # (that buffer is an OOM at 100 TB) and WITHOUT a row-level sort:
+    # collapse the fact rows to a per-(group, value) histogram first —
+    # a parallel, map-side-combining hash aggregate — then walk the
+    # far smaller cumulative histogram. A value covers the row-rank
+    # range (cum - c, cum]; the interpolation inputs are the values
+    # covering positions floor/ceil((n-1)/2)+1, and lo + (hi-lo)*frac
+    # reproduces quantile_cont(0.5) bit-for-bit. The window sort now
+    # touches distinct values per group, not rows (worst case equal,
+    # typically orders of magnitude smaller), and stays spillable.
+    # min/max ride the same group-count pass — one lineitem scan
+    # serves sizing AND the price extremes.
+    cnt = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("_n"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+    hist = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count("*").alias("_c")
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("_cum", F.sum("_c").over(w_cum)).join(
+        F.broadcast(cnt.select("l_returnflag", "_n")), "l_returnflag"
+    )
     pos = (F.col("_n") - 1) / F.lit(2.0)  # 0-based, frac in {0, .5}
-    ranked = (
-        li.select("l_returnflag", "l_quantity")
-        .join(F.broadcast(cnt), "l_returnflag")
-        .withColumn("_rn", F.row_number().over(w_med))
-        .filter(
-            (F.col("_rn") == F.floor(pos) + 1)
-            | (F.col("_rn") == F.ceil(pos) + 1)
+    pos_lo = F.floor(pos) + 1
+    pos_hi = F.ceil(pos) + 1
+    lo_cover = (F.col("_cum") - F.col("_c") < pos_lo) & (
+        pos_lo <= F.col("_cum")
+    )
+    hi_cover = (F.col("_cum") - F.col("_c") < pos_hi) & (
+        pos_hi <= F.col("_cum")
+    )
+    med = (
+        cum.filter(lo_cover | hi_cover)
+        .groupBy("l_returnflag")
+        .agg(
+            F.min(F.when(lo_cover, F.col("l_quantity"))).alias("_lo"),
+            F.min(F.when(hi_cover, F.col("l_quantity"))).alias("_hi"),
+            F.first("_n").alias("_n"),
         )
     )
-    med = ranked.groupBy("l_returnflag").agg(
-        F.min("l_quantity").alias("_lo"),
-        F.max("l_quantity").alias("_hi"),
-        F.first("_n").alias("_n"),
-    )
-    frac = (F.col("_n") - 1) / F.lit(2.0) - F.floor(
+    med_frac = (F.col("_n") - 1) / F.lit(2.0) - F.floor(
         (F.col("_n") - 1) / F.lit(2.0)
     )
     med = med.select(
         "l_returnflag",
-        (F.col("_lo") + (F.col("_hi") - F.col("_lo")) * frac).alias(
+        (F.col("_lo") + (F.col("_hi") - F.col("_lo")) * med_frac).alias(
             "median_qty"
         ),
     )
-    rest = li.groupBy("l_returnflag").agg(
-        F.min("l_extendedprice").alias("min_price"),
-        F.max("l_extendedprice").alias("max_price"),
-    )
     return (
-        rest.join(med, "l_returnflag")
+        cnt.select("l_returnflag", "min_price", "max_price")
+        .join(med, "l_returnflag")
         .join(n_o, "l_returnflag")
         .join(n_p, "l_returnflag")
         .select(
