@@ -108,6 +108,13 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     return per_doc.select("doc_id", sig, *bands)
 
 
+# Contract constant: buckets larger than this are refused by
+# _bucket_pairs and surface via bucket_overflow_keys instead. Part of
+# the engine's OBSERVABLE semantics — every pairing oracle in
+# registry_datapipe mirrors it (HAVING count(*) <= MAX_BUCKET), so
+# changing it changes query results (it was 10_000 before round 2;
+# callers relying on pairs from 2k-10k buckets see them routed to the
+# overflow report instead).
 MAX_BUCKET = 2_000
 
 

@@ -238,14 +238,38 @@ _BAND_STACK = " UNION ALL ".join(
     for b in range(_N_BANDS)
 )
 
+from .datapipe.dedup import MAX_BUCKET  # noqa: E402
+
+# Engine contract: buckets larger than MAX_BUCKET are refused by
+# _bucket_pairs (degenerate mass duplication routes to the overflow
+# report instead of O(b²) pairing). Every pairing oracle mirrors the
+# cap so Spark and DuckDB stay identical on data WITH an over-cap
+# bucket, not just on fixtures without one.
+_OK_BUCKETS = f"""
+    ok AS (
+        SELECT band, key FROM stacked
+        GROUP BY band, key
+        HAVING count(*) <= {MAX_BUCKET}
+    )"""
+
+_CAPPED_PAIRS = (
+    _OK_BUCKETS
+    + """,
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM stacked a
+        JOIN ok ON ok.band = a.band AND ok.key = a.key
+        JOIN stacked b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )"""
+)
+
 
 @register(
     "dedup_lsh_pairs",
     _MINHASH_CTES
-    + f""", stacked AS ({_BAND_STACK})
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM stacked a JOIN stacked b
-      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    + f""", stacked AS ({_BAND_STACK}),{_CAPPED_PAIRS}
+    SELECT doc_a, doc_b FROM pairs
     """,
     survey="LSH near-dup candidate pairs (datapipe)",
 )
@@ -364,11 +388,14 @@ _SIMHASH_BAND_STACK = " UNION ALL ".join(
     "dedup_simhash_pairs",
     _SIMHASH_CTES
     + f", s AS ({_SIMHASH_SELECT}), stacked AS ({_SIMHASH_BAND_STACK}), "
-    + """
+    + _OK_BUCKETS
+    + """,
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                a.simhash AS sh_a, b.simhash AS sh_b
-        FROM stacked a JOIN stacked b
+        FROM stacked a
+        JOIN ok ON ok.band = a.band AND ok.key = a.key
+        JOIN stacked b
           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b,
@@ -476,9 +503,15 @@ def _near_dup_oracle() -> str:
         f"WITH {_VEC_CTE}"
         + f""", stacked AS (
 {tables_sql}
+    ), ok AS (
+        SELECT tbl, key FROM stacked
+        GROUP BY tbl, key
+        HAVING count(*) <= {MAX_BUCKET}
     ), cand AS (
         SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
-        FROM stacked a JOIN stacked b
+        FROM stacked a
+        JOIN ok ON ok.tbl = a.tbl AND ok.key = a.key
+        JOIN stacked b
           ON a.tbl = b.tbl AND a.key = b.key AND a.vec_id < b.vec_id
     )
     SELECT doc_a, doc_b, cosine FROM (
@@ -715,12 +748,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_clusters",
     _MINHASH_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
-    + f""", stacked AS ({_BAND_STACK}),
-    pairs AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM stacked a JOIN stacked b
-          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-    ), edges AS (
+    + f""", stacked AS ({_BAND_STACK}),{_CAPPED_PAIRS}, edges AS (
         SELECT doc_a, doc_b FROM pairs
         UNION ALL
         SELECT doc_b, doc_a FROM pairs
@@ -744,12 +772,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_levenshtein",
     _MINHASH_CTES
-    + f""", stacked AS ({_BAND_STACK}),
-    pairs AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM stacked a JOIN stacked b
-          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-    )
+    + f""", stacked AS ({_BAND_STACK}),{_CAPPED_PAIRS}
     SELECT p.doc_a, p.doc_b,
            CAST(levenshtein(da.text, db.text) AS INT) AS edit_distance,
            CAST(greatest(length(da.text), length(db.text)) AS BIGINT)

@@ -354,3 +354,52 @@ def test_bpe_tokens_diverge_from_whitespace(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_bucket_cap_is_engine_identical_on_overflow(spark, tmp_path):
+    """The MAX_BUCKET pairing cap is part of the query CONTRACT:
+    on data with an over-cap bucket (mass-duplicated boilerplate),
+    the Spark engine and the DuckDB oracle must still produce the
+    same pairs — the degenerate bucket is refused by both, while
+    genuine near-dup pairs survive."""
+    import duckdb
+    import pandas as pd
+
+    from marketviz_spark.datapipe.dedup import (
+        MAX_BUCKET,
+        lsh_candidate_pairs,
+    )
+    from marketviz_spark.registry import QUERIES
+
+    boiler = (
+        "spam spam lovely spam wonderful spam bakery fresh bread daily"
+    )
+    near_a = (
+        "the quick brown fox jumps over the lazy dog in the morning sun"
+    )
+    near_b = (
+        "the quick brown fox jumps over the lazy dog in the evening sun"
+    )
+    rows = [
+        (i, boiler, "en", "dup", len(boiler))
+        for i in range(MAX_BUCKET + 1)
+    ]
+    rows += [
+        (90001, near_a, "en", "uniq", len(near_a)),
+        (90002, near_b, "en", "uniq", len(near_b)),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    pq_path = str(tmp_path / "documents.parquet")
+    pdf.to_parquet(pq_path)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{pq_path}'")
+    du = con.execute(QUERIES["dedup_lsh_pairs"].oracle).fetchdf()
+    sp = lsh_candidate_pairs(spark.createDataFrame(pdf)).toPandas()
+    sp_pairs = set(map(tuple, sp[["doc_a", "doc_b"]].values))
+    du_pairs = set(map(tuple, du[["doc_a", "doc_b"]].values))
+    assert sp_pairs == du_pairs
+    # the 2001-doc bucket contributed nothing; the near pair survived
+    assert sp_pairs == {(90001, 90002)}
