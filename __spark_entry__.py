@@ -45,6 +45,7 @@ _FIRST = [
     "unpivot_prices",
     "agg_approx_sketches",
     # touched in round 3
+    "skew_salted_agg",
     "emb_cosine_topk_blas",
     "emb_ivf_topk",
     "agg_distinct_percentile",

@@ -29,6 +29,7 @@ def salted_agg_sum(
     group_col: str,
     value_col: str,
     n_salts: int = 16,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Two-phase skew-safe sum: partial-aggregate on (key, salt),
     then final-aggregate on key. The hot key's rows spread across
@@ -45,11 +46,18 @@ def salted_agg_sum(
     different row placement (executor loss, nondeterministic source)
     would re-salt rows differently than the data already shuffled —
     dropping or double-counting. Content-hash salting is stable
-    under any recomputation; its limit (identical rows share a salt)
-    only matters for exact-duplicate skew, which exact dedup removes
-    upstream.
+    under any recomputation.
+
+    CONTRACT: the salt hashes `salt_cols` (default: every column of
+    `df`, so any distinguishing attribute — a row id, source offset,
+    line number — spreads duplicates of the same (group, value)
+    pair). Rows identical in ALL salt_cols still share a salt, so
+    fully-duplicated-row skew lands on one reducer regardless —
+    that degenerate shape needs exact dedup upstream, which this
+    operator cannot enforce. Pass a high-cardinality key column in
+    `salt_cols` whenever one exists.
     """
-    salt = _content_salt([group_col, value_col], n_salts)
+    salt = _content_salt(salt_cols or df.columns, n_salts)
     partial = (
         df.select(F.col(group_col), F.col(value_col), salt)
         .groupBy(group_col, "_salt")

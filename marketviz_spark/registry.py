@@ -758,6 +758,45 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "skew_salted_agg",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    survey="two-phase salted aggregation on a skewed group key (skew ops, extension)",
+)
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.skew.salted_agg_sum as a first-class query: sum over
+    l_returnflag — a 3-value group key, the worst aggregation-skew
+    shape (each group is ~1/3 of 100 TB on one reducer without the
+    salt). The salt hashes the lineitem PK (l_orderkey,
+    l_linenumber), so even mass-duplicated (flag, qty) pairs spread
+    across reducers. Decimal-cast values keep the two-phase sum
+    bit-identical to the oracle's single-phase sum (order-free)."""
+    from .operators.skew import salted_agg_sum
+
+    li = tables.load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty_dec"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    summed = salted_agg_sum(
+        li,
+        "l_returnflag",
+        "qty_dec",
+        salt_cols=["l_orderkey", "l_linenumber"],
+    )
+    return summed.select(
+        "l_returnflag",
+        F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+    )
+
+
 # ----------------------------------------------------------------------
 # JSON extraction on events.props (engine extension, SURVEY §2.8 note)
 # ----------------------------------------------------------------------

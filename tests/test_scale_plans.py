@@ -115,3 +115,22 @@ def test_salted_join_query_uses_shuffle_not_broadcast(spark):
     assert "ShuffledHashJoin" in plan
     assert "BroadcastHashJoin" not in plan
     assert "_salt" in plan
+
+
+def test_salted_agg_query_is_two_phase(spark):
+    """The salted aggregation must show BOTH phases in the executed
+    plan: a partial aggregate exchanged on (group, _salt), then a
+    final aggregate exchanged on the group key alone."""
+    from marketviz_spark.registry import QUERIES
+
+    df = QUERIES["skew_salted_agg"].fn(spark, SF_SMALL)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan
+    exchanges = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert any("_salt" in l for l in exchanges)
+    assert any(
+        "l_returnflag" in l and "_salt" not in l for l in exchanges
+    )
