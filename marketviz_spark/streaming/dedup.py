@@ -38,8 +38,15 @@ def stream_dedup_content(
     content_col: str = "props",
     watermark: str = "2 hours",
 ) -> DataFrame:
+    # NULL gets a sentinel fingerprint distinct from every md5 (a
+    # 32-hex-char space can't contain '<null>'), so a NULL payload
+    # and an empty-string payload are different contents — coalesce
+    # into the hash would silently drop one of them as a duplicate.
     fp = events.withColumn(
-        "_fp", F.md5(F.coalesce(F.col(content_col), F.lit("")))
+        "_fp",
+        F.when(F.col(content_col).isNull(), F.lit("<null>")).otherwise(
+            F.md5(F.col(content_col))
+        ),
     )
     return (
         fp.withWatermark("ts", watermark)

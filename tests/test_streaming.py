@@ -273,3 +273,98 @@ def test_stream_dedup_exact_across_batches(spark):
             r.event_id for r in spark.sql("SELECT * FROM t_dedup").collect()
         )
     assert got == [1, 2, 3]
+
+
+def test_stream_dedup_content_late_arrival_residual(spark):
+    """The documented watermark contract of stream_dedup_content,
+    proven on a late-arrival replay:
+
+    - a duplicate payload arriving WITHIN the watermark horizon is
+      dropped;
+    - NULL props and empty-string props are DIFFERENT contents (the
+      fingerprint distinguishes them) — both survive;
+    - a duplicate arriving AFTER the watermark evicted its
+      fingerprint state SURVIVES the stream (the residual), and the
+      downstream batch mop-up collapses it — the standard
+      lambda-cleanup pattern.
+    """
+    import time
+
+    import pyspark.sql.types as T
+
+    from marketviz_spark.streaming.dedup import stream_dedup_content
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), False),
+            T.StructField("ts", T.LongType(), False),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+    ns = 10**9
+    h = 3600 * ns
+    base = 1704103200 * ns
+    # watermark is 2h; state for a fingerprint first seen at ts T is
+    # evicted once watermark (= max event time - 2h) passes T + 2h.
+    batch1 = [
+        (1, base, 1, "click", 1.0, "x"),
+        (2, base + 60 * ns, 1, "view", 1.0, None),  # NULL props
+        (3, base + 120 * ns, 1, "view", 1.0, ""),  # empty != NULL
+        (4, base + 180 * ns, 2, "click", 1.0, "x"),  # in-horizon dup
+    ]
+    # advances max event time to base+5h -> the NEXT batch runs with
+    # watermark base+3h, past the "x" state expiry (base+2h).
+    batch2 = [(9, base + 5 * h, 3, "click", 1.0, "filler")]
+    # eviction applies at the END of a batch using that batch's
+    # watermark, so one more batch must pass before the dup arrives:
+    # batch3 runs at watermark base+3h and evicts the "x" state.
+    batch3 = [(10, base + 5 * h + 10 * ns, 3, "click", 1.0, "filler2")]
+    # duplicate "x" payload, ts past the watermark -> not late, but
+    # its fingerprint state is gone: the residual that survives.
+    batch4 = [(5, base + 5 * h + 60 * ns, 4, "click", 1.0, "x")]
+    with tempfile.TemporaryDirectory() as src:
+        now = time.time()
+        for i, batch in enumerate((batch1, batch2, batch3, batch4)):
+            f = os.path.join(src, f"{i}.parquet")
+            spark.createDataFrame(batch, schema).toPandas().to_parquet(f)
+            os.utime(f, (now - 60 + 30 * i, now - 60 + 30 * i))
+
+        stream = read_events_stream(spark, src, max_files_per_trigger=1)
+        run_to_memory(
+            stream_dedup_content(stream).select("event_id", "props"),
+            "t_dedup_content",
+            "append",
+        )
+        out = spark.sql("SELECT * FROM t_dedup_content")
+        got = sorted(r.event_id for r in out.collect())
+        # 4 dropped (dup within horizon); 2 and 3 BOTH kept (NULL vs
+        # empty are distinct contents); 5 kept (post-watermark residual)
+        assert got == [1, 2, 3, 5, 9, 10]
+
+        # batch mop-up: exact content dedup collapses the residual
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        fp = F.when(F.col("props").isNull(), F.lit("<null>")).otherwise(
+            F.md5(F.col("props"))
+        )
+        mopped = (
+            out.withColumn("_fp", fp)
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("_fp").orderBy("event_id")
+                ),
+            )
+            .filter("rn = 1")
+        )
+        assert sorted(r.event_id for r in mopped.collect()) == [
+            1,
+            2,
+            3,
+            9,
+            10,
+        ]
