@@ -52,6 +52,7 @@ _FIRST = [
     "dedup_lsh_pairs",
     "dedup_embedding_pairs",
     "dedup_clusters",
+    "dedup_clusters_multi",
 ]
 
 

@@ -304,20 +304,23 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
-def dedup_clusters(
-    docs: DataFrame, max_iter: int = 20, reliable_checkpoint: bool = False
+def _min_label_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    max_iter: int = 20,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
-    """Connected components over the LSH near-dup graph: every doc
+    """Connected components by iterative min-label propagation over
+    `pairs` (doc_a, doc_b) with node set `nodes` (doc_id): every node
     gets the minimum doc_id of its component as cluster_id (isolated
-    docs are their own cluster). The dedup end-game: keep one
-    representative per cluster.
+    nodes are their own cluster).
 
-    Iterative min-label propagation — the canonical Spark iterative
-    algorithm shape: a driver loop of joins with a checkpoint per
-    round to truncate lineage (without it the plan doubles every
-    iteration), converging in O(component diameter) rounds, each
-    round one shuffle. Near-dup components are tiny by construction
-    (LSH buckets are capped), so convergence is fast at any scale.
+    The canonical Spark iterative algorithm shape: a driver loop of
+    joins with a checkpoint per round to truncate lineage (without it
+    the plan doubles every iteration), converging in O(component
+    diameter) rounds, each round one shuffle. Near-dup components are
+    tiny by construction (LSH buckets are capped), so convergence is
+    fast at any scale.
 
     `reliable_checkpoint=True` uses `DataFrame.checkpoint` (requires
     `spark.sparkContext.setCheckpointDir` on fault-tolerant storage)
@@ -332,7 +335,6 @@ def dedup_clusters(
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
-    pairs = lsh_candidate_pairs(docs)
     edges = ckpt(
         pairs.unionByName(
             pairs.select(
@@ -342,7 +344,7 @@ def dedup_clusters(
         )
     )
     labels = ckpt(
-        docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+        nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -377,3 +379,52 @@ def dedup_clusters(
         if changed == 0:
             break
     return labels
+
+
+def dedup_clusters(
+    docs: DataFrame, max_iter: int = 20, reliable_checkpoint: bool = False
+) -> DataFrame:
+    """Connected components over the LSH near-dup graph — the dedup
+    end-game: keep one representative per cluster_id."""
+    return _min_label_components(
+        docs.select("doc_id"),
+        lsh_candidate_pairs(docs),
+        max_iter=max_iter,
+        reliable_checkpoint=reliable_checkpoint,
+    )
+
+
+def dedup_clusters_multi(
+    docs: DataFrame,
+    emb: DataFrame,
+    max_iter: int = 20,
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """Connected components over the UNION of the text near-dup graph
+    (MinHash-LSH candidate pairs) and the embedding-cosine near-dup
+    graph (multi-table hyperplane LSH + cosine verify) — the full
+    dedup end-game for a multimodal corpus: two docs land in one
+    cluster if they look alike in EITHER modality. vec_id is the
+    document's embedding id (shared id space), so edges union by
+    doc id; the node set is docs ∪ embedded docs, keeping
+    vector-only ids clusterable too.
+
+    Scale: each edge source is its own capped bucket-join pipeline
+    (one shuffle each); the union adds no shuffle (distinct folds
+    into the first propagation round's exchange).
+    """
+    from .similarity import embedding_near_pairs
+
+    text_edges = lsh_candidate_pairs(docs)
+    emb_edges = embedding_near_pairs(emb).select("doc_a", "doc_b")
+    nodes = (
+        docs.select("doc_id")
+        .unionByName(emb.select(F.col("vec_id").alias("doc_id")))
+        .distinct()
+    )
+    return _min_label_components(
+        nodes,
+        text_edges.unionByName(emb_edges).distinct(),
+        max_iter=max_iter,
+        reliable_checkpoint=reliable_checkpoint,
+    )

@@ -487,7 +487,11 @@ def _lsh_bucket_sql() -> str:
     return " + ".join(projs)
 
 
-def _near_dup_oracle() -> str:
+def _emb_pair_ctes() -> str:
+    """CTE chain ev→estacked→eok→ecand→epairs(doc_a, doc_b, cosine):
+    embedding near-dup pairs, e-prefixed so the chain composes with
+    the minhash CTEs (which own the names stacked/ok/pairs) in the
+    multimodal clusters oracle."""
     from .datapipe.similarity import (
         EMB_TABLES,
         EMB_TABLE_BITS,
@@ -496,34 +500,45 @@ def _near_dup_oracle() -> str:
 
     tables_sql = "\n    UNION ALL\n".join(
         f"    SELECT {t} AS tbl, CAST({_table_key_sql(t, EMB_TABLE_BITS)}"
-        " AS BIGINT) AS key, vec_id, vec, nrm FROM v"
+        " AS BIGINT) AS key, vec_id, vec, nrm FROM ev"
         for t in range(EMB_TABLES)
     )
-    return (
-        f"WITH {_VEC_CTE}"
-        + f""", stacked AS (
+    return f"""
+    ev AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+    ), estacked AS (
 {tables_sql}
-    ), ok AS (
-        SELECT tbl, key FROM stacked
+    ), eok AS (
+        SELECT tbl, key FROM estacked
         GROUP BY tbl, key
         HAVING count(*) <= {MAX_BUCKET}
-    ), cand AS (
+    ), ecand AS (
         SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
-        FROM stacked a
-        JOIN ok ON ok.tbl = a.tbl AND ok.key = a.key
-        JOIN stacked b
+        FROM estacked a
+        JOIN eok ON eok.tbl = a.tbl AND eok.key = a.key
+        JOIN estacked b
           ON a.tbl = b.tbl AND a.key = b.key AND a.vec_id < b.vec_id
-    )
-    SELECT doc_a, doc_b, cosine FROM (
-        SELECT c.doc_a, c.doc_b,
-               floor(list_dot_product(x.vec, y.vec) / (x.nrm * y.nrm)
-                     * 1000000.0 + 0.5) / 1000000.0 AS cosine
-        FROM cand c
-        JOIN v x ON x.vec_id = c.doc_a
-        JOIN v y ON y.vec_id = c.doc_b
-    )
-    WHERE cosine >= {NEAR_DUP_COSINE}
-    """
+    ), epairs AS (
+        SELECT doc_a, doc_b, cosine FROM (
+            SELECT c.doc_a, c.doc_b,
+                   floor(list_dot_product(x.vec, y.vec) / (x.nrm * y.nrm)
+                         * 1000000.0 + 0.5) / 1000000.0 AS cosine
+            FROM ecand c
+            JOIN ev x ON x.vec_id = c.doc_a
+            JOIN ev y ON y.vec_id = c.doc_b
+        )
+        WHERE cosine >= {NEAR_DUP_COSINE}
+    )"""
+
+
+def _near_dup_oracle() -> str:
+    return (
+        "WITH "
+        + _emb_pair_ctes()
+        + "\n    SELECT doc_a, doc_b, cosine FROM epairs"
     )
 
 
@@ -767,6 +782,43 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .datapipe.dedup import dedup_clusters
 
     return dedup_clusters(tables.load(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_clusters_multi",
+    _MINHASH_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f""", stacked AS ({_BAND_STACK}),{_CAPPED_PAIRS},"""
+    + _emb_pair_ctes()
+    + """, alledges AS (
+        SELECT doc_a, doc_b FROM pairs
+        UNION
+        SELECT doc_a, doc_b FROM epairs
+    ), edges AS (
+        SELECT doc_a, doc_b FROM alledges
+        UNION ALL
+        SELECT doc_b AS doc_a, doc_a AS doc_b FROM alledges
+    ), reach AS (
+        SELECT doc_id AS doc, doc_id AS r FROM (
+            SELECT doc_id FROM documents
+            UNION
+            SELECT vec_id AS doc_id FROM embeddings
+        )
+        UNION
+        SELECT e.doc_a AS doc, reach.r
+        FROM edges e JOIN reach ON e.doc_b = reach.doc
+    )
+    SELECT doc AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY doc
+    """,
+    survey="multimodal dedup clusters: text LSH + embedding near-dup edges (datapipe)",
+)
+def q_dedup_clusters_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .datapipe.dedup import dedup_clusters_multi
+
+    return dedup_clusters_multi(
+        tables.load(spark, sf_dir, "documents"),
+        tables.load(spark, sf_dir, "embeddings"),
+    )
 
 
 @register(

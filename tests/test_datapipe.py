@@ -403,3 +403,41 @@ def test_bucket_cap_is_engine_identical_on_overflow(spark, tmp_path):
     assert sp_pairs == du_pairs
     # the 2001-doc bucket contributed nothing; the near pair survived
     assert sp_pairs == {(90001, 90002)}
+
+
+def test_dedup_clusters_multi_merges_via_embedding_edge(spark):
+    """Two docs with UNRELATED texts but near-identical embeddings
+    must land in one cluster only under the multimodal variant: the
+    text-only graph keeps them apart, the embedding edge merges
+    them. A third doc unrelated in both modalities stays isolated."""
+    from marketviz_spark.datapipe.dedup import (
+        dedup_clusters,
+        dedup_clusters_multi,
+    )
+    from marketviz_spark.datapipe.similarity import EMB_DIM
+
+    docs = _docs(
+        spark,
+        [
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+            "one two three four five six seven eight nine ten eleven",
+            "completely different content about weather and mountains",
+        ],
+    )
+    v0 = [1.0] + [0.0] * (EMB_DIM - 1)
+    v1 = [1.0, 0.01] + [0.0] * (EMB_DIM - 2)
+    v2 = [0.0] * (EMB_DIM - 1) + [1.0]
+    emb = spark.createDataFrame(
+        [(0, v0), (1, v1), (2, v2)],
+        "vec_id long, embedding array<float>",
+    )
+    text_only = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(docs).collect()
+    }
+    multi = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters_multi(docs, emb).collect()
+    }
+    assert text_only == {0: 0, 1: 1, 2: 2}  # texts unrelated
+    assert multi == {0: 0, 1: 0, 2: 2}  # embedding edge merges 0-1
