@@ -64,10 +64,13 @@ def payload_features(media: DataFrame) -> DataFrame:
 
 
 def decode_image(media: DataFrame) -> DataFrame:
-    """Image decode + resize. STUB: media libs (PIL et al) are not
-    available in this environment; the Spark plumbing (batch
-    iterator, schema, error channel) is the tested part. Swap the
-    body of `_decode` for PIL/torchvision in production."""
+    """Image decode behind a runtime feature flag: when Pillow is
+    importable IN THE WORKER the payload is really decoded (width/
+    height from PIL.Image.open); otherwise the deterministic fake
+    below keeps the full Spark plumbing (batch iterator, schema,
+    error channel) testable. Detection happens per executor process,
+    so the same code self-upgrades wherever Pillow is installed —
+    no code change needed outside this sandbox."""
 
     schema = "doc_id long, width int, height int, ok boolean, err string"
 
@@ -86,9 +89,37 @@ def decode_image(media: DataFrame) -> DataFrame:
     return media.mapInPandas(decode, schema)
 
 
-def _decode(payload: bytes):
-    """Deterministic fake decode: derives dimensions from the bytes.
-    A real implementation opens the payload with an image library."""
+def _image_module():
+    """Pillow feature detection (None when absent). Called inside
+    the decode UDF so the check runs in the executor's Python
+    worker, not just on the driver."""
+    try:
+        from PIL import Image
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _decode(payload: bytes, image_mod=None):
+    """Decode one payload to (width, height, ok, err).
+
+    With Pillow present (or injected via `image_mod` for tests) the
+    bytes are really opened; decode failures flow down the error
+    channel instead of failing the job. Without it, non-image bytes
+    get a deterministic fake (md5-derived dimensions) so the
+    pipeline shape stays testable, and real image containers raise
+    the honest NotImplementedError."""
+    if image_mod is None:
+        image_mod = _image_module()
+    if image_mod is not None:
+        import io
+
+        try:
+            with image_mod.open(io.BytesIO(payload)) as im:
+                return int(im.width), int(im.height), True, None
+        except Exception as e:  # noqa: BLE001 — error-channel row
+            return None, None, False, f"decoding failed: {e}"
     if not payload.startswith(b"\x89PNG") and not payload.startswith(
         b"\xff\xd8"
     ):

@@ -441,3 +441,37 @@ def test_dedup_clusters_multi_merges_via_embedding_edge(spark):
     }
     assert text_only == {0: 0, 1: 1, 2: 2}  # texts unrelated
     assert multi == {0: 0, 1: 0, 2: 2}  # embedding edge merges 0-1
+
+
+def test_decode_image_pil_branch_via_injected_module():
+    """The Pillow branch of _decode, exercised with an injected
+    image module (Pillow itself is absent in this environment):
+    successful opens return real dimensions, failed opens flow down
+    the error channel as ok=False rows — never an exception."""
+    from marketviz_spark.datapipe.multimodal import (
+        _decode,
+        _image_module,
+    )
+
+    assert _image_module() is None  # env truth: no Pillow here
+
+    class FakeImage:
+        width, height = 640, 480
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    class FakeImageModule:
+        @staticmethod
+        def open(buf):
+            if buf.read(4) == b"\x89PNG":
+                return FakeImage()
+            raise OSError("cannot identify image file")
+
+    ok = _decode(b"\x89PNG....", image_mod=FakeImageModule)
+    assert ok == (640, 480, True, None)
+    bad = _decode(b"not an image", image_mod=FakeImageModule)
+    assert bad[2] is False and "decoding failed" in bad[3]
