@@ -15,7 +15,7 @@ this is a presentation sink fed by a 30-row driver-side frame
 
 from __future__ import annotations
 
-from xml.sax.saxutils import escape
+from xml.sax.saxutils import escape, quoteattr
 from zipfile import ZIP_DEFLATED, ZipFile
 
 _CONTENT_TYPES = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
@@ -114,7 +114,9 @@ def write_xlsx(path: str, sheets, col_width: int = 15) -> None:
             "xl/workbook.xml",
             _WORKBOOK.format(
                 sheets="".join(
-                    f'<sheet name="{escape(name)}" sheetId="{i + 1}" '
+                    # quoteattr: attribute context needs quote
+                    # escaping too (escape() leaves '"' alone)
+                    f"<sheet name={quoteattr(name)} sheetId=\"{i + 1}\" "
                     f'r:id="rId{i + 1}"/>'
                     for i, (name, _, _) in enumerate(sheets)
                 )

@@ -84,3 +84,22 @@ def test_export_pdf_paginates(spark):
     n_pages = raw.count(b"/Type /Page ")
     assert n_pages >= 2
     assert b"/Count %d" % n_pages in raw
+
+
+def test_xlsx_sheet_name_with_quote_yields_valid_xml(tmp_path):
+    """A sheet name containing a double quote must produce
+    well-formed workbook.xml (attribute context needs quote
+    escaping, which plain escape() does not do)."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    from marketviz_spark.pipelines.xlsx_lite import write_xlsx
+
+    path = str(tmp_path / "q.xlsx")
+    write_xlsx(path, [('He said "hi"', ["a"], [[1]])])
+    with zipfile.ZipFile(path) as z:
+        wb = z.read("xl/workbook.xml").decode()
+    root = ET.fromstring(wb)  # raises on corrupt XML
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    names = [s.get("name") for s in root.iter(f"{ns}sheet")]
+    assert names == ['He said "hi"']
