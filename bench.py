@@ -39,7 +39,10 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_lsh_pairs",
     "dedup_simhash_pairs",
+    "dedup_embedding_pairs",
+    "dedup_clusters",
     "text_stats",
+    "text_token_bpe",
     "emb_cosine_topk_blas",
     "emb_lsh_topk",
     "events_tumbling_1h",
@@ -50,6 +53,7 @@ BENCH_QUERIES = [
     "agg_distinct_percentile",
     "events_range_join",
     "skew_salted_join",
+    "skew_salted_agg",
 ]
 
 
