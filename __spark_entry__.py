@@ -53,6 +53,9 @@ _FIRST = [
     "dedup_embedding_pairs",
     "dedup_clusters",
     "dedup_clusters_multi",
+    "text_repetition",
+    "text_decontaminate",
+    "sample_stratified",
 ]
 
 

@@ -1,0 +1,236 @@
+"""Corpus-curation operators for training-data pipelines:
+Gopher-style repetition filters, benchmark decontamination, and
+deterministic stratified sampling for dataset mixing.
+
+Scale design (all three must survive 100 TB):
+- repetition_stats: token n-gram occurrence counting as
+  explode -> groupBy(doc_id, n, gram) -> groupBy(doc_id, n) ->
+  groupBy(doc_id). Every shuffle key embeds doc_id, so the key space
+  is at least as fine as the document space — uniform by
+  construction, no skew, and partial aggregation (map-side combine)
+  collapses each document's grams before the exchange. Nothing is
+  ever buffered per document (a 10M-token document costs rows, not
+  memory), unlike the obvious array-based formulation
+  (array_max over per-doc count maps), which is O(L^2) per doc in
+  the lambda-based form and O(L) heap in the map-based form.
+- decontaminate: the eval/benchmark set is small by definition
+  (thousands of docs), so its distinct shingle set is broadcast;
+  the corpus side stays map-only until one groupBy(doc_id) count.
+  No corpus-vs-corpus join ever happens.
+- sample_stratified: pure map-only projection + filter, zero
+  shuffle. The sampling decision is a deterministic integer hash of
+  doc_id (Lehmer/Park-Miller step, modulus 2^31-1), NOT rand():
+  re-running the pipeline re-selects the same rows (idempotent
+  ingestion), and the same arithmetic is exactly reproducible in
+  any SQL engine for auditing. All operands stay < 2^47 so the
+  arithmetic never overflows int64 in either engine.
+
+Reference parity note: the reference app (MarketViz) has no corpus
+layer at all (SURVEY.md §2.11 lists what it lacks); these operators
+extend the engine for its target deployment (LLM training-data
+preparation), first-class like the rest of the datapipe surface
+(COVERAGE.md "datapipe" rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..numerics import rnd
+from .dedup import shingles
+from .textstats import tokens
+
+# Repetition thresholds (Gopher-style "repetitive document" gates),
+# calibrated so the synthetic corpus splits on both clauses.
+TOP_BIGRAM_FRAC_MAX = 0.125
+DUP_TRIGRAM_FRAC_MAX = 0.05
+# Below this many tokens the bigram signal has no resolution: a doc
+# with ALL-unique bigrams still has top_bigram_frac = 2/n > 0.125
+# when n < 16, so every short doc would be flagged. Short docs are a
+# length-filter concern (textstats quality score), not a repetition
+# one — the flag is forced false under the floor.
+REP_MIN_TOKENS = 16
+
+# Decontamination: eval split selector and the shared-shingle count
+# at which a corpus document counts as contaminated.
+EVAL_MOD = 50
+CONTAM_MIN_SHARED = 2
+
+# Stratified sampling: per-source keep-percentages (dataset mixing
+# weights); sources absent from the map fall back to DEFAULT_RATE.
+SAMPLE_RATES = {"src0": 90, "src1": 75, "src2": 50, "src3": 10}
+DEFAULT_RATE = 30
+LEHMER_MOD = 2147483647  # 2^31 - 1 (Mersenne prime)
+LEHMER_MUL = 48271
+
+
+def _gram_occurrences(docs: DataFrame, n: int) -> DataFrame:
+    """ALL n-gram occurrences (non-distinct) per document:
+    (doc_id, n_tokens, gram). Contrast dedup.shingles, which is
+    DISTINCT per doc — repetition counting needs multiplicity."""
+    tk = docs.select("doc_id", tokens().alias("_t"))
+    t = F.col("_t")
+    idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
+    grams = F.when(
+        F.size(t) >= n,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return tk.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_tokens"),
+        F.explode(grams).alias("gram"),
+    )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals per document:
+
+    - top_bigram_frac: tokens covered by the most frequent bigram
+      (count * 2 / n_tokens) — catches "foo bar foo bar foo bar"
+      boilerplate;
+    - dup_trigram_frac: fraction of trigram occurrences whose gram
+      appears more than once in the document — catches longer-span
+      self-repetition;
+    - repetitive: either signal over its threshold, AND the document
+      is at least REP_MIN_TOKENS long (below that the bigram ratio is
+      saturated by construction; see the constant's comment).
+
+    Documents shorter than 2 tokens have no bigrams and are absent
+    from the output (nothing to measure), matching the oracle.
+    """
+    occ = _gram_occurrences(docs, 2).select(
+        "doc_id", "n_tokens", F.lit(2).alias("n"), "gram"
+    ).unionByName(
+        _gram_occurrences(docs, 3).select(
+            "doc_id", "n_tokens", F.lit(3).alias("n"), "gram"
+        )
+    )
+    per_gram = occ.groupBy("doc_id", "n", "gram").agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.count("*").alias("cnt"),
+    )
+    per_n = per_gram.groupBy("doc_id", "n").agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.max("cnt").alias("top"),
+        F.sum("cnt").alias("tot"),
+        F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(0)).alias(
+            "dup"
+        ),
+    )
+    two, three = F.col("n") == 2, F.col("n") == 3
+    per_doc = per_n.groupBy("doc_id").agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.max(F.when(two, F.col("top"))).alias("top_bigram_count"),
+        # a 2-token doc has bigrams but no trigrams: trigram stats 0
+        F.coalesce(
+            F.max(F.when(three, F.col("dup"))), F.lit(0).cast("long")
+        ).alias("dup_trigram_count"),
+        F.coalesce(
+            F.max(F.when(three, F.col("tot"))), F.lit(0).cast("long")
+        ).alias("n_trigrams"),
+    )
+    top_frac = rnd(
+        F.col("top_bigram_count") * 2 / F.col("n_tokens"), 6
+    )
+    dup_frac = rnd(
+        F.col("dup_trigram_count")
+        / F.greatest(F.col("n_trigrams"), F.lit(1).cast("long")),
+        6,
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "top_bigram_count",
+        top_frac.alias("top_bigram_frac"),
+        "dup_trigram_count",
+        "n_trigrams",
+        dup_frac.alias("dup_trigram_frac"),
+        (
+            (F.col("n_tokens") >= REP_MIN_TOKENS)
+            & (
+                (top_frac > TOP_BIGRAM_FRAC_MAX)
+                | (dup_frac >= DUP_TRIGRAM_FRAC_MAX)
+            )
+        ).alias("repetitive"),
+    )
+
+
+def decontaminate(docs: DataFrame) -> DataFrame:
+    """Benchmark decontamination: per corpus document, the number of
+    distinct word trigrams it shares with the eval split
+    (doc_id % EVAL_MOD == 0), and a contaminated flag.
+
+    The eval shingle set is explicitly broadcast — at 100 TB the
+    corpus side is the big one and must never shuffle for this join.
+    Corpus documents too short to have trigrams surface with 0
+    shared shingles (still checkable rows), not silently dropped.
+    """
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    ev_sh = (
+        shingles(docs.filter(is_eval), 3)
+        .select("shingle")
+        .distinct()
+    )
+    corpus = docs.filter(~is_eval)
+    hits = (
+        shingles(corpus, 3)
+        .join(F.broadcast(ev_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_shingles"))
+    )
+    return (
+        corpus.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.col("n_shared_shingles"), F.lit(0).cast("long")
+            ).alias("n_shared_shingles"),
+            (
+                F.coalesce(F.col("n_shared_shingles"), F.lit(0))
+                >= CONTAM_MIN_SHARED
+            ).alias("contaminated"),
+        )
+    )
+
+
+def lehmer_pct(id_col: Column) -> Column:
+    """Deterministic pseudo-random percentile in [0, 100) from an
+    integer id: one Park-Miller/Lehmer step. (id % m) * 48271 fits
+    comfortably in int64, so Spark and any SQL oracle compute the
+    identical value."""
+    h = (id_col % LEHMER_MOD) * LEHMER_MUL % LEHMER_MOD
+    return (h % 100).cast("int")
+
+
+def sample_stratified(docs: DataFrame) -> DataFrame:
+    """Deterministic stratified sampling for dataset mixing: keep a
+    per-source percentage of documents (SAMPLE_RATES, default
+    DEFAULT_RATE), selected by Lehmer hash of doc_id — stable across
+    re-runs and engines, zero shuffle."""
+    rate_map = F.create_map(
+        *[
+            F.lit(x)
+            for kv in SAMPLE_RATES.items()
+            for x in kv
+        ]
+    )
+    rate = F.coalesce(
+        rate_map[F.col("source")], F.lit(DEFAULT_RATE)
+    ).cast("int")
+    pct = lehmer_pct(F.col("doc_id"))
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            pct.alias("sample_pct"),
+            rate.alias("keep_rate"),
+        )
+        .filter(F.col("sample_pct") < F.col("keep_rate"))
+    )

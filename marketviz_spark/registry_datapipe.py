@@ -856,3 +856,132 @@ def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("max_len"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# Corpus curation (repetition filters, decontamination, sampling)
+# ----------------------------------------------------------------------
+
+from .datapipe.curation import (  # noqa: E402
+    CONTAM_MIN_SHARED,
+    DEFAULT_RATE,
+    DUP_TRIGRAM_FRAC_MAX,
+    EVAL_MOD,
+    LEHMER_MOD,
+    LEHMER_MUL,
+    REP_MIN_TOKENS,
+    SAMPLE_RATES,
+    TOP_BIGRAM_FRAC_MAX,
+    decontaminate,
+    repetition_stats,
+    sample_stratified,
+)
+from .numerics import rnd_sql  # noqa: E402
+
+_TOP_FRAC = rnd_sql("top_bigram_count * 2 / n_tokens", 6)
+_DUP_FRAC = rnd_sql("dup_trigram_count / greatest(n_trigrams, 1)", 6)
+
+
+@register(
+    "text_repetition",
+    f"WITH {TOKS_CTE},"
+    + f"""
+    g AS (
+        SELECT doc_id, 2 AS n, CAST(len(t) AS BIGINT) AS n_tokens,
+               unnest(list_transform(generate_series(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i+1])) AS gram
+        FROM toks WHERE len(t) >= 2
+        UNION ALL
+        SELECT doc_id, 3 AS n, CAST(len(t) AS BIGINT) AS n_tokens,
+               unnest(list_transform(generate_series(1, len(t) - 2),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+        FROM toks WHERE len(t) >= 3
+    ),
+    c AS (
+        SELECT doc_id, n, gram, max(n_tokens) AS n_tokens,
+               count(*) AS cnt
+        FROM g GROUP BY doc_id, n, gram
+    ),
+    p AS (
+        SELECT doc_id, n, max(n_tokens) AS n_tokens,
+               max(cnt) AS top,
+               CAST(sum(cnt) AS BIGINT) AS tot,
+               CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END)
+                    AS BIGINT) AS dup
+        FROM c GROUP BY doc_id, n
+    ),
+    d AS (
+        SELECT doc_id, max(n_tokens) AS n_tokens,
+               max(CASE WHEN n = 2 THEN top END) AS top_bigram_count,
+               coalesce(max(CASE WHEN n = 3 THEN dup END),
+                        CAST(0 AS BIGINT)) AS dup_trigram_count,
+               coalesce(max(CASE WHEN n = 3 THEN tot END),
+                        CAST(0 AS BIGINT)) AS n_trigrams
+        FROM p GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, top_bigram_count,
+           {_TOP_FRAC} AS top_bigram_frac,
+           dup_trigram_count, n_trigrams,
+           {_DUP_FRAC} AS dup_trigram_frac,
+           (n_tokens >= {REP_MIN_TOKENS}
+            AND (({_TOP_FRAC}) > {TOP_BIGRAM_FRAC_MAX}
+                 OR ({_DUP_FRAC}) >= {DUP_TRIGRAM_FRAC_MAX}))
+               AS repetitive
+    FROM d
+    """,
+    survey="Gopher-style repetition filters (datapipe curation)",
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_stats(tables.load(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_decontaminate",
+    f"WITH {TOKS_CTE}, {SHINGLES_CTE},"
+    + f"""
+    ev AS (
+        SELECT DISTINCT shingle FROM sh WHERE doc_id % {EVAL_MOD} = 0
+    ),
+    hits AS (
+        SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        FROM sh s JOIN ev USING (shingle)
+        WHERE s.doc_id % {EVAL_MOD} <> 0
+        GROUP BY s.doc_id
+    )
+    SELECT c.doc_id,
+           coalesce(h.n_shared, CAST(0 AS BIGINT))
+               AS n_shared_shingles,
+           coalesce(h.n_shared, CAST(0 AS BIGINT))
+               >= {CONTAM_MIN_SHARED} AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % {EVAL_MOD} <> 0) c
+    LEFT JOIN hits h USING (doc_id)
+    """,
+    survey="benchmark decontamination via shingle overlap (datapipe curation)",
+)
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decontaminate(tables.load(spark, sf_dir, "documents"))
+
+
+def _rate_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{s}' THEN {r}" for s, r in SAMPLE_RATES.items()
+    )
+    return f"CASE source {whens} ELSE {DEFAULT_RATE} END"
+
+
+_PCT_SQL = f"(doc_id % {LEHMER_MOD}) * {LEHMER_MUL} % {LEHMER_MOD} % 100"
+
+
+@register(
+    "sample_stratified",
+    f"""
+    SELECT doc_id, source,
+           CAST({_PCT_SQL} AS INT) AS sample_pct,
+           CAST({_rate_case_sql()} AS INT) AS keep_rate
+    FROM documents
+    WHERE {_PCT_SQL} < {_rate_case_sql()}
+    """,
+    survey="deterministic stratified sampling for dataset mixing (datapipe curation)",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_stratified(tables.load(spark, sf_dir, "documents"))
