@@ -43,6 +43,9 @@ BENCH_QUERIES = [
     "dedup_clusters",
     "text_stats",
     "text_token_bpe",
+    "text_repetition",
+    "text_decontaminate",
+    "sample_stratified",
     "emb_cosine_topk_blas",
     "emb_lsh_topk",
     "events_tumbling_1h",

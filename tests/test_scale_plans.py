@@ -117,6 +117,38 @@ def test_salted_join_query_uses_shuffle_not_broadcast(spark):
     assert "_salt" in plan
 
 
+def test_decontaminate_broadcasts_eval_shingles(spark):
+    """The eval-shingle join must be a broadcast: at 100 TB the
+    corpus-side shingles can never shuffle for this join (the eval
+    split is small by definition)."""
+    plan = _plan(QUERIES["text_decontaminate"].fn(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    # the corpus shingle stream must not sort-merge against the
+    # eval set
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_sample_stratified_zero_shuffle(spark):
+    """Deterministic hash sampling is a pure map-only projection +
+    filter: any Exchange here would be a scale bug."""
+    plan = _plan(QUERIES["sample_stratified"].fn(spark, SF_SMALL))
+    assert "Exchange" not in plan, plan
+
+
+def test_repetition_shuffles_stay_doc_keyed(spark):
+    """Every exchange in the repetition pipeline must embed doc_id in
+    its partitioning key — the property that makes the key space at
+    least as fine as the document space (uniform, no skew) — and the
+    gram count must partially aggregate map-side before exchanging."""
+    plan = _plan(QUERIES["text_repetition"].fn(spark, SF_SMALL))
+    exchanges = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert exchanges  # the groupBys are real
+    assert all("doc_id" in l for l in exchanges), plan
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
+
+
 def test_salted_agg_query_is_two_phase(spark):
     """The salted aggregation must show BOTH phases in the executed
     plan: a partial aggregate exchanged on (group, _salt), then a
