@@ -56,6 +56,10 @@ _FIRST = [
     "text_repetition",
     "text_decontaminate",
     "sample_stratified",
+    "pack_sequences",
+    "pii_stats",
+    "pii_scrub",
+    "vocab_topk",
 ]
 
 

@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "text_repetition",
     "text_decontaminate",
     "sample_stratified",
+    "pack_sequences",
+    "vocab_topk",
     "emb_cosine_topk_blas",
     "emb_lsh_topk",
     "events_tumbling_1h",

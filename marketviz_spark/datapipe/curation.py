@@ -24,6 +24,23 @@ Scale design (all three must survive 100 TB):
   ingestion), and the same arithmetic is exactly reproducible in
   any SQL engine for auditing. All operands stay < 2^47 so the
   arithmetic never overflows int64 in either engine.
+- pack_sequences: GPT-style concat-and-chunk packing. Documents are
+  Lehmer-hashed into PACK_BUCKETS independent token streams; inside
+  a bucket a window cumsum (spillable sort, never a per-group
+  buffer) assigns each document its global token offset and the
+  range of fixed-size training bins it lands in. Parallelism is the
+  bucket count — set it to a small multiple of the cluster's cores
+  and the single ordered window (the one inherently sequential part
+  of packing) shards uniformly.
+- pii_stats / pii_scrub: map-only JVM regex (RE2/Java common
+  subset — no lookaround, no backrefs — so any SQL engine audits
+  the exact same matches). Detection counts and redaction never
+  shuffle.
+- vocab_topk: explode -> two-phase groupBy(token). Hot tokens ("the")
+  are exactly the keys partial aggregation collapses map-side, so
+  token skew never reaches the exchange; the global top-K is a
+  TakeOrdered (per-partition heap + driver merge of K rows), not a
+  full sort.
 
 Reference parity note: the reference app (MarketViz) has no corpus
 layer at all (SURVEY.md §2.11 lists what it lacks); these operators
@@ -200,13 +217,128 @@ def decontaminate(docs: DataFrame) -> DataFrame:
     )
 
 
+def lehmer_hash(id_col: Column) -> Column:
+    """One Park-Miller/Lehmer step: deterministic uniform hash of an
+    integer id in [0, 2^31-1). (id % m) * 48271 fits comfortably in
+    int64, so Spark and any SQL oracle compute the identical value."""
+    return (id_col % LEHMER_MOD) * LEHMER_MUL % LEHMER_MOD
+
+
 def lehmer_pct(id_col: Column) -> Column:
-    """Deterministic pseudo-random percentile in [0, 100) from an
-    integer id: one Park-Miller/Lehmer step. (id % m) * 48271 fits
-    comfortably in int64, so Spark and any SQL oracle compute the
-    identical value."""
-    h = (id_col % LEHMER_MOD) * LEHMER_MUL % LEHMER_MOD
-    return (h % 100).cast("int")
+    """Deterministic pseudo-random percentile in [0, 100)."""
+    return (lehmer_hash(id_col) % 100).cast("int")
+
+
+# Sequence packing: training-sequence token budget and the number of
+# independent packing streams (cluster-parallelism knob).
+PACK_BUDGET = 64
+PACK_BUCKETS = 8
+
+# PII patterns, RE2/Java common subset (no lookaround). Order matters
+# for redaction: the SSN pattern would otherwise match inside a
+# phone number's tail.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\d{3}[-.]\d{3}[-.]\d{4}"),
+    ("ssn", r"\d{3}-\d{2}-\d{4}"),
+    ("ipv4", r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"),
+]
+
+VOCAB_TOPK = 50
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = PACK_BUDGET,
+    n_buckets: int = PACK_BUCKETS,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT pretraining
+    layout): each bucket is an independent token stream ordered by
+    doc_id; consecutive documents are concatenated and the stream is
+    chunked every `budget` tokens, so a document may span bins.
+
+    Output per document: its bucket, token offset within the bucket
+    stream, and the first/last training-bin index it occupies.
+    Empty documents carry no tokens and are dropped.
+    """
+    from pyspark.sql import Window
+
+    tk = docs.select(
+        "doc_id",
+        F.size(tokens()).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    bucket = (
+        (lehmer_hash(F.col("doc_id")) % n_buckets)
+        .cast("int")
+        .alias("bucket")
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).alias("start_offset")
+    return (
+        tk.select("doc_id", "n_tokens", bucket)
+        .select(
+            "doc_id",
+            "bucket",
+            "n_tokens",
+            start,
+            F.floor((cum - F.col("n_tokens")) / budget)
+            .cast("long")
+            .alias("bin_first"),
+            F.floor((cum - 1) / budget).cast("long").alias("bin_last"),
+        )
+        .withColumn(
+            "n_bins",
+            (F.col("bin_last") - F.col("bin_first") + 1).cast("long"),
+        )
+    )
+
+
+def pii_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII match counts (one column per pattern) and a
+    has_pii flag. Map-only."""
+    counts = [
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+        )
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, pat in PII_PATTERNS
+    ]
+    out = docs.select("doc_id", *counts)
+    total = sum((F.col(f"n_{n}") for n, _ in PII_PATTERNS), F.lit(0))
+    return out.withColumn("has_pii", total > 0)
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact PII in pattern order (email before the number patterns,
+    SSN before IPv4 would not overlap but order is fixed anyway so
+    engines agree). Map-only."""
+    red = F.col(text_col)
+    for name, pat in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return docs.select(
+        "doc_id", red.alias("redacted"), F.length(red).alias("n_chars_red")
+    )
+
+
+def vocab_topk(docs: DataFrame, k: int = VOCAB_TOPK) -> DataFrame:
+    """Corpus vocabulary: global top-K tokens by term frequency with
+    document frequency, ties broken by token. The tf aggregation is
+    two-phase (map-side combine absorbs hot-token skew); df is a
+    distinct (token, doc_id) count."""
+    tok = docs.select(
+        "doc_id", F.explode(tokens()).alias("token")
+    )
+    stats = tok.groupBy("token").agg(
+        F.count("*").alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    return stats.orderBy(F.desc("tf"), F.asc("token")).limit(k)
 
 
 def sample_stratified(docs: DataFrame) -> DataFrame:

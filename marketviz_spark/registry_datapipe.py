@@ -985,3 +985,169 @@ _PCT_SQL = f"(doc_id % {LEHMER_MOD}) * {LEHMER_MUL} % {LEHMER_MOD} % 100"
 )
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_stratified(tables.load(spark, sf_dir, "documents"))
+
+
+# ----------------------------------------------------------------------
+# Sequence packing, PII, vocabulary (datapipe curation)
+# ----------------------------------------------------------------------
+
+from .datapipe.curation import (  # noqa: E402
+    PACK_BUCKETS,
+    PACK_BUDGET,
+    PII_PATTERNS,
+    VOCAB_TOPK,
+    pack_sequences,
+    pii_scrub,
+    pii_stats,
+    vocab_topk,
+)
+
+_LEHMER_SQL = f"(doc_id % {LEHMER_MOD}) * {LEHMER_MUL} % {LEHMER_MOD}"
+
+
+@register(
+    "pack_sequences",
+    f"WITH {TOKS_CTE},"
+    + f"""
+    tk AS (
+        SELECT doc_id,
+               CAST(len(t) AS BIGINT) AS n_tokens,
+               CAST({_LEHMER_SQL} % {PACK_BUCKETS} AS INT) AS bucket
+        FROM toks WHERE len(t) > 0
+    ),
+    c AS (
+        SELECT doc_id, bucket, n_tokens,
+               CAST(sum(n_tokens) OVER (
+                   PARTITION BY bucket ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM tk
+    )
+    SELECT doc_id, bucket, n_tokens,
+           cum - n_tokens AS start_offset,
+           CAST(floor((cum - n_tokens) / {PACK_BUDGET}) AS BIGINT)
+               AS bin_first,
+           CAST(floor((cum - 1) / {PACK_BUDGET}) AS BIGINT) AS bin_last,
+           CAST(floor((cum - 1) / {PACK_BUDGET})
+                - floor((cum - n_tokens) / {PACK_BUDGET}) + 1 AS BIGINT)
+               AS n_bins
+    FROM c
+    """,
+    survey="concat-and-chunk sequence packing into token-budget bins (datapipe curation)",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_sequences(tables.load(spark, sf_dir, "documents"))
+
+
+# The synthetic corpus contains no digits or @-signs by construction,
+# so the PII queries exercise the patterns on a deterministically
+# augmented copy: a fraction of documents get an email / phone / SSN
+# / IPv4 appended, derived from doc_id identically in both engines.
+# The operators themselves take any corpus.
+
+def _pii_augment(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    s = did.cast("string")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" contact user"), s, F.lit("@example.com")),
+        ).otherwise(""),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" call 555-123-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(""),
+        F.when(did % 11 == 0, F.lit(" ssn 123-45-6789")).otherwise(""),
+        F.when(
+            did % 13 == 0,
+            F.concat(F.lit(" ip 10.0."), (did % 256).cast("string"), F.lit(".7")),
+        ).otherwise(""),
+    )
+    return docs.select("doc_id", aug.alias("text"))
+
+
+_PII_AUG_SQL = """
+    aug AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 5 = 0
+                  THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com' ELSE '' END
+               || CASE WHEN doc_id % 7 = 0
+                  THEN ' call 555-123-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE '' END
+               || CASE WHEN doc_id % 11 = 0
+                  THEN ' ssn 123-45-6789' ELSE '' END
+               || CASE WHEN doc_id % 13 = 0
+                  THEN ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                       || '.7' ELSE '' END
+               AS text
+        FROM documents
+    )
+"""
+
+_PII_COUNT_COLS = ",\n           ".join(
+    f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)"
+    f" AS n_{name}"
+    for name, pat in PII_PATTERNS
+)
+_PII_TOTAL = " + ".join(f"n_{name}" for name, _ in PII_PATTERNS)
+
+_PII_RED_SQL = "text"
+for _name, _pat in PII_PATTERNS:
+    _PII_RED_SQL = (
+        f"regexp_replace({_PII_RED_SQL}, '{_pat}',"
+        f" '<{_name.upper()}>', 'g')"
+    )
+
+
+@register(
+    "pii_stats",
+    f"WITH {_PII_AUG_SQL},"
+    + f"""
+    c AS (
+        SELECT doc_id, {_PII_COUNT_COLS}
+        FROM aug
+    )
+    SELECT *, ({_PII_TOTAL}) > 0 AS has_pii FROM c
+    """,
+    survey="PII detection counts: email/phone/SSN/IPv4 regex, map-only (datapipe curation)",
+)
+def q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pii_stats(_pii_augment(tables.load(spark, sf_dir, "documents")))
+
+
+@register(
+    "pii_scrub",
+    f"WITH {_PII_AUG_SQL}"
+    + f"""
+    SELECT doc_id,
+           {_PII_RED_SQL} AS redacted,
+           CAST(length({_PII_RED_SQL}) AS BIGINT) AS n_chars_red
+    FROM aug
+    """,
+    survey="PII redaction via ordered regexp_replace chain (datapipe curation)",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pii_scrub(_pii_augment(tables.load(spark, sf_dir, "documents")))
+
+
+@register(
+    "vocab_topk",
+    f"WITH {TOKS_CTE},"
+    + f"""
+    tok AS (SELECT doc_id, unnest(t) AS token FROM toks)
+    SELECT token,
+           CAST(count(*) AS BIGINT) AS tf,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+    FROM tok GROUP BY token
+    ORDER BY tf DESC, token LIMIT {VOCAB_TOPK}
+    """,
+    survey="corpus vocabulary: global top-K tokens by tf with df (datapipe curation)",
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab_topk(tables.load(spark, sf_dir, "documents"))

@@ -117,3 +117,79 @@ def test_sample_stratified_deterministic_and_correct(spark):
     kept_src0 = sum(1 for d, _, _ in got1 if d % 2 == 0)
     kept_rest = len(got1) - kept_src0
     assert kept_src0 > kept_rest
+
+
+def test_pack_sequences_stream_invariants(spark):
+    from marketviz_spark.datapipe.curation import (
+        PACK_BUDGET,
+        pack_sequences,
+    )
+
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(5 + (i * 7) % 90)), "s")
+        for i in range(60)
+    ] + [(99, "", "s")]
+    out = pack_sequences(_docs(spark, rows)).collect()
+    assert all(r["doc_id"] != 99 for r in out)  # empty doc dropped
+    by_bucket = {}
+    for r in sorted(out, key=lambda r: (r["bucket"], r["doc_id"])):
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for rs in by_bucket.values():
+        # contiguous token stream: each doc starts where the
+        # previous one ended
+        off = 0
+        for r in rs:
+            assert r["start_offset"] == off
+            assert r["bin_first"] == off // PACK_BUDGET
+            end = off + r["n_tokens"]
+            assert r["bin_last"] == (end - 1) // PACK_BUDGET
+            assert r["n_bins"] == r["bin_last"] - r["bin_first"] + 1
+            off = end
+    # some document must span a bin boundary (concat-and-chunk, not
+    # whole-doc packing)
+    assert any(r["n_bins"] > 1 for r in out)
+
+
+def test_pii_detect_and_scrub(spark):
+    from marketviz_spark.datapipe.curation import pii_scrub, pii_stats
+
+    docs = _docs(
+        spark,
+        [
+            (1, "mail me at jo.doe+x@corp.example.org today", "s"),
+            (2, "call 555-123-4567 or 555.987.6543", "s"),
+            (3, "ssn 123-45-6789 ip 10.0.0.7", "s"),
+            (4, "nothing to see here", "s"),
+        ],
+    )
+    st = {r["doc_id"]: r for r in pii_stats(docs).collect()}
+    assert st[1]["n_email"] == 1 and st[1]["has_pii"] is True
+    # a phone is NOT also an SSN match (the 3-2-4 grouping cannot
+    # align inside 3-3-4)
+    assert st[2]["n_phone"] == 2 and st[2]["n_ssn"] == 0
+    assert st[3]["n_ssn"] == 1 and st[3]["n_ipv4"] == 1
+    assert st[4]["has_pii"] is False
+    sc = {r["doc_id"]: r["redacted"] for r in pii_scrub(docs).collect()}
+    assert sc[1] == "mail me at <EMAIL> today"
+    assert sc[2] == "call <PHONE> or <PHONE>"
+    assert sc[3] == "ssn <SSN> ip <IPV4>"
+    assert sc[4] == "nothing to see here"
+
+
+def test_vocab_topk_counts_and_order(spark):
+    from marketviz_spark.datapipe.curation import vocab_topk
+
+    docs = _docs(
+        spark,
+        [
+            (1, "aa bb aa cc", "s"),
+            (2, "aa bb", "s"),
+            (3, "dd", "s"),
+        ],
+    )
+    out = vocab_topk(docs, k=3).collect()
+    assert [(r["token"], r["tf"], r["df"]) for r in out] == [
+        ("aa", 3, 2),
+        ("bb", 2, 2),
+        ("cc", 1, 1),  # tf tie with dd broken by token asc
+    ]

@@ -149,6 +149,39 @@ def test_repetition_shuffles_stay_doc_keyed(spark):
     assert "partial_count" in plan or "partial" in plan.lower(), plan
 
 
+def test_pack_sequences_single_bucket_exchange(spark):
+    """Sequence packing must shuffle exactly once, on the bucket key
+    (the parallelism knob) — the ordered window runs inside each
+    bucket, never globally."""
+    plan = _plan(QUERIES["pack_sequences"].fn(spark, SF_SMALL))
+    exchanges = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert len(exchanges) == 1 and "bucket" in exchanges[0], plan
+    assert "Window" in plan
+
+
+def test_pii_queries_map_only(spark):
+    """PII detection and redaction are pure JVM regex projections:
+    zero exchanges."""
+    for name in ("pii_stats", "pii_scrub"):
+        plan = _plan(QUERIES[name].fn(spark, SF_SMALL))
+        assert "Exchange" not in plan, (name, plan)
+
+
+def test_vocab_topk_is_takeordered(spark):
+    """The global top-K must be TakeOrderedAndProject (per-partition
+    heap + K-row driver merge), never a full sort, and all exchanges
+    stay token-keyed (hot tokens collapse map-side first)."""
+    plan = _plan(QUERIES["vocab_topk"].fn(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan or "SortAggregate" in plan, plan
+    exchanges = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert exchanges and all("token" in l for l in exchanges), plan
+
+
 def test_salted_agg_query_is_two_phase(spark):
     """The salted aggregation must show BOTH phases in the executed
     plan: a partial aggregate exchanged on (group, _salt), then a
