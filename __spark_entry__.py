@@ -60,6 +60,7 @@ _FIRST = [
     "pii_stats",
     "pii_scrub",
     "vocab_topk",
+    "events_click_error_pairs",
 ]
 
 

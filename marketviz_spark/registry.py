@@ -1598,3 +1598,28 @@ def q_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("cap_pct_rank"),
         F.cume_dist().over(w).alias("cap_cume_dist"),
     )
+
+
+@register(
+    "events_click_error_pairs",
+    """
+    WITH c AS (
+        SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_us
+        FROM events WHERE event_type = 'click'
+    ), e AS (
+        SELECT event_id AS error_id, user_id, epoch_us(ts) AS e_us
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT e.error_id, c.click_id, e.user_id,
+           CAST(e.e_us - c.c_us AS BIGINT) AS gap_us
+    FROM e JOIN c ON e.user_id = c.user_id
+     AND c.c_us >= e.e_us - 300000000 AND c.c_us < e.e_us
+    """,
+    survey="same-user click->error attribution interval join; batch twin of the stream-stream join (§2.9 extension)",
+)
+def q_events_click_error_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .streaming.joins import click_error_pairs_batch
+
+    return click_error_pairs_batch(tables.load_events(spark, sf_dir))

@@ -368,3 +368,19 @@ def test_stream_dedup_content_late_arrival_residual(spark):
             9,
             10,
         ]
+
+
+def test_stream_stream_join_equals_batch(spark, events_dir):
+    """Stream-stream interval join (watermarked both sides, user_id
+    equi-key + time-range condition) must produce exactly the batch
+    twin's pairs — the batch side is DuckDB-oracle-checked, so
+    stream == batch closes the loop."""
+    from marketviz_spark.streaming.joins import click_error_pairs_stream
+
+    stream = read_events_stream(spark, events_dir)
+    run_to_memory(
+        click_error_pairs_stream(stream), "t_ss_join", "append"
+    )
+    got = _rows(spark.sql("SELECT * FROM t_ss_join"))
+    want = _rows(QUERIES["events_click_error_pairs"].fn(spark, SF_SMALL))
+    assert got and got == want
