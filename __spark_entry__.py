@@ -61,6 +61,9 @@ _FIRST = [
     "pii_scrub",
     "vocab_topk",
     "events_click_error_pairs",
+    "curation_funnel",
+    "dedup_incremental",
+    "emb_quantize_int8",
 ]
 
 

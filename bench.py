@@ -48,6 +48,9 @@ BENCH_QUERIES = [
     "sample_stratified",
     "pack_sequences",
     "vocab_topk",
+    "curation_funnel",
+    "dedup_incremental",
+    "emb_quantize_int8",
     "emb_cosine_topk_blas",
     "emb_lsh_topk",
     "events_tumbling_1h",

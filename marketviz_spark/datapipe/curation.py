@@ -341,21 +341,71 @@ def vocab_topk(docs: DataFrame, k: int = VOCAB_TOPK) -> DataFrame:
     return stats.orderBy(F.desc("tf"), F.asc("token")).limit(k)
 
 
+def keep_rate(source_col: Column) -> Column:
+    """Per-source keep-percentage (dataset mixing weight)."""
+    rate_map = F.create_map(
+        *[F.lit(x) for kv in SAMPLE_RATES.items() for x in kv]
+    )
+    return F.coalesce(rate_map[source_col], F.lit(DEFAULT_RATE)).cast(
+        "int"
+    )
+
+
+def curation_funnel(docs: DataFrame) -> DataFrame:
+    """The end-to-end curation decision, per source: how many corpus
+    documents each filter stage removes and how many survive.
+
+    A corpus document (eval split excluded) is kept iff it is not
+    repetitive, not contaminated, and selected by the stratified
+    sample. Documents too short for repetition stats (absent from
+    that output) count as not repetitive.
+
+    Scale: both flag tables are doc_id-keyed (uniform joins against
+    the corpus); the final groupBy collapses to one row per source
+    with map-side partial aggregation.
+    """
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    corpus = docs.filter(~is_eval)
+    rep = repetition_stats(corpus).select("doc_id", "repetitive")
+    dec = decontaminate(docs).select("doc_id", "contaminated")
+    base = corpus.select(
+        "doc_id",
+        "source",
+        (lehmer_pct(F.col("doc_id")) < keep_rate(F.col("source"))).alias(
+            "sampled"
+        ),
+    )
+    j = (
+        base.join(rep, "doc_id", "left")
+        .join(dec, "doc_id", "left")
+        .select(
+            "source",
+            "sampled",
+            F.coalesce("repetitive", F.lit(False)).alias("repetitive"),
+            F.coalesce("contaminated", F.lit(False)).alias(
+                "contaminated"
+            ),
+        )
+    )
+    kept = (
+        ~F.col("repetitive") & ~F.col("contaminated") & F.col("sampled")
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return j.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        cnt(F.col("repetitive")).alias("n_repetitive"),
+        cnt(F.col("contaminated")).alias("n_contaminated"),
+        cnt(~F.col("sampled")).alias("n_sampled_out"),
+        cnt(kept).alias("n_kept"),
+    )
+
+
 def sample_stratified(docs: DataFrame) -> DataFrame:
     """Deterministic stratified sampling for dataset mixing: keep a
     per-source percentage of documents (SAMPLE_RATES, default
     DEFAULT_RATE), selected by Lehmer hash of doc_id — stable across
     re-runs and engines, zero shuffle."""
-    rate_map = F.create_map(
-        *[
-            F.lit(x)
-            for kv in SAMPLE_RATES.items()
-            for x in kv
-        ]
-    )
-    rate = F.coalesce(
-        rate_map[F.col("source")], F.lit(DEFAULT_RATE)
-    ).cast("int")
+    rate = keep_rate(F.col("source"))
     pct = lehmer_pct(F.col("doc_id"))
     return (
         docs.select(

@@ -428,3 +428,47 @@ def dedup_clusters_multi(
         max_iter=max_iter,
         reliable_checkpoint=reliable_checkpoint,
     )
+
+
+# Incremental-ingest dedup: which slice of doc_ids plays the role of
+# the "incoming batch" in the demo query.
+INCOMING_MOD = 4
+
+
+def bow_fingerprint() -> F.Column:
+    """Bag-of-words content fingerprint: md5 of the sorted distinct
+    token set. Coarser than the exact/normalized fingerprints in
+    textstats — reordered or internally-repeated copies of the same
+    vocabulary collide, which is the granularity an ingest gate
+    wants."""
+    return F.md5(
+        F.array_join(F.array_sort(F.array_distinct(tokens())), " ")
+    )
+
+
+def incremental_dedup(docs: DataFrame) -> DataFrame:
+    """Dedup an incoming batch against the existing corpus without
+    ever joining corpus-vs-corpus: fingerprint both sides, collapse
+    the existing side to one representative per fingerprint (min
+    doc_id), left-join the incoming batch on the fingerprint.
+
+    Scale: the existing side's groupBy and the join are both keyed
+    by md5 output — uniform by construction. At 100 TB the collapsed
+    fingerprint index is what you'd persist (bucketed by fp) so
+    each nightly batch joins against it co-located, with no rescan
+    of the raw corpus.
+    """
+    fp = bow_fingerprint()
+    incoming = docs.filter(F.col("doc_id") % INCOMING_MOD == 0).select(
+        "doc_id", fp.alias("fp")
+    )
+    existing = docs.filter(F.col("doc_id") % INCOMING_MOD != 0).select(
+        F.col("doc_id").alias("ex_id"), fp.alias("fp")
+    )
+    index = existing.groupBy("fp").agg(F.min("ex_id").alias("dup_of"))
+    return incoming.join(index, "fp", "left").select(
+        "doc_id",
+        "fp",
+        "dup_of",
+        F.col("dup_of").isNull().alias("is_new"),
+    )

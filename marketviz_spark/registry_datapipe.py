@@ -881,11 +881,10 @@ from .numerics import rnd_sql  # noqa: E402
 _TOP_FRAC = rnd_sql("top_bigram_count * 2 / n_tokens", 6)
 _DUP_FRAC = rnd_sql("dup_trigram_count / greatest(n_trigrams, 1)", 6)
 
-
-@register(
-    "text_repetition",
-    f"WITH {TOKS_CTE},"
-    + f"""
+# The full repetition-stats CTE chain (gram occurrences -> per-gram
+# counts -> per-n stats -> per-doc stats), shared by text_repetition
+# and curation_funnel.
+_REP_CTES = """
     g AS (
         SELECT doc_id, 2 AS n, CAST(len(t) AS BIGINT) AS n_tokens,
                unnest(list_transform(generate_series(1, len(t) - 1),
@@ -919,14 +918,24 @@ _DUP_FRAC = rnd_sql("dup_trigram_count / greatest(n_trigrams, 1)", 6)
                         CAST(0 AS BIGINT)) AS n_trigrams
         FROM p GROUP BY doc_id
     )
+"""
+
+_REPETITIVE_SQL = (
+    f"(n_tokens >= {REP_MIN_TOKENS}"
+    f" AND (({_TOP_FRAC}) > {TOP_BIGRAM_FRAC_MAX}"
+    f" OR ({_DUP_FRAC}) >= {DUP_TRIGRAM_FRAC_MAX}))"
+)
+
+
+@register(
+    "text_repetition",
+    f"WITH {TOKS_CTE}, {_REP_CTES}"
+    + f"""
     SELECT doc_id, n_tokens, top_bigram_count,
            {_TOP_FRAC} AS top_bigram_frac,
            dup_trigram_count, n_trigrams,
            {_DUP_FRAC} AS dup_trigram_frac,
-           (n_tokens >= {REP_MIN_TOKENS}
-            AND (({_TOP_FRAC}) > {TOP_BIGRAM_FRAC_MAX}
-                 OR ({_DUP_FRAC}) >= {DUP_TRIGRAM_FRAC_MAX}))
-               AS repetitive
+           {_REPETITIVE_SQL} AS repetitive
     FROM d
     """,
     survey="Gopher-style repetition filters (datapipe curation)",
@@ -1151,3 +1160,126 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_topk(tables.load(spark, sf_dir, "documents"))
+
+
+# ----------------------------------------------------------------------
+# Curation funnel, incremental dedup, embedding quantization
+# ----------------------------------------------------------------------
+
+from .datapipe.curation import curation_funnel  # noqa: E402
+from .datapipe.dedup import INCOMING_MOD, incremental_dedup  # noqa: E402
+from .datapipe.similarity import QUANT_LEVELS, quantize_int8  # noqa: E402
+
+
+@register(
+    "curation_funnel",
+    f"WITH {TOKS_CTE}, {_REP_CTES}, {SHINGLES_CTE},"
+    + f"""
+    rep AS (
+        SELECT doc_id, {_REPETITIVE_SQL} AS repetitive FROM d
+    ),
+    ev AS (
+        SELECT DISTINCT shingle FROM sh WHERE doc_id % {EVAL_MOD} = 0
+    ),
+    hits AS (
+        SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        FROM sh s JOIN ev USING (shingle)
+        WHERE s.doc_id % {EVAL_MOD} <> 0
+        GROUP BY s.doc_id
+    ),
+    base AS (
+        SELECT doc_id, source,
+               ({_PCT_SQL}) < ({_rate_case_sql()}) AS sampled
+        FROM documents WHERE doc_id % {EVAL_MOD} <> 0
+    ),
+    j AS (
+        SELECT b.source, b.sampled,
+               coalesce(r.repetitive, FALSE) AS repetitive,
+               coalesce(h.n_shared >= {CONTAM_MIN_SHARED}, FALSE)
+                   AS contaminated
+        FROM base b
+        LEFT JOIN rep r USING (doc_id)
+        LEFT JOIN hits h USING (doc_id)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN repetitive THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_repetitive,
+           CAST(sum(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated,
+           CAST(sum(CASE WHEN NOT sampled THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sampled_out,
+           CAST(sum(CASE WHEN NOT repetitive AND NOT contaminated
+                         AND sampled THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept
+    FROM j GROUP BY source
+    """,
+    survey="end-to-end curation funnel: per-source survival through repetition/contamination/sampling (datapipe curation)",
+)
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation_funnel(tables.load(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_incremental",
+    f"WITH {TOKS_CTE},"
+    + f"""
+    fp AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(t)), ' '))
+                   AS fp
+        FROM toks
+    ),
+    idx AS (
+        SELECT fp, CAST(min(doc_id) AS BIGINT) AS dup_of
+        FROM fp WHERE doc_id % {INCOMING_MOD} <> 0 GROUP BY fp
+    )
+    SELECT i.doc_id, i.fp, x.dup_of, x.dup_of IS NULL AS is_new
+    FROM (SELECT * FROM fp WHERE doc_id % {INCOMING_MOD} = 0) i
+    LEFT JOIN idx x USING (fp)
+    """,
+    survey="incremental-ingest dedup: new batch vs existing-corpus fingerprint index (datapipe)",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return incremental_dedup(tables.load(spark, sf_dir, "documents"))
+
+
+_Q_RMSE = rnd_sql(
+    "sqrt(list_sum(list_transform(generate_series(1, len(v)),"
+    " i -> (v[i] - q[i] * scale) * (v[i] - q[i] * scale))) / len(v))",
+    6,
+)
+
+
+@register(
+    "emb_quantize_int8",
+    f"""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, v,
+               greatest(list_max(list_transform(v, x -> abs(x))),
+                        1e-12) / {QUANT_LEVELS} AS scale
+        FROM v
+    ),
+    q AS (
+        SELECT vec_id, v, scale,
+               list_transform(v, x -> CAST(greatest(-{QUANT_LEVELS},
+                   least({QUANT_LEVELS}, floor(x / scale + 0.5)))
+                   AS INT)) AS q
+        FROM s
+    )
+    SELECT vec_id,
+           {_Q_RMSE} AS rmse,
+           {rnd_sql("scale", 6)} AS q_scale,
+           array_to_string(list_transform(q,
+               c -> CAST(c AS VARCHAR)), ',') AS q_codes
+    FROM q
+    """,
+    survey="symmetric int8 embedding quantization + reconstruction RMSE (datapipe)",
+)
+def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quantize_int8(tables.load(spark, sf_dir, "embeddings"))

@@ -193,3 +193,70 @@ def test_vocab_topk_counts_and_order(spark):
         ("bb", 2, 2),
         ("cc", 1, 1),  # tf tie with dd broken by token asc
     ]
+
+
+def test_curation_funnel_counts(spark):
+    from marketviz_spark.datapipe.curation import curation_funnel
+
+    prose = (
+        "the quick brown fox jumps over a lazy dog while"
+        " rain falls on green hills near town square"
+    )
+    docs = _docs(
+        spark,
+        [
+            (0, "alpha beta gamma delta epsilon", "src0"),  # eval
+            (1, "alpha beta gamma delta epsilon zeta", "src0"),  # contam
+            (2, "foo bar " * 8, "src0"),  # repetitive
+            (3, prose, "src0"),  # clean, sampled in (pct 13 < 90)
+            (4, prose + " again", "srcZ"),  # clean, pct 84 >= 30 -> out
+        ],
+    )
+    out = {r["source"]: r for r in curation_funnel(docs).collect()}
+    s0, sz = out["src0"], out["srcZ"]
+    assert (s0["n_docs"], s0["n_repetitive"], s0["n_contaminated"]) == (
+        3,
+        1,
+        1,
+    )
+    assert (s0["n_sampled_out"], s0["n_kept"]) == (0, 1)
+    assert (sz["n_docs"], sz["n_sampled_out"], sz["n_kept"]) == (1, 1, 0)
+
+
+def test_incremental_dedup_bow_collisions(spark):
+    from marketviz_spark.datapipe.dedup import incremental_dedup
+
+    docs = _docs(
+        spark,
+        [
+            # incoming (doc_id % 4 == 0)
+            (0, "b a", "s"),  # same token SET as existing 1 and 3
+            (4, "c d x", "s"),  # novel
+            # existing
+            (1, "a b", "s"),
+            (2, "c d", "s"),
+            (3, "a b a", "s"),  # reordered+repeated copy of the set
+        ],
+    )
+    out = {r["doc_id"]: r for r in incremental_dedup(docs).collect()}
+    assert set(out) == {0, 4}  # only the incoming batch is emitted
+    assert out[0]["is_new"] is False and out[0]["dup_of"] == 1
+    assert out[4]["is_new"] is True and out[4]["dup_of"] is None
+
+
+def test_quantize_int8_roundtrip(spark):
+    from marketviz_spark.datapipe.similarity import quantize_int8
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.0, 0.254]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in quantize_int8(emb).collect()}
+    # scale = 1/127; codes: 1.0->127 (clamped top), -0.5->-63
+    # (floor(-63.5 + 0.5)), 0->0, 0.254->32
+    assert out[1]["q_codes"] == "127,-63,0,32"
+    assert abs(out[1]["q_scale"] - 1 / 127) < 1e-6
+    assert 0 < out[1]["rmse"] < 1 / 127  # error bounded by one step
+    # zero vector: guard scale, all-zero codes, exact reconstruction
+    assert out[2]["q_codes"] == "0,0"
+    assert out[2]["rmse"] == 0.0

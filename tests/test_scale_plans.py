@@ -182,6 +182,32 @@ def test_vocab_topk_is_takeordered(spark):
     assert exchanges and all("token" in l for l in exchanges), plan
 
 
+def test_quantize_map_only(spark):
+    """int8 quantization is a pure higher-order-function projection:
+    zero exchanges."""
+    plan = _plan(QUERIES["emb_quantize_int8"].fn(spark, SF_SMALL))
+    assert "Exchange" not in plan, plan
+
+
+def test_incremental_dedup_fp_keyed(spark):
+    """The existing-corpus index groupBy must exchange on the
+    fingerprint (uniform md5 key); nothing may cross-join."""
+    plan = _plan(QUERIES["dedup_incremental"].fn(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    exchanges = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert any("fp" in l for l in exchanges), plan
+
+
+def test_curation_funnel_broadcasts_eval(spark):
+    """The funnel embeds decontamination: the eval-shingle join must
+    stay a broadcast even inside the composed plan."""
+    plan = _plan(QUERIES["curation_funnel"].fn(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_salted_agg_query_is_two_phase(spark):
     """The salted aggregation must show BOTH phases in the executed
     plan: a partial aggregate exchanged on (group, _salt), then a
