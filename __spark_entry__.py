@@ -64,6 +64,7 @@ _FIRST = [
     "curation_funnel",
     "dedup_incremental",
     "emb_quantize_int8",
+    "events_bars_rollup",
 ]
 
 

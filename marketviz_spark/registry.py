@@ -1623,3 +1623,57 @@ def q_events_click_error_pairs(
     from .streaming.joins import click_error_pairs_batch
 
     return click_error_pairs_batch(tables.load_events(spark, sf_dir))
+
+
+@register(
+    "events_bars_rollup",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    survey="hierarchical bar rollup: 1-minute bars re-aggregated to 1-hour bars; oracle is the DIRECT hourly aggregate, so parity proves the rollup algebra (hypertable-rollup extension)",
+)
+def q_events_bars_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level rollup cascade: 1-minute bars, then 1-hour bars
+    computed FROM the minute bars (count/sum re-sum, min/max re-min
+    — every aggregate is decomposable, the hypertable-rollup
+    contract). The oracle aggregates the raw events straight to
+    hours: hash-equality proves cascade == direct.
+
+    Scale: this is the plan shape a downsampling pipeline runs —
+    the expensive exchange is the fine-grained one (minute, key
+    space x60); the hour-level re-aggregation consumes the already
+    tiny bar table. In production the minute bars persist and every
+    coarser granularity derives from them, never re-scanning raw.
+    """
+    ev = tables.load_events(spark, sf_dir)
+    m1 = ev.groupBy(
+        F.window("ts", "1 minute").alias("w"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(28,10)")).alias("s"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    return (
+        m1.groupBy(
+            F.date_format(
+                F.date_trunc("hour", F.col("w.start")),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.sum("s").cast("double").alias("sum_value"),
+            F.min("mn").alias("min_value"),
+            F.max("mx").alias("max_value"),
+        )
+    )
