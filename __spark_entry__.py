@@ -65,6 +65,8 @@ _FIRST = [
     "dedup_incremental",
     "emb_quantize_int8",
     "events_bars_rollup",
+    "dedup_minhash_estimate",
+    "events_hll_cascade",
 ]
 
 

@@ -472,3 +472,52 @@ def incremental_dedup(docs: DataFrame) -> DataFrame:
         "dup_of",
         F.col("dup_of").isNull().alias("is_new"),
     )
+
+
+def minhash_jaccard_estimate(docs: DataFrame) -> DataFrame:
+    """Sketch-accuracy audit: for every LSH candidate pair, the
+    MinHash Jaccard ESTIMATE (fraction of matching signature
+    positions — the unbiased estimator the sketch exists for) next
+    to the exact n-gram Jaccard, with their absolute error.
+
+    This is the measurement a pipeline uses to size NUM_HASHES: at
+    100 TB you audit a sample of candidate pairs, not all pairs,
+    but the dataflow is identical — signatures join in (doc-keyed,
+    uniform), the estimate is a per-row array comparison, and the
+    exact Jaccard comes from the candidates-only verifier (never
+    all-pairs).
+    """
+    pairs = lsh_candidate_pairs(docs)
+    sig = minhash_signatures(docs).select(
+        "doc_id", F.split("sig", "[|]").alias("mins")
+    )
+    pa = sig.select(
+        F.col("doc_id").alias("doc_a"), F.col("mins").alias("mins_a")
+    )
+    pb = sig.select(
+        F.col("doc_id").alias("doc_b"), F.col("mins").alias("mins_b")
+    )
+    exact = ngram_jaccard_pairs(docs, threshold=0.0).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with(
+                F.col("mins_a"), F.col("mins_b"), lambda x, y: x == y
+            ),
+            lambda b: b,
+        )
+    )
+    est = rnd(matches / F.lit(float(NUM_HASHES)), 6)
+    return (
+        pairs.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .join(exact, ["doc_a", "doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            est.alias("est_jaccard"),
+            "jaccard",
+            rnd(F.abs(est - F.col("jaccard")), 6).alias("abs_err"),
+        )
+    )

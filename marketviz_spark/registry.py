@@ -1677,3 +1677,49 @@ def q_events_bars_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("mx").alias("max_value"),
         )
     )
+
+
+@register(
+    "events_hll_cascade",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS est_ok
+    FROM events GROUP BY 1
+    """,
+    survey="mergeable HLL sketch cascade: daily sketches unioned to a global distinct estimate, tolerance-checked vs exact (approx extension)",
+)
+def q_events_hll_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event_type via a two-level DataSketches
+    HLL cascade: per-day sketches (`hll_sketch_agg`), merged with
+    `hll_union_agg` — the pattern that lets a 100 TB pipeline
+    persist small daily sketches and answer any period's distinct
+    count by union, never re-scanning raw data.
+
+    The sketch binary is engine-specific, so the oracle contract is
+    the TOLERANCE, not the estimate: the query emits the exact
+    count (computed independently) plus `est_ok` = |est - exact| /
+    exact <= 5% (HLL lgConfigK=12 has ~1.6% relative standard
+    error, so 5% is a stable, deterministic bound for these
+    cardinalities), and the oracle asserts est_ok is TRUE for every
+    group with the exact counts hash-matched.
+    """
+    ev = tables.load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("est") - F.col("n_exact"))
+            / F.col("n_exact")
+            <= 0.05
+        ).alias("est_ok"),
+    )

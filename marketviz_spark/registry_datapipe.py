@@ -1283,3 +1283,49 @@ _Q_RMSE = rnd_sql(
 )
 def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_int8(tables.load(spark, sf_dir, "embeddings"))
+
+
+# ----------------------------------------------------------------------
+# Sketch accuracy audit
+# ----------------------------------------------------------------------
+
+from .datapipe.dedup import minhash_jaccard_estimate  # noqa: E402
+
+_EST_SQL = rnd_sql(
+    f"len(list_filter(generate_series(1, {NUM_HASHES}),"
+    f" i -> sa.mins[i] = sb.mins[i])) / {float(NUM_HASHES)}",
+    6,
+)
+_JAC_SQL = rnd_sql("n_common / (za.n_sh + zb.n_sh - n_common)", 6)
+
+
+@register(
+    "dedup_minhash_estimate",
+    _MINHASH_CTES
+    + f""", stacked AS ({_BAND_STACK}),{_CAPPED_PAIRS},
+    splits AS (
+        SELECT doc_id, string_split(sig, '|') AS mins FROM sigs
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b,
+           {_EST_SQL} AS est_jaccard,
+           {_JAC_SQL} AS jaccard,
+           {rnd_sql(f"abs(({_EST_SQL}) - ({_JAC_SQL}))", 6)} AS abs_err
+    FROM pairs p
+    JOIN splits sa ON sa.doc_id = p.doc_a
+    JOIN splits sb ON sb.doc_id = p.doc_b
+    JOIN common c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+    JOIN sizes za ON za.doc_id = p.doc_a
+    JOIN sizes zb ON zb.doc_id = p.doc_b
+    """,
+    survey="MinHash estimate vs exact Jaccard on candidate pairs (sketch-accuracy audit, datapipe)",
+)
+def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_jaccard_estimate(tables.load(spark, sf_dir, "documents"))
