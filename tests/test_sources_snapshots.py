@@ -1,0 +1,76 @@
+"""Python DataSource (partition-parallel universe feed) and
+manifest-based dataset snapshots."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from marketviz_spark import pysource
+from marketviz_spark.pipelines.snapshots import (
+    latest_version,
+    list_versions,
+    read_snapshot,
+    rollback,
+    write_snapshot,
+)
+
+
+def test_universe_datasource_partitioned_and_deterministic(spark):
+    pysource.register(spark)
+    df = (
+        spark.read.format("marketviz_universe")
+        .option("count", 100)
+        .option("parts", 8)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 8
+    rows1 = sorted(map(tuple, df.collect()))
+    rows2 = sorted(map(tuple, df.collect()))
+    assert rows1 == rows2 and len(rows1) == 100
+    # the reference's '/'-class symbols appear and normalize away
+    assert any("/" in r[0] for r in rows1)
+    norm = df.select(
+        F.regexp_replace("symbol", "/", "-").alias("ticker")
+    )
+    assert norm.filter(F.col("ticker").contains("/")).count() == 0
+    # shard boundaries don't change content: different parts, same rows
+    other = (
+        spark.read.format("marketviz_universe")
+        .option("count", 100)
+        .option("parts", 3)
+        .load()
+    )
+    assert sorted(map(tuple, other.collect())) == rows1
+
+
+def test_snapshot_versions_isolate_and_rollback(spark):
+    with tempfile.TemporaryDirectory() as d:
+        root = os.path.join(d, "tbl")
+        os.makedirs(root)
+        v1 = write_snapshot(spark.range(10), root)
+        v2 = write_snapshot(spark.range(25), root)
+        assert (v1, v2) == (1, 2)
+        assert list_versions(root) == [1, 2]
+        assert latest_version(root) == 2
+        # pinned reads: old version unchanged by the new write
+        assert read_snapshot(spark, root, 1).count() == 10
+        assert read_snapshot(spark, root).count() == 25
+        # a stray file in the version dir is invisible: reads follow
+        # the manifest's file list, not the directory
+        stray = os.path.join(root, "versions", "2", "stray.parquet")
+        spark.range(1000).coalesce(1).write.parquet(stray + ".tmp")
+        part = next(
+            f
+            for f in os.listdir(stray + ".tmp")
+            if f.endswith(".parquet")
+        )
+        os.replace(os.path.join(stray + ".tmp", part), stray)
+        assert read_snapshot(spark, root).count() == 25
+        # rollback is a pointer flip; both versions stay readable
+        rollback(root, 1)
+        assert latest_version(root) == 1
+        assert read_snapshot(spark, root).count() == 10
+        assert read_snapshot(spark, root, 2).count() == 25
