@@ -67,6 +67,8 @@ _FIRST = [
     "events_bars_rollup",
     "dedup_minhash_estimate",
     "events_hll_cascade",
+    "q4_late_order_priority",
+    "q13_order_histogram",
 ]
 
 

@@ -1723,3 +1723,85 @@ def q_events_hll_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05
         ).alias("est_ok"),
     )
+
+
+@register(
+    "q4_late_order_priority",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+    survey="TPC-H Q4 shape: correlated EXISTS -> left-semi join + agg (bench anchor; adapted to schema: late shipment = >60d after order)",
+)
+def q_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS decorrelates to a LEFT SEMI join: one pass over
+    lineitem, no duplicate-orders blowup (an inner join + distinct
+    would shuffle the multiplicity only to throw it away)."""
+    o = tables.load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    l = tables.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = o.join(
+        l,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+@register(
+    "q13_order_histogram",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey,
+               CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    survey="TPC-H Q13 shape: outer-join count + re-aggregated histogram (bench anchor; adapted: non-urgent orders per customer)",
+)
+def q_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with zero qualifying orders must appear in the
+    c_count=0 bucket — the left join is load-bearing, and the
+    filter lives in the JOIN CONDITION (a WHERE would silently turn
+    it into an inner join and drop them)."""
+    c = tables.load(spark, sf_dir, "customer").select("c_custkey")
+    o = tables.load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    per = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(
+        F.count("*").alias("custdist")
+    )

@@ -208,6 +208,14 @@ def test_curation_funnel_broadcasts_eval(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_q4_exists_is_semi_join(spark):
+    """The EXISTS must execute as a LEFT SEMI join — an inner join
+    + distinct would shuffle lineitem's full multiplicity just to
+    discard it."""
+    plan = _plan(QUERIES["q4_late_order_priority"].fn(spark, SF_SMALL))
+    assert "LeftSemi" in plan, plan
+
+
 def test_salted_agg_query_is_two_phase(spark):
     """The salted aggregation must show BOTH phases in the executed
     plan: a partial aggregate exchanged on (group, _salt), then a
