@@ -260,3 +260,54 @@ def test_yfinance_shaped_source_through_ingest(spark):
         weff, wcap = want[d]
         assert abs(eff - weff) < 1e-6, (d, eff, weff)
         assert abs(cap - wcap) < 1e-6, (d, cap, wcap)
+
+
+def test_chart_specs_mirror_reference_figures(spark):
+    """Chart-spec layer (reference dashboard.py:39-144): plotly
+    figure dicts whose every number comes from the oracle-checked
+    operator layer."""
+    from marketviz_spark import tables
+    from marketviz_spark.pipelines.charts import (
+        index_chart_spec,
+        market_cap_pie_spec,
+    )
+    from marketviz_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    idx = tables.index_data(spark, sf)
+    spec = index_chart_spec(idx)
+    line = spec["data"][0]
+    assert line["mode"] == "lines" and line["line"]["color"] == "#ff0000"
+    assert len(line["x"]) == len(line["y"]) == idx.count()
+    assert line["x"] == sorted(line["x"])
+    markers = spec["data"][1]
+    assert markers["marker"]["symbol"] == "star-triangle-down"
+    # marker points sit ON the line: same (date, value) pairs
+    on_line = dict(zip(line["x"], line["y"]))
+    assert all(on_line[d] == v for d, v in zip(markers["x"], markers["y"]))
+    # marker dates == the engine's composition-change dates
+    want = {
+        r["date"]
+        for r in QUERIES["w5_w6_composition_changes"]
+        .fn(spark, sf)
+        .collect()
+        if r["composition_changed"]
+    }
+    assert set(markers["x"]) == want
+    assert spec["layout"]["title"] == "MarketViz Index Performance"
+
+    # k=1 on the 2-constituent sf0.001 composition: one named slice
+    # plus OTHERS, in composition-rank order
+    pie = market_cap_pie_spec(idx, tables.stocks(spark, sf), k=1)
+    slices = pie["data"][0]
+    assert len(slices["labels"]) == len(slices["values"]) == 2
+    assert slices["labels"][-1] == "OTHERS"
+    from marketviz_spark.operators.joins import composition_market_caps
+
+    want_pie = {
+        r["name"]: r["market_cap_billions"]
+        for r in composition_market_caps(
+            idx, tables.stocks(spark, sf), 1
+        ).collect()
+    }
+    assert dict(zip(slices["labels"], slices["values"])) == want_pie
