@@ -76,3 +76,97 @@ def test_upsert_idempotent_property(spark, rows):
     assert sorted(map(str, once.collect())) == sorted(
         map(str, twice.collect())
     )
+
+
+@st.composite
+def doc_rows(draw):
+    n = draw(st.integers(3, 12))
+    rows = []
+    for i in range(n):
+        n_tok = draw(st.integers(0, 9))
+        words = [
+            draw(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]))
+            for _ in range(n_tok)
+        ]
+        src = draw(st.sampled_from(["src0", "src1", "srcZ"]))
+        rows.append((i, " ".join(words), "en", src, n_tok))
+    return rows
+
+
+_DOC_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+@given(rows=doc_rows(), seed=st.integers(0, 3))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_pack_sequences_invariant_under_row_order(spark, rows, seed):
+    """Packing is a function of (doc_id, n_tokens) only: shuffled
+    input order / partitioning yields identical bins, streams stay
+    contiguous, and token totals are conserved per bucket."""
+    import random
+
+    from marketviz_spark.datapipe.curation import (
+        PACK_BUDGET,
+        pack_sequences,
+    )
+
+    shuffled = rows[:]
+    random.Random(seed).shuffle(shuffled)
+    a = sorted(
+        map(
+            tuple,
+            pack_sequences(
+                spark.createDataFrame(rows, _DOC_SCHEMA)
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            pack_sequences(
+                spark.createDataFrame(shuffled, _DOC_SCHEMA).repartition(5)
+            ).collect(),
+        )
+    )
+    assert a == b
+    # conservation + contiguity per bucket
+    streams = {}
+    for doc_id, bucket, n_tok, start, b_first, b_last, n_bins in a:
+        streams.setdefault(bucket, []).append((start, n_tok, b_first, b_last))
+    for parts in streams.values():
+        off = 0
+        for start, n_tok, b_first, b_last in sorted(parts):
+            assert start == off
+            assert b_first == start // PACK_BUDGET
+            assert b_last == (start + n_tok - 1) // PACK_BUDGET
+            off += n_tok
+
+
+@given(rows=doc_rows())
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_funnel_conserves_documents(spark, rows):
+    """The funnel's per-source counts always partition the corpus:
+    0 <= each stage count <= n_docs, kept <= sampled survivors, and
+    n_docs sums to the non-eval document count."""
+    from marketviz_spark.datapipe.curation import (
+        EVAL_MOD,
+        curation_funnel,
+    )
+
+    docs = spark.createDataFrame(rows, _DOC_SCHEMA)
+    out = curation_funnel(docs).collect()
+    n_corpus = sum(1 for r in rows if r[0] % EVAL_MOD != 0)
+    assert sum(r["n_docs"] for r in out) == n_corpus
+    for r in out:
+        for c in ("n_repetitive", "n_contaminated", "n_sampled_out", "n_kept"):
+            assert 0 <= r[c] <= r["n_docs"]
+        assert r["n_kept"] <= r["n_docs"] - r["n_sampled_out"]

@@ -384,3 +384,37 @@ def test_stream_stream_join_equals_batch(spark, events_dir):
     got = _rows(spark.sql("SELECT * FROM t_ss_join"))
     want = _rows(QUERIES["events_click_error_pairs"].fn(spark, SF_SMALL))
     assert got and got == want
+
+
+def test_streaming_curation_map_ops_equal_batch(spark):
+    """The curation layer's map-only operators (PII scrub, quality
+    stats) run UNCHANGED on a document stream — Spark's unified
+    model means the DuckDB-oracle-checked batch semantics carry
+    over; a bounded replay must match the batch output exactly."""
+    import os
+    import tempfile
+
+    from marketviz_spark import tables
+    from marketviz_spark.datapipe.curation import pii_scrub
+    from marketviz_spark.datapipe.textstats import text_stats
+    from marketviz_spark.schemas import DOCUMENTS
+
+    with tempfile.TemporaryDirectory() as d:
+        os.symlink(
+            f"{SF_SMALL}/documents.parquet",
+            os.path.join(d, "documents.parquet"),
+        )
+        stream = (
+            spark.readStream.schema(DOCUMENTS)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        batch = tables.load(spark, SF_SMALL, "documents")
+        run_to_memory(pii_scrub(stream), "t_cur_scrub", "append")
+        assert _rows(spark.sql("SELECT * FROM t_cur_scrub")) == _rows(
+            pii_scrub(batch)
+        )
+        run_to_memory(text_stats(stream), "t_cur_stats", "append")
+        assert _rows(spark.sql("SELECT * FROM t_cur_stats")) == _rows(
+            text_stats(batch)
+        )
