@@ -74,3 +74,38 @@ def test_snapshot_versions_isolate_and_rollback(spark):
         assert latest_version(root) == 1
         assert read_snapshot(spark, root).count() == 10
         assert read_snapshot(spark, root, 2).count() == 25
+
+
+def test_ivf_index_persist_and_search(spark):
+    """Persisted-index search must be byte-identical to the
+    in-query ivf_topk over the same vectors, and the probe join
+    must dynamically prune the cell-partitioned postings scan."""
+    import tempfile
+
+    from marketviz_spark import tables
+    from marketviz_spark.datapipe.similarity import ivf_topk
+    from marketviz_spark.pipelines.ann_index import (
+        build_ivf_index,
+        ivf_search_index,
+    )
+
+    emb = tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    with tempfile.TemporaryDirectory() as d:
+        root = os.path.join(d, "ivf")
+        build_ivf_index(emb, root)
+        # the model is K rows; postings are partitioned by cell
+        cells = [
+            f
+            for f in os.listdir(os.path.join(root, "postings"))
+            if f.startswith("cell=")
+        ]
+        assert len(cells) > 1
+        got = ivf_search_index(spark, root, emb)
+        want = ivf_topk(emb)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+        plan = (
+            got._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
