@@ -260,3 +260,53 @@ def test_quantize_int8_roundtrip(spark):
     # zero vector: guard scale, all-zero codes, exact reconstruction
     assert out[2]["q_codes"] == "0,0"
     assert out[2]["rmse"] == 0.0
+
+
+def test_curation_ops_on_empty_corpus(spark):
+    """Every curation operator must return an empty (not failing)
+    frame on an empty documents table — the first morning of a new
+    pipeline is always empty."""
+    from marketviz_spark.datapipe.curation import (
+        curation_funnel,
+        decontaminate,
+        pack_sequences,
+        pii_scrub,
+        pii_stats,
+        repetition_stats,
+        sample_stratified,
+        vocab_topk,
+    )
+    from marketviz_spark.datapipe.dedup import incremental_dedup
+
+    empty = _docs(spark, [])
+    for op in (
+        repetition_stats,
+        decontaminate,
+        sample_stratified,
+        pack_sequences,
+        pii_stats,
+        pii_scrub,
+        vocab_topk,
+        curation_funnel,
+        incremental_dedup,
+    ):
+        assert op(empty).count() == 0, op.__name__
+
+
+def test_mega_document_stays_row_shaped(spark):
+    """A degenerate 50k-token document must flow through the
+    repetition/packing pipelines as ROWS, not per-doc buffers:
+    results stay exact and nothing blows up."""
+    from marketviz_spark.datapipe.curation import (
+        pack_sequences,
+        repetition_stats,
+    )
+
+    mega = "tok " * 50_000  # one gram repeated: worst-case skew
+    docs = _docs(spark, [(1, mega, "src"), (2, "a b c d", "src")])
+    rep = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert rep[1]["n_tokens"] == 50_000
+    assert rep[1]["top_bigram_count"] == 49_999
+    assert rep[1]["repetitive"] is True
+    pack = {r["doc_id"]: r for r in pack_sequences(docs).collect()}
+    assert pack[1]["n_bins"] >= 50_000 // 64  # spans many bins
