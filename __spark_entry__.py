@@ -69,6 +69,7 @@ _FIRST = [
     "events_hll_cascade",
     "q4_late_order_priority",
     "q13_order_histogram",
+    "w_beta_corr",
 ]
 
 

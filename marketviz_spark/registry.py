@@ -1805,3 +1805,117 @@ def q_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.groupBy("c_count").agg(
         F.count("*").alias("custdist")
     )
+
+
+_RET9 = "floor(({x}) * 1000000000.0 + 0.5) / 1000000000.0"
+_TX = _RET9.format(
+    x="(share_price - lag(share_price) OVER w) / lag(share_price) OVER w"
+)
+_TY = _RET9.format(
+    x="(index_value - lag(index_value) OVER wi) / lag(index_value) OVER wi"
+)
+_MOM = """
+    m AS (
+        SELECT ticker,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(x AS DECIMAL(15,10))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(y AS DECIMAL(15,10))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(x AS DECIMAL(15,10))
+                        * CAST(y AS DECIMAL(15,10))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(x AS DECIMAL(15,10))
+                        * CAST(x AS DECIMAL(15,10))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(y AS DECIMAL(15,10))
+                        * CAST(y AS DECIMAL(15,10))) AS DOUBLE) AS syy
+        FROM joined GROUP BY ticker
+    )
+"""
+
+
+@register(
+    "w_beta_corr",
+    oracle_cte(index=True)
+    + f""",
+    tr AS (
+        SELECT ticker, date, {_TX} AS x
+        FROM stocks WINDOW w AS (PARTITION BY ticker ORDER BY date)
+    ),
+    ir AS (
+        SELECT date, {_TY} AS y
+        FROM index_data WINDOW wi AS (ORDER BY date)
+    ),
+    joined AS (
+        SELECT tr.ticker, tr.x, ir.y
+        FROM tr JOIN ir ON tr.date = ir.date
+        WHERE tr.x IS NOT NULL AND ir.y IS NOT NULL
+    ),
+    {_MOM}
+    SELECT ticker, n,
+           floor((n * sxy - sx * sy)
+                 / (n * sxx - sx * sx) * 1000000.0 + 0.5) / 1000000.0
+               AS beta,
+           floor((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                 * 1000000.0 + 0.5) / 1000000.0 AS corr
+    FROM m WHERE n >= 2 AND n * sxx - sx * sx > 0
+               AND n * syy - sy * sy > 0
+    """,
+    survey="per-ticker beta and correlation vs the index via decimal-exact second-moment sums (quant analytics extension)",
+)
+def q_beta_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic covariance/correlation, made cross-engine exact: the
+    built-in corr/covar aggregates accumulate floats in partition
+    order (nondeterministic), so instead the daily returns are
+    rounded to 9dp, cast to DECIMAL(15,10) (the cast recovers the
+    9dp rational exactly in both engines), and the five moment sums
+    are decimal -> order-free. The final beta/corr formula is then
+    identical double arithmetic on identical inputs.
+
+    Scale: returns are two windowed lags (ticker-partitioned /
+    tiny index series), the join is date-keyed, the moments are one
+    partial-aggregated groupBy(ticker) — no all-pairs anything.
+    """
+    from pyspark.sql import Window
+
+    s = tables.stocks(spark, sf_dir)
+    w = Window.partitionBy("ticker").orderBy("date")
+    x = rnd(
+        (F.col("share_price") - F.lag("share_price").over(w))
+        / F.lag("share_price").over(w),
+        9,
+    )
+    tr = s.select("ticker", "date", x.alias("x")).filter(
+        F.col("x").isNotNull()
+    )
+    idx = tables.index_data(spark, sf_dir)
+    wi = Window.orderBy("date")
+    y = rnd(
+        (F.col("index_value") - F.lag("index_value").over(wi))
+        / F.lag("index_value").over(wi),
+        9,
+    )
+    ir = idx.select("date", y.alias("y")).filter(F.col("y").isNotNull())
+    j = tr.join(ir, "date")
+    xd = F.col("x").cast("decimal(15,10)")
+    yd = F.col("y").cast("decimal(15,10)")
+    m = j.groupBy("ticker").agg(
+        F.count("*").alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(xd * yd).cast("double").alias("sxy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+        F.sum(yd * yd).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    return (
+        m.filter((n >= 2) & (var_x > 0) & (var_y > 0))
+        .select(
+            "ticker",
+            "n",
+            rnd(cov_n / var_x, 6).alias("beta"),
+            rnd(cov_n / F.sqrt(var_x * var_y), 6).alias("corr"),
+        )
+    )
