@@ -70,6 +70,7 @@ _FIRST = [
     "q4_late_order_priority",
     "q13_order_histogram",
     "w_beta_corr",
+    "dq_lineitem_gate",
 ]
 
 

@@ -117,3 +117,49 @@ def rollback(root: str, version: int) -> None:
     with os.fdopen(fd, "w") as fh:
         fh.write(str(version))
     os.replace(tmp, _latest_path(root))
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    root: str,
+    v_old: int,
+    v_new: int,
+    keys: list[str],
+) -> DataFrame:
+    """Change-data-capture between two pinned versions: (keys...,
+    change_type in added/removed/changed). Non-key columns compare
+    via an md5 row hash (null-distinguishing separator), so the
+    join carries keys + one hash per side — never the full row
+    payload. Key-partitioned full outer join: uniform if `keys` is
+    a real key."""
+    from pyspark.sql import functions as F
+
+    a = read_snapshot(spark, root, v_old)
+    b = read_snapshot(spark, root, v_new)
+    non_keys = [c for c in b.columns if c not in keys]
+
+    def hashed(df: DataFrame, tag: str) -> DataFrame:
+        h = F.md5(
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(
+                        F.col(c).cast("string"), F.lit("\x00null")
+                    )
+                    for c in non_keys
+                ],
+            )
+        )
+        return df.select(*keys, h.alias(f"_h_{tag}"))
+
+    o, n = hashed(a, "o"), hashed(b, "n")
+    j = o.join(n, keys, "full_outer")
+    change = (
+        F.when(F.col("_h_o").isNull(), F.lit("added"))
+        .when(F.col("_h_n").isNull(), F.lit("removed"))
+        .when(F.col("_h_o") != F.col("_h_n"), F.lit("changed"))
+    )
+    return (
+        j.select(*keys, change.alias("change_type"))
+        .filter(F.col("change_type").isNotNull())
+    )

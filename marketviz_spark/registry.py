@@ -1919,3 +1919,62 @@ def q_beta_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             rnd(cov_n / F.sqrt(var_x * var_y), 6).alias("corr"),
         )
     )
+
+
+@register(
+    "dq_lineitem_gate",
+    """
+    SELECT 'not_null(l_orderkey)' AS "check",
+           CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'accepted_range(l_quantity,1,40)',
+           CAST(sum(CASE WHEN l_quantity IS NOT NULL
+                          AND (l_quantity < 1 OR l_quantity > 40)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'accepted_values(l_returnflag)',
+           CAST(sum(CASE WHEN l_returnflag IS NOT NULL
+                          AND l_returnflag NOT IN ('A', 'N', 'R')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'unique(l_orderkey,l_linenumber)',
+           CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+                AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'references(l_orderkey->o_orderkey)',
+           CAST((SELECT count(*) FROM lineitem l
+                 LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+                   ON l.l_orderkey = o.o_orderkey
+                 WHERE l.l_orderkey IS NOT NULL
+                   AND o.o_orderkey IS NULL) AS BIGINT)
+    """,
+    survey="declarative data-quality gate: null/range/values/unique/referential checks compiled to one scan + two probes (datapipe extension)",
+)
+def q_dq_lineitem_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle intentionally omits `passed` (a pure derivation of
+    n_violations) to keep the hash surface on the counts; the
+    engine emits it for callers and the query drops it here."""
+    from .pipelines.quality import (
+        accepted_range,
+        accepted_values,
+        check_table,
+        not_null,
+    )
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    orders = tables.load(spark, sf_dir, "orders")
+    return check_table(
+        li,
+        checks=[
+            not_null("l_orderkey"),
+            accepted_range("l_quantity", 1, 40),
+            accepted_values("l_returnflag", ["A", "N", "R"]),
+        ],
+        unique_keys=[["l_orderkey", "l_linenumber"]],
+        refs=[("l_orderkey", orders, "o_orderkey")],
+    ).select("check", "n_violations")

@@ -109,3 +109,85 @@ def test_ivf_index_persist_and_search(spark):
             got._jdf.queryExecution().executedPlan().toString()
         )
         assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_snapshot_diff_cdc(spark):
+    from pyspark.sql import functions as F
+
+    from marketviz_spark.pipelines.snapshots import snapshot_diff
+
+    with tempfile.TemporaryDirectory() as d:
+        root = os.path.join(d, "tbl")
+        os.makedirs(root)
+        base = spark.range(10).select(
+            F.col("id"), (F.col("id") * 2).alias("v")
+        )
+        write_snapshot(base, root)
+        nxt = (
+            base.filter("id <> 3")  # remove 3
+            .union(spark.createDataFrame([(42, 84)], "id long, v long"))
+            .withColumn(
+                "v",
+                F.when(F.col("id") == 5, F.lit(999)).otherwise(
+                    F.col("v")
+                ),
+            )
+        )
+        write_snapshot(nxt, root)
+        diff = {
+            (r["id"], r["change_type"])
+            for r in snapshot_diff(spark, root, 1, 2, ["id"]).collect()
+        }
+        assert diff == {(3, "removed"), (42, "added"), (5, "changed")}
+
+
+def test_quality_checks_single_pass(spark):
+    import tempfile as _tf  # noqa: F401
+
+    from marketviz_spark import tables
+    from marketviz_spark.pipelines.quality import (
+        accepted_range,
+        accepted_values,
+        assert_table,
+        check_table,
+        not_null,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    li = tables.load(spark, sf, "lineitem")
+    orders = tables.load(spark, sf, "orders")
+    out = {
+        r["check"]: (r["n_violations"], r["passed"])
+        for r in check_table(
+            li,
+            checks=[
+                not_null("l_orderkey"),
+                accepted_range("l_quantity", 1, 40),
+                accepted_values("l_returnflag", ["A", "N", "R"]),
+            ],
+            unique_keys=[["l_orderkey", "l_linenumber"]],
+            refs=[("l_orderkey", orders, "o_orderkey")],
+        ).collect()
+    }
+    assert out["not_null(l_orderkey)"] == (0, True)
+    assert out["accepted_values(l_returnflag)"] == (0, True)
+    # the synthetic generator does NOT enforce the TPC-H line key —
+    # the unique check must COUNT those real duplicates, not pass
+    dup = li.count() - li.select(
+        "l_orderkey", "l_linenumber"
+    ).distinct().count()
+    assert dup > 0
+    assert out["unique(l_orderkey,l_linenumber)"] == (dup, False)
+    assert out["references(l_orderkey->o_orderkey)"] == (0, True)
+    # quantities run 1..50 in the synthetic data: the range check
+    # must actually count the >40 tail
+    n_bad, passed = out["accepted_range(l_quantity,1,40)"]
+    want = li.filter("l_quantity > 40").count()
+    assert (n_bad, passed) == (want, want == 0)
+    # assert_table raises with the failing checks in the message
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError, match="accepted_range"):
+        assert_table(
+            li, checks=[accepted_range("l_quantity", 1, 40)]
+        )
