@@ -71,6 +71,7 @@ _FIRST = [
     "q13_order_histogram",
     "w_beta_corr",
     "dq_lineitem_gate",
+    "text_rarity",
 ]
 
 

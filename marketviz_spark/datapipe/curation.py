@@ -416,3 +416,52 @@ def sample_stratified(docs: DataFrame) -> DataFrame:
         )
         .filter(F.col("sample_pct") < F.col("keep_rate"))
     )
+
+
+RARITY_SCALE = 1_000_000
+
+
+def rarity_scores(docs: DataFrame) -> DataFrame:
+    """Corpus-rarity quality score — the deterministic stand-in for
+    LM-perplexity filtering (CCNet-style): documents made of common
+    vocabulary score low, rare-vocabulary documents score high.
+
+    Each token occurrence contributes floor(RARITY_SCALE /
+    (1 + floor(log2(tf)))) where tf is the token's corpus frequency;
+    the document score is the integer mean of its contributions
+    (rarity_ppm in [0, RARITY_SCALE]). Everything is integer
+    arithmetic — floor_log2 via the binary-string length — so any
+    SQL engine reproduces the exact scores with no float-sum-order
+    or libm-log divergence (a real log/exp would hash-mismatch
+    across engines).
+
+    Scale: the frequency model is one partial-aggregated
+    groupBy(token) (hot tokens collapse map-side); it is BROADCAST
+    into the scoring join on purpose — a shuffle join on token
+    would send every occurrence of "the" to one partition (the
+    canonical join-skew trap), while vocabularies (millions of
+    rows) comfortably broadcast.
+    """
+    tok = docs.select("doc_id", F.explode(tokens()).alias("token"))
+    model = tok.groupBy("token").agg(F.count("*").alias("tf"))
+    # floor(log2(tf)) without libm: bin(tf) has no leading zeros
+    flog2 = (F.length(F.expr("bin(tf)")) - 1).cast("long")
+    contrib = F.floor(RARITY_SCALE / (1 + flog2)).cast("long")
+    scored = tok.join(
+        F.broadcast(model.select("token", contrib.alias("c"))),
+        "token",
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("c").alias("sc"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.floor(F.col("sc") / F.col("n_tokens"))
+            .cast("long")
+            .alias("rarity_ppm"),
+        )
+    )

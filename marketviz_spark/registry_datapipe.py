@@ -1329,3 +1329,34 @@ _JAC_SQL = rnd_sql("n_common / (za.n_sh + zb.n_sh - n_common)", 6)
 )
 def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_jaccard_estimate(tables.load(spark, sf_dir, "documents"))
+
+
+# ----------------------------------------------------------------------
+# Corpus-rarity quality score
+# ----------------------------------------------------------------------
+
+from .datapipe.curation import RARITY_SCALE, rarity_scores  # noqa: E402
+
+
+@register(
+    "text_rarity",
+    f"WITH {TOKS_CTE},"
+    + f"""
+    tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+    model AS (
+        SELECT token,
+               CAST(floor({RARITY_SCALE}
+                    / (1 + (length(bin(count(*))) - 1))) AS BIGINT)
+                   AS c
+        FROM tok GROUP BY token
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(floor(sum(c) / count(*)) AS BIGINT) AS rarity_ppm
+    FROM tok JOIN model USING (token)
+    GROUP BY doc_id
+    """,
+    survey="corpus-rarity quality score: integer-exact stand-in for LM-perplexity filtering (datapipe curation)",
+)
+def q_text_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rarity_scores(tables.load(spark, sf_dir, "documents"))

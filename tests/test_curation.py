@@ -310,3 +310,30 @@ def test_mega_document_stays_row_shaped(spark):
     assert rep[1]["repetitive"] is True
     pack = {r["doc_id"]: r for r in pack_sequences(docs).collect()}
     assert pack[1]["n_bins"] >= 50_000 // 64  # spans many bins
+
+
+def test_rarity_orders_common_vs_rare(spark):
+    from marketviz_spark.datapipe.curation import (
+        RARITY_SCALE,
+        rarity_scores,
+    )
+
+    # "the" appears 8x across the corpus; singletons once each
+    docs = _docs(
+        spark,
+        [
+            (1, "the the the the", "s"),
+            (2, "zq xv wk pj", "s"),
+            (3, "the the the the zq2 xv2", "s"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in rarity_scores(docs).collect()}
+    # tf(the)=8 -> floor_log2=3 -> contribution SCALE/4
+    assert out[1]["rarity_ppm"] == RARITY_SCALE // 4
+    # singletons: tf=1 -> floor_log2=0 -> full contribution
+    assert out[2]["rarity_ppm"] == RARITY_SCALE
+    assert (
+        out[1]["rarity_ppm"]
+        < out[3]["rarity_ppm"]
+        < out[2]["rarity_ppm"]
+    )
