@@ -55,7 +55,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..numerics import rnd
-from .dedup import shingles
+from .dedup import gram_array, shingles
 from .textstats import tokens
 
 # Repetition thresholds (Gopher-style "repetitive document" gates),
@@ -85,23 +85,14 @@ LEHMER_MUL = 48271
 def _gram_occurrences(docs: DataFrame, n: int) -> DataFrame:
     """ALL n-gram occurrences (non-distinct) per document:
     (doc_id, n_tokens, gram). Contrast dedup.shingles, which is
-    DISTINCT per doc — repetition counting needs multiplicity."""
+    DISTINCT per doc — repetition counting needs multiplicity; the
+    gram construction itself is the shared dedup.gram_array."""
     tk = docs.select("doc_id", tokens().alias("_t"))
     t = F.col("_t")
-    idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
-    grams = F.when(
-        F.size(t) >= n,
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(t, i + j) for j in range(n)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     return tk.select(
         "doc_id",
         F.size(t).cast("long").alias("n_tokens"),
-        F.explode(grams).alias("gram"),
+        F.explode(gram_array(t, n)).alias("gram"),
     )
 
 
@@ -219,9 +210,13 @@ def decontaminate(docs: DataFrame) -> DataFrame:
 
 def lehmer_hash(id_col: Column) -> Column:
     """One Park-Miller/Lehmer step: deterministic uniform hash of an
-    integer id in [0, 2^31-1). (id % m) * 48271 fits comfortably in
-    int64, so Spark and any SQL oracle compute the identical value."""
-    return (id_col % LEHMER_MOD) * LEHMER_MUL % LEHMER_MOD
+    integer id in [0, 2^31-1). pmod (not %) on the input: Spark's %
+    keeps the dividend's sign, so a negative id (realistic when ids
+    are 64-bit hashes) would yield a negative hash — making every
+    sampling test `pct < rate` trivially true and bucket ids
+    negative. (pmod(id) % m) * 48271 fits comfortably in int64, so
+    Spark and any SQL oracle compute the identical value."""
+    return F.pmod(id_col, LEHMER_MOD) * LEHMER_MUL % LEHMER_MOD
 
 
 def lehmer_pct(id_col: Column) -> Column:

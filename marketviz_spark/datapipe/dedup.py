@@ -47,20 +47,17 @@ def exact_dedup_groups(docs: DataFrame) -> DataFrame:
     )
 
 
-def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (doc_id, shingle).
-
-    Tokens are materialized into a column FIRST: inlining the split
-    expression would re-evaluate it inside every element_at lambda
-    (Catalyst does not CSE across lambda invocations — measured ~5x
-    slower).
-    """
-    tk = docs.select("doc_id", tokens().alias("_t"))
-    t = F.col("_t")
+def gram_array(t: F.Column, n: int) -> F.Column:
+    """Array of ALL word n-grams (with multiplicity) over a token
+    array column. `t` must be a materialized COLUMN, not the split
+    expression: Catalyst does not CSE across lambda invocations, so
+    an inlined split re-evaluates inside every element_at (~5x).
+    Shared by shingles (distinct per doc) and the curation
+    repetition counter (multiplicity kept)."""
     # Guard short docs: Spark's sequence(1, 0) produces a DESCENDING
     # [1, 0] rather than an empty list.
     idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
-    grams = F.when(
+    return F.when(
         F.size(t) >= n,
         F.transform(
             idx,
@@ -69,6 +66,12 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (doc_id, shingle)."""
+    tk = docs.select("doc_id", tokens().alias("_t"))
+    grams = gram_array(F.col("_t"), n)
     return (
         tk.select("doc_id", F.explode(grams).alias("shingle"))
         .distinct()

@@ -74,10 +74,13 @@ def index_chart_spec(index_df: DataFrame) -> dict:
         )
     return {
         "data": data,
+        # figure-JSON layout form (valid for plotly.js and
+        # go.Figure(**spec) alike): axis titles live INSIDE the
+        # axis objects — the magic-underscore "xaxis_title" keys are
+        # a plotly.py-only convenience and are dropped or clobbered
+        # by real renderers
         "layout": {
-            "title": "MarketViz Index Performance",
-            "xaxis_title": "Date",
-            "yaxis_title": "Index Value",
+            "title": {"text": "MarketViz Index Performance"},
             "template": "plotly_dark",
             "hovermode": "x unified",
             "legend": {
@@ -87,11 +90,13 @@ def index_chart_spec(index_df: DataFrame) -> dict:
                 "x": 0.01,
             },
             "xaxis": {
+                "title": {"text": "Date"},
                 "tickangle": 45,
                 "tickmode": "auto",
                 "nticks": 20,
                 "tickformat": "%d/%m",
             },
+            "yaxis": {"title": {"text": "Index Value"}},
         },
     }
 
@@ -124,7 +129,7 @@ def market_cap_pie_spec(
             }
         ],
         "layout": {
-            "title": f"Top {k} Stocks by Market Cap",
+            "title": {"text": f"Top {k} Stocks by Market Cap"},
             "template": "plotly_dark",
             "annotations": [
                 {

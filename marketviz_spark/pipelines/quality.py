@@ -62,11 +62,13 @@ def row_level(df: DataFrame, checks: list[Check]) -> DataFrame:
         for c in checks
     ]
     row = df.agg(*aggs)
+    # backtick-quote: check names contain dots (float range bounds),
+    # which a bare F.col would parse as struct-field access
     stacked = row.select(
         F.explode(
             F.map_from_arrays(
                 F.array(*[F.lit(c.name) for c in checks]),
-                F.array(*[F.col(c.name) for c in checks]),
+                F.array(*[F.col(f"`{c.name}`") for c in checks]),
             )
         ).alias("check", "n_violations")
     )

@@ -34,12 +34,35 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _partition_dirs(path: str, partition_col: str) -> list[str]:
-    return [
-        d
+def _unescape_partition(name: str) -> str:
+    """Invert Hive/Spark directory-name escaping (%XX for special
+    chars like ':' '%' '#')."""
+    out, i = [], 0
+    while i < len(name):
+        if name[i] == "%" and i + 2 < len(name) + 1:
+            try:
+                out.append(chr(int(name[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(name[i])
+        i += 1
+    return "".join(out)
+
+
+def _partition_dirs(path: str, partition_col: str) -> dict[str, str]:
+    """Map partition VALUE -> actual directory name, decoding the
+    on-disk escaping. Never rebuild a directory name from a value:
+    Spark escapes special characters ('day=a:1' is written as
+    'day=a%3A1'), so a synthesized f\"{col}={value}\" path silently
+    misses the real directory."""
+    prefix = f"{partition_col}="
+    return {
+        _unescape_partition(d[len(prefix):]): d
         for d in os.listdir(path)
-        if d.startswith(f"{partition_col}=")
-    ]
+        if d.startswith(prefix)
+    }
 
 
 def purge_users(
@@ -79,7 +102,7 @@ def purge_users(
     rows_deleted = table.filter(in_affected & hit).count()
     survivors = table.filter(in_affected & ~hit)
     kept_parts = {
-        r[0]
+        str(r[0])
         for r in survivors.select(partition_col).distinct().collect()
     }
     (
@@ -90,13 +113,20 @@ def purge_users(
     )
     # Partitions whose every row was purged: dynamic overwrite never
     # saw them — drop their directories (metastore: DROP PARTITION).
+    # Resolve via the on-disk listing (escaped names), and FAIL if a
+    # fully-purged partition's directory cannot be found: returning
+    # success while rows remain would falsify the audit log.
     dropped = 0
     for part in affected:
-        if part not in kept_parts:
-            d = os.path.join(path, f"{partition_col}={part}")
-            if os.path.isdir(d):
-                shutil.rmtree(d)
-                dropped += 1
+        if str(part) not in kept_parts and part is not None:
+            d = all_parts.get(str(part))
+            if d is None:
+                raise RuntimeError(
+                    f"purge_users: no directory found for fully-"
+                    f"purged partition {partition_col}={part!r}"
+                )
+            shutil.rmtree(os.path.join(path, d))
+            dropped += 1
     return {
         "partitions_scanned": len(all_parts),
         "partitions_rewritten": len(kept_parts),

@@ -77,8 +77,11 @@ def write_snapshot(df: DataFrame, root: str) -> int:
         for f in os.listdir(data_dir)
         if f.endswith(".parquet")
     )
-    spark = df.sparkSession
-    n_rows = spark.read.parquet(*files).count()
+    # row count from the parquet footers — metadata reads, not a
+    # second full scan of data just written
+    import pyarrow.parquet as pq
+
+    n_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
     os.makedirs(_manifest_dir(root), exist_ok=True)
     manifest = {"version": version, "files": files, "n_rows": n_rows}
     # manifest then pointer, both via atomic rename: a reader either
@@ -131,20 +134,29 @@ def snapshot_diff(
     via an md5 row hash (null-distinguishing separator), so the
     join carries keys + one hash per side — never the full row
     payload. Key-partitioned full outer join: uniform if `keys` is
-    a real key."""
+    a real key.
+
+    Schema evolution: each side hashes ITS OWN non-key columns,
+    with the column NAME inside every fragment — so adding or
+    dropping a column between versions marks surviving rows
+    'changed' (every row did gain/lose a field) instead of crashing
+    on the missing column or silently comparing a subset."""
     from pyspark.sql import functions as F
 
     a = read_snapshot(spark, root, v_old)
     b = read_snapshot(spark, root, v_new)
-    non_keys = [c for c in b.columns if c not in keys]
 
     def hashed(df: DataFrame, tag: str) -> DataFrame:
+        non_keys = sorted(c for c in df.columns if c not in keys)
         h = F.md5(
             F.concat_ws(
                 "\x1f",
                 *[
-                    F.coalesce(
-                        F.col(c).cast("string"), F.lit("\x00null")
+                    F.concat(
+                        F.lit(f"{c}="),
+                        F.coalesce(
+                            F.col(c).cast("string"), F.lit("\x00null")
+                        ),
                     )
                     for c in non_keys
                 ],

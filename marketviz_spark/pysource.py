@@ -63,6 +63,10 @@ class UniverseReader(DataSourceReader):
         self.parts = max(1, int(options.get("parts", DEFAULT_PARTS)))
 
     def partitions(self) -> Sequence[UniversePartition]:
+        if self.count <= 0:
+            # an empty universe (filtered screener, first morning)
+            # is an empty read, not a planning error
+            return [UniversePartition(0, 0)]
         step = -(-self.count // self.parts)  # ceil
         return [
             UniversePartition(lo, min(lo + step, self.count))

@@ -978,7 +978,10 @@ def _rate_case_sql() -> str:
     return f"CASE source {whens} ELSE {DEFAULT_RATE} END"
 
 
-_PCT_SQL = f"(doc_id % {LEHMER_MOD}) * {LEHMER_MUL} % {LEHMER_MOD} % 100"
+_PCT_SQL = (
+    f"((doc_id % {LEHMER_MOD} + {LEHMER_MOD}) % {LEHMER_MOD})"
+    f" * {LEHMER_MUL} % {LEHMER_MOD} % 100"
+)
 
 
 @register(
@@ -1011,7 +1014,10 @@ from .datapipe.curation import (  # noqa: E402
     vocab_topk,
 )
 
-_LEHMER_SQL = f"(doc_id % {LEHMER_MOD}) * {LEHMER_MUL} % {LEHMER_MOD}"
+_LEHMER_SQL = (
+    f"((doc_id % {LEHMER_MOD} + {LEHMER_MOD}) % {LEHMER_MOD})"
+    f" * {LEHMER_MUL} % {LEHMER_MOD}"
+)
 
 
 @register(

@@ -337,3 +337,22 @@ def test_rarity_orders_common_vs_rare(spark):
         < out[3]["rarity_ppm"]
         < out[2]["rarity_ppm"]
     )
+
+
+def test_lehmer_nonnegative_for_negative_ids(spark):
+    """64-bit-hash doc_ids can be negative: the sampling percentile
+    and pack bucket must stay in range (Spark's % keeps the
+    dividend's sign; lehmer_hash uses pmod)."""
+    from marketviz_spark.datapipe.curation import (
+        pack_sequences,
+        sample_stratified,
+    )
+
+    rows = [(-i, "w x y z", "srcZ") for i in range(1, 60)]
+    docs = _docs(spark, rows)
+    out = sample_stratified(docs).collect()
+    assert all(0 <= r["sample_pct"] < 100 for r in out)
+    # default rate is 30: a sign bug would keep ALL negative ids
+    assert 0 < len(out) < 59
+    packed = pack_sequences(docs).collect()
+    assert all(r["bucket"] >= 0 for r in packed)

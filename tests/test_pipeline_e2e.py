@@ -294,7 +294,8 @@ def test_chart_specs_mirror_reference_figures(spark):
         if r["composition_changed"]
     }
     assert set(markers["x"]) == want
-    assert spec["layout"]["title"] == "MarketViz Index Performance"
+    assert spec["layout"]["title"]["text"] == "MarketViz Index Performance"
+    assert spec["layout"]["xaxis"]["title"]["text"] == "Date"
 
     # k=1 on the 2-constituent sf0.001 composition: one named slice
     # plus OTHERS, in composition-rank order

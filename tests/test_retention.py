@@ -100,3 +100,27 @@ def test_compact_reduces_files_and_sorts(spark):
             part = spark.read.parquet(f).select("user_id").collect()
             vals = [r[0] for r in part]
             assert vals == sorted(vals), f
+
+
+def test_purge_users_escaped_partition_value(spark):
+    """Partition values Spark escapes on disk ('a:1' -> 'day=a%3A1')
+    must still purge and drop correctly — synthesizing the directory
+    name from the value would silently retain the rows."""
+    import tempfile as _tf
+
+    with _tf.TemporaryDirectory() as d:
+        path = os.path.join(d, "t")
+        df = spark.createDataFrame(
+            [(7777, "a:1", 1.0), (7777, "a:1", 2.0), (5, "b", 3.0)],
+            "user_id long, day string, v double",
+        )
+        df.write.partitionBy("day").parquet(path)
+        stats = purge_users(spark, path, [7777], partition_col="day")
+        after = spark.read.parquet(path)
+        assert after.filter("user_id = 7777").count() == 0
+        assert after.count() == 1
+        assert stats["rows_deleted"] == 2
+        assert stats["partitions_dropped"] == 1
+        assert not any(
+            "a%3A1" in p or "a:1" in p for p in os.listdir(path)
+        )

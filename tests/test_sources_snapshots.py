@@ -191,3 +191,57 @@ def test_quality_checks_single_pass(spark):
         assert_table(
             li, checks=[accepted_range("l_quantity", 1, 40)]
         )
+
+
+def test_quality_float_range_names(spark):
+    """Check names contain dots for float bounds — the result
+    columns must still resolve (backtick quoting)."""
+    from marketviz_spark.pipelines.quality import (
+        accepted_range,
+        check_table,
+    )
+
+    df = spark.createDataFrame(
+        [(0.5,), (1.7,), (None,)], "x double"
+    )
+    out = check_table(df, checks=[accepted_range("x", 0.0, 1.5)])
+    r = out.collect()[0]
+    assert r["check"] == "accepted_range(x,0.0,1.5)"
+    assert (r["n_violations"], r["passed"]) == (1, False)
+
+
+def test_snapshot_diff_schema_evolution(spark):
+    """Adding a column between versions marks surviving rows
+    changed (they gained a field) instead of crashing."""
+    from pyspark.sql import functions as F
+
+    from marketviz_spark.pipelines.snapshots import snapshot_diff
+
+    with tempfile.TemporaryDirectory() as d:
+        root = os.path.join(d, "tbl")
+        os.makedirs(root)
+        write_snapshot(
+            spark.range(3).select("id", (F.col("id") * 2).alias("v")),
+            root,
+        )
+        write_snapshot(
+            spark.range(3).select(
+                "id", (F.col("id") * 2).alias("v"), F.lit("x").alias("w")
+            ),
+            root,
+        )
+        out = snapshot_diff(spark, root, 1, 2, ["id"]).collect()
+        assert {r["change_type"] for r in out} == {"changed"}
+        assert len(out) == 3
+
+
+def test_universe_datasource_empty(spark):
+    import marketviz_spark.pysource as pysource
+
+    pysource.register(spark)
+    df = (
+        spark.read.format("marketviz_universe")
+        .option("count", 0)
+        .load()
+    )
+    assert df.count() == 0
