@@ -12,8 +12,14 @@ Scale design:
 - SimHash packs a document into one 16-bit integer; candidate
   retrieval is an equi-join on 4-bit bands (pigeonhole: hamming<=3
   guarantees a shared band), verification is xor+bit_count.
-- n-gram Jaccard is the exact verifier run AFTER candidate
-  generation — never all-pairs at scale.
+- n-gram Jaccard pairs only documents sharing a shingle whose
+  document frequency is <= SHINGLE_DF_CAP: a boilerplate shingle
+  present in 1M docs would otherwise emit ~5e11 join rows, so hot
+  shingles are anti-joined away (broadcast — the over-cap list is
+  tiny by Zipf) and surfaced via `shingle_overflow_keys`, the same
+  refuse-and-report contract as MAX_BUCKET. The sketch-accuracy
+  audit computes exact Jaccard for the LSH CANDIDATE pairs only,
+  never corpus-wide.
 
 All hashing is md5-based so every step has a bit-identical SQL
 oracle (min over hex strings == a random permutation min-hash).
