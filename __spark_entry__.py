@@ -29,49 +29,49 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver checks queries in dict insertion order and may stop at
-# a count/time budget (50 of 59 in rounds 1-2). Front-load the
-# entries whose last driver row is a round stale (r01 — the 9 the
-# r02 budget skipped) plus everything round 3 touches, so a budget
-# cutoff can only ever skip queries with a fresh green row.
+# a count/time budget (50 of ~81 in recent rounds). Front-load the
+# entries whose last driver row is stale (r02 — skipped by the r04
+# budget) plus everything round 5 touches, so a budget cutoff can
+# only ever skip queries with a fresh green row.
 _FIRST = [
-    # driver row last green in r01 (skipped by the r02 budget)
-    "semi_anti_join",
-    "pivot_order_status",
-    "w_moving_stats",
-    "events_range_join",
-    "q3_shipping_priority",
-    "p3_point_lookup",
-    "having_big_orders",
-    "unpivot_prices",
-    "agg_approx_sketches",
-    # touched in round 3
-    "skew_salted_agg",
-    "emb_cosine_topk_blas",
-    "emb_ivf_topk",
-    "agg_distinct_percentile",
-    "dedup_lsh_pairs",
-    "dedup_embedding_pairs",
-    "dedup_clusters",
-    "dedup_clusters_multi",
-    "text_repetition",
-    "text_decontaminate",
-    "sample_stratified",
-    "pack_sequences",
-    "pii_stats",
-    "pii_scrub",
-    "vocab_topk",
-    "events_click_error_pairs",
-    "curation_funnel",
-    "dedup_incremental",
-    "emb_quantize_int8",
-    "events_bars_rollup",
+    # driver row last green in r02 (skipped by the r04 budget)
+    "o5_summary_tail30",
+    "q1_pricing_summary",
+    "scalar_bundle",
+    "set_ops",
+    "skew_salted_join",
+    "json_props",
+    "json_props_struct",
+    "events_tumbling_1h",
+    "events_sliding_1h_30m",
+    "events_session_10m",
+    "text_stats",
+    "text_token_bpe",
+    "text_langid",
+    "text_fingerprints",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_bucket_overflow",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "emb_cosine_topk",
+    "emb_lsh_topk",
+    "mm_payload_features",
+    "dedup_levenshtein",
+    "cube_revenue",
+    "rollup_orders",
+    "w_ticker_trend_slope",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "w_rank_family",
+    # new or touched in round 5
+    "dedup_shingle_overflow",
     "dedup_minhash_estimate",
-    "events_hll_cascade",
-    "q4_late_order_priority",
-    "q13_order_histogram",
-    "w_beta_corr",
-    "dq_lineitem_gate",
-    "text_rarity",
+    "dedup_lsh_pairs",
+    "events_range_join",
+    "events_click_error_pairs",
+    "agg_approx_sketches",
 ]
 
 

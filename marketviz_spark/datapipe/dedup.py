@@ -12,14 +12,17 @@ Scale design:
 - SimHash packs a document into one 16-bit integer; candidate
   retrieval is an equi-join on 4-bit bands (pigeonhole: hamming<=3
   guarantees a shared band), verification is xor+bit_count.
-- n-gram Jaccard pairs only documents sharing a shingle whose
-  document frequency is <= SHINGLE_DF_CAP: a boilerplate shingle
-  present in 1M docs would otherwise emit ~5e11 join rows, so hot
-  shingles are anti-joined away (broadcast — the over-cap list is
-  tiny by Zipf) and surfaced via `shingle_overflow_keys`, the same
-  refuse-and-report contract as MAX_BUCKET. The sketch-accuracy
-  audit computes exact Jaccard for the LSH CANDIDATE pairs only,
-  never corpus-wide.
+- n-gram Jaccard is computed over the RARE-shingle space: shingles
+  whose document frequency exceeds SHINGLE_DF_CAP are anti-joined
+  away before pairing (broadcast — the over-cap list is tiny by
+  Zipf) and surfaced via `shingle_overflow_keys`, the same
+  refuse-and-report contract as MAX_BUCKET. A boilerplate shingle
+  present in 1M docs would otherwise emit ~5e11 join rows. Both
+  intersection AND set sizes use the capped space, so the ratio is
+  a true Jaccard of the rare-shingle sets.
+- the sketch-accuracy audit restricts the corpus to docs appearing
+  in an LSH candidate pair BEFORE the exact-Jaccard join — cost is
+  bounded by the candidate set, never corpus-wide.
 
 All hashing is md5-based so every step has a bit-identical SQL
 oracle (min over hex strings == a random permutation min-hash).
@@ -201,13 +204,58 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.05
+# Contract constant: shingles whose document frequency exceeds this
+# are excluded from n-gram Jaccard pairing and surface via
+# shingle_overflow_keys instead — the refuse-and-report twin of
+# MAX_BUCKET. A shingle shared by b docs contributes ~b²/2 join rows,
+# so an uncapped hot shingle is the verifier's quadratic blow-up.
+# Part of the engine's OBSERVABLE semantics: the dedup_ngram_jaccard
+# and dedup_minhash_estimate oracles mirror it (HAVING count <= cap).
+SHINGLE_DF_CAP = 2_000
+
+
+def _rare_shingles(sh: DataFrame, df_cap: int = SHINGLE_DF_CAP) -> DataFrame:
+    """Drop shingles with document frequency > df_cap via a broadcast
+    anti-join. The over-cap list is tiny by Zipf (boilerplate heads),
+    so it broadcasts; the surviving table keeps its partitioning."""
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
+def shingle_overflow_keys(
+    docs: DataFrame, n: int = 3, df_cap: int = SHINGLE_DF_CAP
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for pairs sharing >=1 shingle.
-    Integer intersection/union arithmetic; only the final ratio is a
-    (deterministic) double division."""
-    sh = shingles(docs, n)
+    """The (shingle, n_docs) keys `ngram_jaccard_pairs` refuses —
+    boilerplate so common it carries no near-dup signal. A 100 TB
+    pipeline alerts on these (template/license text) instead of
+    pairing them."""
+    return (
+        shingles(docs, n)
+        .groupBy("shingle")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > df_cap)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.05,
+    df_cap: int = SHINGLE_DF_CAP,
+) -> DataFrame:
+    """Exact n-gram Jaccard over the rare-shingle space: shingles
+    with document frequency > df_cap are removed first (see
+    SHINGLE_DF_CAP), then pairs sharing >=1 surviving shingle get
+    integer intersection/union arithmetic; only the final ratio is a
+    (deterministic) double division. Set sizes count surviving
+    shingles too, so the ratio is a true Jaccard of the capped sets.
+    """
+    sh = _rare_shingles(shingles(docs, n), df_cap)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -493,8 +541,11 @@ def minhash_jaccard_estimate(docs: DataFrame) -> DataFrame:
     100 TB you audit a sample of candidate pairs, not all pairs,
     but the dataflow is identical — signatures join in (doc-keyed,
     uniform), the estimate is a per-row array comparison, and the
-    exact Jaccard comes from the candidates-only verifier (never
-    all-pairs).
+    exact-Jaccard side is RESTRICTED to docs appearing in a
+    candidate pair (left-semi join) BEFORE its shingle self-join
+    runs, so the expensive verifier's cost is bounded by the
+    candidate set, never the corpus. The shingle DF cap is then
+    computed within that subset — the oracle mirrors both steps.
     """
     pairs = lsh_candidate_pairs(docs)
     sig = minhash_signatures(docs).select(
@@ -506,7 +557,13 @@ def minhash_jaccard_estimate(docs: DataFrame) -> DataFrame:
     pb = sig.select(
         F.col("doc_id").alias("doc_b"), F.col("mins").alias("mins_b")
     )
-    exact = ngram_jaccard_pairs(docs, threshold=0.0).select(
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    cand_docs = docs.join(cand_ids, "doc_id", "left_semi")
+    exact = ngram_jaccard_pairs(cand_docs, threshold=0.0).select(
         "doc_a", "doc_b", "jaccard"
     )
     matches = F.size(

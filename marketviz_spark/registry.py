@@ -1367,22 +1367,58 @@ def q_unpivot_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_sketches",
-    None,  # sketch values are engine-specific: rows-only check
-    survey="approximate aggregates (HLL distinct, approx quantiles)",
+    """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders_exact,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts_exact,
+           TRUE AS orders_ok,
+           TRUE AS parts_ok,
+           TRUE AS median_ok
+    FROM lineitem GROUP BY 1
+    """,
+    survey="approximate aggregates (HLL distinct, approx quantiles), tolerance-checked vs exact",
 )
 def q_agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) and percentile_approx
     (KLL-style) — the sketches a 100 TB profile pass uses instead of
-    exact distinct/sort. Sketch internals differ per engine, so this
-    is a rows-only contract entry; the exact twins are oracle-checked
-    in agg_distinct_percentile."""
+    exact distinct/sort. Sketch values are engine-specific, so the
+    oracle contract is the TOLERANCE, not the estimate (the
+    events_hll_cascade pattern): exact counts (computed
+    independently, hash-matched) plus bounded-error flags —
+    HLL++ default rsd is 5%, so 15% (3 sigma) is a stable
+    deterministic bound; the approx median must land between the
+    exact 45th and 55th percentiles (rank tolerance >> the sketch's
+    1/accuracy=0.01% rank error). The oracle asserts every flag."""
     li = tables.load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    approx = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.percentile_approx("l_extendedprice", 0.5).alias(
             "approx_median_price"
         ),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders_exact"),
+        F.countDistinct("l_partkey").alias("n_parts_exact"),
+        F.expr("percentile(l_extendedprice, 0.45)").alias("_p45"),
+        F.expr("percentile(l_extendedprice, 0.55)").alias("_p55"),
+    )
+
+    def _ok(est: str, ex: str) -> F.Column:
+        return (
+            F.abs(F.col(est) - F.col(ex)) / F.col(ex) <= 0.15
+        ).alias(est.replace("approx_", "") + "_ok")
+
+    return approx.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        "n_orders_exact",
+        "n_parts_exact",
+        _ok("approx_orders", "n_orders_exact"),
+        _ok("approx_parts", "n_parts_exact"),
+        (
+            (F.col("approx_median_price") >= F.col("_p45"))
+            & (F.col("approx_median_price") <= F.col("_p55"))
+        ).alias("median_ok"),
     )
 
 

@@ -311,15 +311,30 @@ def q_dedup_bucket_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucket_overflow_keys(stacked, max_bucket=2)
 
 
+from .datapipe.dedup import SHINGLE_DF_CAP  # noqa: E402
+
+# Engine contract (mirrors dedup.SHINGLE_DF_CAP): shingles with
+# document frequency over the cap are excluded from Jaccard pairing
+# AND from the per-doc set sizes — the rare-shingle space — so Spark
+# and DuckDB stay identical on data WITH a boilerplate shingle, not
+# just on fixtures without one.
+_RARE_SHINGLES = f"""
+    ok_sh AS (
+        SELECT shingle FROM sh
+        GROUP BY shingle HAVING count(*) <= {SHINGLE_DF_CAP}
+    ),
+    shr AS (SELECT sh.* FROM sh JOIN ok_sh USING (shingle))"""
+
+
 @register(
     "dedup_ngram_jaccard",
-    f"WITH {TOKS_CTE}, {SHINGLES_CTE}, "
+    f"WITH {TOKS_CTE}, {SHINGLES_CTE}, {_RARE_SHINGLES},"
     + """
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shr GROUP BY 1),
     common AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(count(*) AS BIGINT) AS n_common
-        FROM sh a JOIN sh b
+        FROM shr a JOIN shr b
           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
@@ -332,11 +347,34 @@ def q_dedup_bucket_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE floor(n_common / (sa.n_sh + sb.n_sh - n_common)
                 * 1000000.0 + 0.5) / 1000000.0 >= 0.05
     """,
-    survey="n-gram Jaccard near-dup verification (datapipe)",
+    survey="n-gram Jaccard near-dup verification over the DF-capped rare-shingle space (datapipe)",
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
         tables.load(spark, sf_dir, "documents"), threshold=0.05
+    )
+
+
+@register(
+    "dedup_shingle_overflow",
+    f"WITH {TOKS_CTE}, {SHINGLES_CTE}"
+    + """
+    SELECT shingle, CAST(count(*) AS BIGINT) AS n_docs
+    FROM sh
+    GROUP BY shingle
+    HAVING count(*) > 2
+    """,
+    survey="shingle DF-cap overflow report (boilerplate routing, datapipe)",
+)
+def q_dedup_shingle_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verifier's refuse-and-report side-channel as a first-class
+    query: shingles over the pairing DF cap (set to 2 here so the
+    fixture exercises the path; production uses dedup.SHINGLE_DF_CAP).
+    """
+    from .datapipe.dedup import shingle_overflow_keys
+
+    return shingle_overflow_keys(
+        tables.load(spark, sf_dir, "documents"), df_cap=2
     )
 
 
@@ -1312,11 +1350,24 @@ _JAC_SQL = rnd_sql("n_common / (za.n_sh + zb.n_sh - n_common)", 6)
     splits AS (
         SELECT doc_id, string_split(sig, '|') AS mins FROM sigs
     ),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    -- exact-Jaccard side restricted to candidate-pair docs FIRST
+    -- (mirrors the Spark left-semi join), then DF-capped within
+    -- that subset (mirrors dedup.SHINGLE_DF_CAP)
+    cand AS (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION SELECT doc_b FROM pairs
+    ),
+    shc AS (SELECT sh.* FROM sh JOIN cand USING (doc_id)),
+    ok_sh AS (
+        SELECT shingle FROM shc
+        GROUP BY shingle HAVING count(*) <= {SHINGLE_DF_CAP}
+    ),
+    shr AS (SELECT shc.* FROM shc JOIN ok_sh USING (shingle)),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shr GROUP BY 1),
     common AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(count(*) AS BIGINT) AS n_common
-        FROM sh a JOIN sh b
+        FROM shr a JOIN shr b
           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     )
@@ -1331,7 +1382,7 @@ _JAC_SQL = rnd_sql("n_common / (za.n_sh + zb.n_sh - n_common)", 6)
     JOIN sizes za ON za.doc_id = p.doc_a
     JOIN sizes zb ON zb.doc_id = p.doc_b
     """,
-    survey="MinHash estimate vs exact Jaccard on candidate pairs (sketch-accuracy audit, datapipe)",
+    survey="MinHash estimate vs exact Jaccard, candidate-bounded (sketch-accuracy audit, datapipe)",
 )
 def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_jaccard_estimate(tables.load(spark, sf_dir, "documents"))

@@ -20,8 +20,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..schemas import EVENTS
-
 
 def read_events_stream(
     spark: SparkSession, events_dir: str, max_files_per_trigger: int = 1
@@ -31,20 +29,23 @@ def read_events_stream(
     `events_dir` must be a DIRECTORY containing events parquet files
     (the file source monitors directories; point it at a staging dir
     in production, or a symlink-dir of the testdata file in tests).
+
+    The stream schema is probed from a one-off batch read of the same
+    directory rather than hardcoded: the parquet stores
+    TIMESTAMP(NANOS) and how Spark surfaces it (long vs
+    timestamp_ntz) has drifted across releases, so the probe always
+    matches what the running Spark actually decodes. The footer-only
+    probe is driver-side metadata work, not a data scan.
     """
-    import copy
+    from ..tables import normalize_events_ts
 
-    from pyspark.sql import types as T
-
-    # The parquet stores TIMESTAMP(NANOS) -> long (see tables.load_events)
-    schema = copy.deepcopy(EVENTS)
-    schema.fields[1] = T.StructField("ts", T.LongType(), False)
+    schema = spark.read.parquet(events_dir).schema
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(events_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return normalize_events_ts(raw)
 
 
 def tumbling_counts(

@@ -39,20 +39,38 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with `ts` as a proper TimestampType.
+def normalize_events_ts(ev: DataFrame) -> DataFrame:
+    """Normalize `ts` to a session-tz TimestampType, whatever the
+    reader produced.
 
-    The parquet stores TIMESTAMP(NANOS); with
-    spark.sql.legacy.parquet.nanosAsLong it arrives as long
-    nanoseconds, converted here by integer floor-division to
-    microseconds — identical to DuckDB's nanos->micros truncation.
+    The parquet stores TIMESTAMP(NANOS), and how Spark surfaces that
+    has drifted across releases/configs:
+    - ``bigint`` (spark.sql.legacy.parquet.nanosAsLong honored):
+      long nanoseconds — integer floor-division to micros, identical
+      to DuckDB's nanos->micros truncation. Integer DIV, not float:
+      nanos exceed double's 53-bit exact range.
+    - ``timestamp_ntz`` (Spark 4.1+ ignores the legacy conf): already
+      micros-truncated; cast to TimestampType. The session time zone
+      is pinned to UTC (session.py), so the NTZ->TZ cast is a pure
+      re-tag — the underlying micros value is unchanged and
+      ``unix_micros`` matches DuckDB's ``epoch_us``.
+    - ``timestamp``: already what downstream expects.
+
+    Every consumer (batch registry queries, streaming joins/windows)
+    goes through this, so `unix_micros`/window math never sees NTZ.
     """
-    ev = load(spark, sf_dir, "events")
-    if dict(ev.dtypes)["ts"] == "bigint":
-        # integer DIV, not float division: nanos exceed double's 53-bit
-        # exact range, so a float path would corrupt low-order digits
+    dt = dict(ev.dtypes)["ts"]
+    if dt == "bigint":
         ev = ev.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    elif dt == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     return ev
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with `ts` as a proper TimestampType (see
+    :func:`normalize_events_ts` for the type-drift handling)."""
+    return normalize_events_ts(load(spark, sf_dir, "events"))
 
 
 def register_all(spark: SparkSession, sf_dir: str) -> None:

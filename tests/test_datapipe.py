@@ -45,6 +45,42 @@ def test_ngram_jaccard_near_dup(spark):
     assert rows and rows[0]["jaccard"] > 0.3
 
 
+def test_shingle_df_cap_refuses_boilerplate(spark):
+    """A shingle shared by more docs than df_cap is excluded from
+    pairing (refuse) and reported via shingle_overflow_keys (report).
+    Docs that only overlap on the hot shingle produce NO pair; docs
+    sharing rare shingles still pair, with sizes counted in the
+    capped space."""
+    from marketviz_spark.datapipe.dedup import (
+        ngram_jaccard_pairs,
+        shingle_overflow_keys,
+    )
+
+    boiler = "all rights reserved worldwide"  # one shared 4-token run
+    texts = [
+        f"{boiler} alpha bravo charlie delta echo",
+        f"{boiler} foxtrot golf hotel india juliet",
+        f"{boiler} kilo lima mike november oscar",
+        f"{boiler} papa quebec romeo sierra tango",
+    ]
+    docs = _docs(spark, texts)
+
+    # df_cap=3: the boilerplate shingles (df=4) are refused...
+    pairs = ngram_jaccard_pairs(docs, threshold=0.0, df_cap=3).collect()
+    assert pairs == [], f"hot-shingle-only overlaps must not pair: {pairs}"
+    # ...and reported
+    over = {r["shingle"]: r["n_docs"]
+            for r in shingle_overflow_keys(docs, df_cap=3).collect()}
+    assert over and all(n == 4 for n in over.values())
+    assert all(sh.split()[0] in boiler for sh in over)
+
+    # with the cap above the boilerplate DF, the same docs DO pair
+    pairs = ngram_jaccard_pairs(docs, threshold=0.0, df_cap=4).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {
+        (a, b) for a in range(4) for b in range(4) if a < b
+    }
+
+
 def test_simhash_near_dup_low_hamming(spark):
     from marketviz_spark.datapipe.dedup import simhash_near_pairs
 

@@ -128,6 +128,15 @@ def test_decontaminate_broadcasts_eval_shingles(spark):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_ngram_jaccard_hot_shingle_anti_join_broadcasts(spark):
+    """The SHINGLE_DF_CAP anti-join must broadcast the (tiny, Zipf
+    head) over-cap shingle list — shuffling the full shingle table
+    to exclude a handful of boilerplate keys would defeat the cap's
+    purpose at 100 TB."""
+    plan = _plan(QUERIES["dedup_ngram_jaccard"].fn(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
 def test_sample_stratified_zero_shuffle(spark):
     """Deterministic hash sampling is a pure map-only projection +
     filter: any Exchange here would be a scale bug."""
