@@ -187,9 +187,18 @@ def bucket_overflow_keys(
     )
 
 
-def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
-    """Near-duplicate candidate pairs: docs sharing any LSH band."""
-    sigs = minhash_signatures(docs)
+def lsh_candidate_pairs(
+    docs: DataFrame, sigs: DataFrame | None = None
+) -> DataFrame:
+    """Near-duplicate candidate pairs: docs sharing any LSH band.
+
+    Pass a precomputed `sigs` (minhash_signatures output, possibly
+    checkpointed) when the caller also uses the signatures itself —
+    Catalyst does not dedupe identical subplans across a self-join,
+    so sharing the DataFrame avoids recomputing the shingle+minhash
+    aggregation once per use."""
+    if sigs is None:
+        sigs = minhash_signatures(docs)
     n_bands = NUM_HASHES // BAND_SIZE
     stacked = sigs.select(
         "doc_id",
@@ -546,11 +555,21 @@ def minhash_jaccard_estimate(docs: DataFrame) -> DataFrame:
     runs, so the expensive verifier's cost is bounded by the
     candidate set, never the corpus. The shingle DF cap is then
     computed within that subset — the oracle mirrors both steps.
+
+    The two SMALL intermediates consumed more than once — per-doc
+    signatures (used by the pairing, both estimate sides, and the
+    candidate restriction) and the candidate pairs (used three
+    times) — are lazily localCheckpoint'ed: Catalyst does not dedupe
+    identical subplans, so without this the shingle+minhash
+    aggregation runs ~4x. At 100 TB these are exactly the artifacts
+    a pipeline persists (one row per doc / per candidate pair); the
+    big shingle table is never materialized.
     """
-    pairs = lsh_candidate_pairs(docs)
-    sig = minhash_signatures(docs).select(
-        "doc_id", F.split("sig", "[|]").alias("mins")
+    sigs = minhash_signatures(docs).localCheckpoint(eager=False)
+    pairs = lsh_candidate_pairs(docs, sigs=sigs).localCheckpoint(
+        eager=False
     )
+    sig = sigs.select("doc_id", F.split("sig", "[|]").alias("mins"))
     pa = sig.select(
         F.col("doc_id").alias("doc_a"), F.col("mins").alias("mins_a")
     )

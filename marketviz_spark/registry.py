@@ -53,9 +53,12 @@ def ensure_session_confs(spark: SparkSession) -> None:
 
     The driver constructs its own session, so the two configs the
     engine depends on are (idempotently) applied at query time:
-    UTC timestamps (oracle comparability) and nanos-as-long parquet
-    reads (the events table stores TIMESTAMP(NANOS), which vanilla
-    Spark refuses to read). Both are runtime-settable SQL confs.
+    UTC timestamps (oracle comparability, and what makes the
+    timestamp_ntz->timestamp cast in tables.normalize_events_ts a
+    pure re-tag) and nanos-as-long parquet reads (honored by older
+    Sparks for the events table's TIMESTAMP(NANOS); Spark 4.1+
+    ignores it and reads timestamp_ntz — normalize_events_ts
+    accepts both). Both are runtime-settable SQL confs.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

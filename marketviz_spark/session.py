@@ -49,8 +49,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
         # The events testdata stores TIMESTAMP(NANOS); Spark has no
-        # nanosecond timestamp type, so read as long and convert in
-        # tables.load_events (truncation to micros, matching DuckDB).
+        # nanosecond timestamp type. Older Sparks honor this conf and
+        # surface `ts` as long nanos; Spark 4.1+ ignores it and reads
+        # timestamp_ntz. tables.normalize_events_ts accepts either
+        # (and plain timestamp), so the engine is conf-drift-proof —
+        # the conf stays for back-compat with honoring versions.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Partition values must round-trip as written (ISO strings at
         # the API edge, SURVEY §1.1) — not be re-inferred as DATE.
