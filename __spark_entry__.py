@@ -66,6 +66,7 @@ _FIRST = [
     "q6_forecast_revenue",
     "w_rank_family",
     # new or touched in round 5
+    "dedup_substring_spans",
     "dedup_shingle_overflow",
     "dedup_minhash_estimate",
     "dedup_lsh_pairs",

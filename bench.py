@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_minhash_estimate",
     "events_click_error_pairs",
+    "dedup_substring_spans",
 ]
 
 

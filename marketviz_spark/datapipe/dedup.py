@@ -303,6 +303,58 @@ def ngram_jaccard_pairs(
     )
 
 
+# Exact-substring duplicate detection (the char-level complement of
+# word-shingle Jaccard; cf. "Deduplicating Training Data Makes
+# Language Models Better"-style substring dedup): fixed-width char
+# windows at a stride, hashed and grouped. Stride trades fidelity
+# for row count (stride 1 = full suffix coverage at |text| rows/doc;
+# stride 10 bounds the explode at ~|text|/10 rows/doc).
+SUBSTR_K = 40
+SUBSTR_STRIDE = 10
+
+
+def substring_dup_spans(
+    docs: DataFrame, k: int = SUBSTR_K, stride: int = SUBSTR_STRIDE
+) -> DataFrame:
+    """Char windows of width `k` at `stride` offsets that appear in
+    >= 2 distinct documents — the span-level duplication report.
+
+    Scale shape: one map-side explode (bounded by n_chars/stride
+    rows per doc) into ONE hash aggregation on the window hash (md5
+    — uniform key space, no skew). The output is GROUPED, never
+    paired, so a window shared by b docs costs b rows, not b² —
+    duplication this op exists to find can't blow it up. rep_doc_id
+    and min_pos are independent minima (deterministic tie-break).
+    """
+    n = F.length("text")
+    npos = (F.floor((n - k) / F.lit(stride)) + 1).cast("int")
+    w = (
+        docs.filter(n >= k)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0), npos - 1)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            (F.col("i") * stride + 1).cast("bigint").alias("pos"),
+            F.md5(
+                F.expr(f"substring(text, CAST(i * {stride} + 1 AS INT), {k})")
+            ).alias("h"),
+        )
+    )
+    return (
+        w.groupBy("h")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occ"),
+            F.min("doc_id").alias("rep_doc_id"),
+            F.min("pos").alias("min_pos"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
 def simhash(docs: DataFrame) -> DataFrame:
     """SIMHASH_BITS-bit SimHash over token frequencies.
 

@@ -378,6 +378,38 @@ def q_dedup_shingle_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .datapipe.dedup import SUBSTR_K, SUBSTR_STRIDE  # noqa: E402
+
+
+@register(
+    "dedup_substring_spans",
+    f"""
+    WITH w AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, (length(text) - {SUBSTR_K}) // {SUBSTR_STRIDE} + 1),
+                   i -> CAST((i - 1) * {SUBSTR_STRIDE} + 1 AS BIGINT))) AS pos,
+               unnest(list_transform(
+                   generate_series(1, (length(text) - {SUBSTR_K}) // {SUBSTR_STRIDE} + 1),
+                   i -> md5(substr(text, (i - 1) * {SUBSTR_STRIDE} + 1, {SUBSTR_K})))) AS h
+        FROM documents
+        WHERE length(text) >= {SUBSTR_K}
+    )
+    SELECT h,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occ,
+           CAST(min(doc_id) AS BIGINT) AS rep_doc_id,
+           min(pos) AS min_pos
+    FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    """,
+    survey="exact-substring duplicate spans: strided char-window hashing, grouped report (datapipe)",
+)
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .datapipe.dedup import substring_dup_spans
+
+    return substring_dup_spans(tables.load(spark, sf_dir, "documents"))
+
+
 def _simhash_sql() -> str:
     sums = ", ".join(
         f"sum(CASE WHEN ((instr('{HEX}', substring(h4, {b // 4 + 1}, 1)) - 1)"

@@ -81,6 +81,27 @@ def test_shingle_df_cap_refuses_boilerplate(spark):
     }
 
 
+def test_substring_dup_spans_cross_doc(spark):
+    """A >=k-char run shared by two docs at a stride-aligned offset
+    is reported once (grouped, n_docs=2) with deterministic
+    representative; unique text and sub-k docs produce nothing."""
+    from marketviz_spark.datapipe.dedup import substring_dup_spans
+
+    # non-periodic so stride-offset windows don't hash-collapse
+    shared = "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMN"  # 50 chars
+    docs = _docs(
+        spark,
+        [shared + " unique tail one", shared + " other ending two",
+         "entirely different text " * 3, "short"],
+    )
+    rows = substring_dup_spans(docs).collect()
+    assert rows, "shared 50-char run must produce duplicated windows"
+    assert all(r["n_docs"] == 2 and r["rep_doc_id"] == 0 for r in rows)
+    # the two windows fully inside the shared run: offsets 1 and 11
+    assert {r["min_pos"] for r in rows} == {1, 11}
+    assert all(r["n_occ"] == 2 for r in rows)
+
+
 def test_simhash_near_dup_low_hamming(spark):
     from marketviz_spark.datapipe.dedup import simhash_near_pairs
 
