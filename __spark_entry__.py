@@ -67,6 +67,7 @@ _FIRST = [
     "w_rank_family",
     # new or touched in round 5
     "dedup_substring_spans",
+    "dedup_modality_agreement",
     "dedup_shingle_overflow",
     "dedup_minhash_estimate",
     "dedup_lsh_pairs",

@@ -892,6 +892,74 @@ def q_dedup_clusters_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_modality_agreement",
+    _MINHASH_CTES
+    + f""", stacked AS ({_BAND_STACK}),{_CAPPED_PAIRS},"""
+    + _emb_pair_ctes()
+    + """, tp AS (SELECT doc_a, doc_b FROM pairs),
+    ep AS (SELECT doc_a, doc_b FROM epairs),
+    m AS (
+        SELECT tp.doc_a IS NOT NULL AS in_text,
+               ep.doc_a IS NOT NULL AS in_emb
+        FROM tp FULL JOIN ep
+          ON tp.doc_a = ep.doc_a AND tp.doc_b = ep.doc_b
+    )
+    SELECT
+        CAST(coalesce(sum(CASE WHEN in_text AND NOT in_emb THEN 1 END), 0)
+             AS BIGINT) AS n_text_only,
+        CAST(coalesce(sum(CASE WHEN in_emb AND NOT in_text THEN 1 END), 0)
+             AS BIGINT) AS n_emb_only,
+        CAST(coalesce(sum(CASE WHEN in_text AND in_emb THEN 1 END), 0)
+             AS BIGINT) AS n_both
+    FROM m
+    """,
+    survey="text-LSH vs embedding-LSH pair agreement audit (multimodal recall tuning, datapipe)",
+)
+def q_dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much the two near-dup modalities agree: candidate pairs
+    found only by text MinHash-LSH, only by embedding hyperplane-LSH,
+    and by both — the audit that tunes each side's recall dial
+    (NUM_HASHES/BANDS vs EMB_TABLES/BITS) before running the
+    multimodal clusters. Both pair sets are already capped and
+    deduplicated; the full-outer join is keyed by the (doc_a, doc_b)
+    pair — uniform — and collapses to a single audit row."""
+    from .datapipe.dedup import lsh_candidate_pairs
+    from .datapipe.similarity import embedding_near_pairs
+
+    tp = lsh_candidate_pairs(
+        tables.load(spark, sf_dir, "documents")
+    ).withColumn("in_text", F.lit(True))
+    ep = (
+        embedding_near_pairs(tables.load(spark, sf_dir, "embeddings"))
+        .select("doc_a", "doc_b")
+        .withColumn("in_emb", F.lit(True))
+    )
+    m = tp.join(ep, ["doc_a", "doc_b"], "full")
+
+    def _n(cond: F.Column, name: str) -> F.Column:
+        return (
+            F.coalesce(F.sum(F.when(cond, 1)), F.lit(0))
+            .cast("bigint")
+            .alias(name)
+        )
+
+    return m.agg(
+        _n(
+            F.col("in_text").isNotNull() & F.col("in_emb").isNull(),
+            "n_text_only",
+        ),
+        _n(
+            F.col("in_emb").isNotNull() & F.col("in_text").isNull(),
+            "n_emb_only",
+        ),
+        _n(
+            F.col("in_text").isNotNull() & F.col("in_emb").isNotNull(),
+            "n_both",
+        ),
+    )
+
+
+@register(
     "dedup_levenshtein",
     _MINHASH_CTES
     + f""", stacked AS ({_BAND_STACK}),{_CAPPED_PAIRS}
