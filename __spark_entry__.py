@@ -68,6 +68,7 @@ _FIRST = [
     # new or touched in round 5
     "dedup_substring_spans",
     "dedup_modality_agreement",
+    "dedup_apply",
     "dedup_shingle_overflow",
     "dedup_minhash_estimate",
     "dedup_lsh_pairs",

@@ -512,6 +512,35 @@ def dedup_clusters(
     )
 
 
+def dedup_apply(
+    docs: DataFrame, max_iter: int = 20, reliable_checkpoint: bool = False
+) -> DataFrame:
+    """Materialize the DEDUPED corpus — the end product the report
+    queries exist for: exactly one representative (the min-doc_id
+    member, i.e. the doc whose id equals its cluster_id) survives
+    per near-dup cluster; isolated docs survive as their own
+    cluster. Output carries the content fingerprint so the oracle
+    hash-verifies WHICH text survived, not just which ids.
+
+    Scale: the label table is one row per doc; the representative
+    filter is a map-side predicate on it, and the corpus join is a
+    left-semi on doc_id (uniform key). At 100 TB this is the query
+    you'd write as the final INSERT INTO curated_corpus."""
+    labels = dedup_clusters(
+        docs, max_iter=max_iter, reliable_checkpoint=reliable_checkpoint
+    )
+    reps = labels.filter(
+        F.col("doc_id") == F.col("cluster_id")
+    ).select("doc_id")
+    return docs.join(reps, "doc_id", "left_semi").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.md5("text").alias("fp"),
+    )
+
+
 def dedup_clusters_multi(
     docs: DataFrame,
     emb: DataFrame,

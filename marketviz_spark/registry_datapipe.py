@@ -855,6 +855,36 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_apply",
+    _MINHASH_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f""", stacked AS ({_BAND_STACK}),{_CAPPED_PAIRS}, edges AS (
+        SELECT doc_a, doc_b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ), reach AS (
+        SELECT doc_id AS doc, doc_id AS r FROM documents
+        UNION
+        SELECT e.doc_a AS doc, reach.r
+        FROM edges e JOIN reach ON e.doc_b = reach.doc
+    ), labels AS (
+        SELECT doc AS doc_id, min(r) AS cluster_id
+        FROM reach GROUP BY doc
+    )
+    SELECT d.doc_id, d.lang, d.source,
+           CAST(d.n_chars AS BIGINT) AS n_chars,
+           md5(d.text) AS fp
+    FROM documents d
+    JOIN labels l ON l.doc_id = d.doc_id AND l.cluster_id = d.doc_id
+    """,
+    survey="dedup end-game: materialized representative-only corpus (datapipe)",
+)
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .datapipe.dedup import dedup_apply
+
+    return dedup_apply(tables.load(spark, sf_dir, "documents"))
+
+
+@register(
     "dedup_clusters_multi",
     _MINHASH_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
     + f""", stacked AS ({_BAND_STACK}),{_CAPPED_PAIRS},"""

@@ -81,6 +81,20 @@ def test_shingle_df_cap_refuses_boilerplate(spark):
     }
 
 
+def test_dedup_apply_keeps_one_representative(spark):
+    """Two LSH-colliding near-dups collapse to the min-doc_id
+    representative; the unrelated doc survives untouched, with
+    content fingerprints proving WHICH text survived."""
+    from marketviz_spark.datapipe.dedup import dedup_apply
+
+    docs = _docs(spark, [BASE, BASE, "x y z " * 10])
+    out = {r["doc_id"]: r["fp"] for r in dedup_apply(docs).collect()}
+    assert set(out) == {0, 2}
+    import hashlib
+
+    assert out[0] == hashlib.md5(BASE.encode()).hexdigest()
+
+
 def test_substring_dup_spans_cross_doc(spark):
     """A >=k-char run shared by two docs at a stride-aligned offset
     is reported once (grouped, n_docs=2) with deterministic
