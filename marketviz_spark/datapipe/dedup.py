@@ -263,8 +263,18 @@ def ngram_jaccard_pairs(
     integer intersection/union arithmetic; only the final ratio is a
     (deterministic) double division. Set sizes count surviving
     shingles too, so the ratio is a true Jaccard of the capped sets.
+
+    The capped shingle table is consumed four times (sizes, both
+    self-join sides, and the DF computation feeding the cap);
+    Catalyst re-derives unshared subplans, so it is lazily
+    localCheckpoint'ed — the shingle inverted index IS the artifact
+    a substring-dedup pipeline persists (bucketed by shingle at
+    100 TB), so materializing it once is the production dataflow,
+    not a local trick.
     """
-    sh = _rare_shingles(shingles(docs, n), df_cap)
+    sh = _rare_shingles(shingles(docs, n), df_cap).localCheckpoint(
+        eager=False
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -132,8 +132,14 @@ def test_ngram_jaccard_hot_shingle_anti_join_broadcasts(spark):
     """The SHINGLE_DF_CAP anti-join must broadcast the (tiny, Zipf
     head) over-cap shingle list — shuffling the full shingle table
     to exclude a handful of boilerplate keys would defeat the cap's
-    purpose at 100 TB."""
-    plan = _plan(QUERIES["dedup_ngram_jaccard"].fn(spark, SF_SMALL))
+    purpose at 100 TB. Inspect the shingle-index construction
+    directly: inside dedup_ngram_jaccard it sits behind a
+    localCheckpoint, which hides its subtree from the outer plan."""
+    from marketviz_spark import tables
+    from marketviz_spark.datapipe.dedup import _rare_shingles, shingles
+
+    docs = tables.load(spark, SF_SMALL, "documents")
+    plan = _plan(_rare_shingles(shingles(docs)))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
 
 
