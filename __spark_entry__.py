@@ -69,6 +69,8 @@ _FIRST = [
     "dedup_substring_spans",
     "dedup_modality_agreement",
     "dedup_apply",
+    "curation_apply",
+    "split_assign",
     "dedup_shingle_overflow",
     "dedup_minhash_estimate",
     "dedup_lsh_pairs",

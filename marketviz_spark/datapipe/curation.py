@@ -309,13 +309,19 @@ def pii_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("has_pii", total > 0)
 
 
-def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Redact PII in pattern order (email before the number patterns,
-    SSN before IPv4 would not overlap but order is fixed anyway so
-    engines agree). Map-only."""
-    red = F.col(text_col)
+def pii_redacted(text_col: Column) -> Column:
+    """The PII redaction expression: replace in fixed pattern order
+    (email before the number patterns; SSN before IPv4 would not
+    overlap but the order is pinned anyway so engines agree)."""
+    red = text_col
     for name, pat in PII_PATTERNS:
         red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return red
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact PII per document. Map-only."""
+    red = pii_redacted(F.col(text_col))
     return docs.select(
         "doc_id", red.alias("redacted"), F.length(red).alias("n_chars_red")
     )
@@ -392,6 +398,66 @@ def curation_funnel(docs: DataFrame) -> DataFrame:
         cnt(F.col("contaminated")).alias("n_contaminated"),
         cnt(~F.col("sampled")).alias("n_sampled_out"),
         cnt(kept).alias("n_kept"),
+    )
+
+
+def curation_apply(docs: DataFrame) -> DataFrame:
+    """Materialize the CURATED corpus — the docs `curation_funnel`
+    counts as kept (not repetitive, not contaminated, selected by
+    the stratified sample; eval split excluded), with PII redacted.
+    The content fingerprint is md5 of the REDACTED text, so the
+    oracle hash-verifies the exact bytes a training run would read.
+
+    Scale: the two flag tables are doc_id-keyed left joins (uniform);
+    the keep predicate and redaction are map-only on the survivors.
+    This is the final INSERT INTO curated_corpus of the funnel."""
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    corpus = docs.filter(~is_eval)
+    rep = repetition_stats(corpus).select("doc_id", "repetitive")
+    dec = decontaminate(docs).select("doc_id", "contaminated")
+    kept = (
+        ~F.coalesce(F.col("repetitive"), F.lit(False))
+        & ~F.coalesce(F.col("contaminated"), F.lit(False))
+        & (lehmer_pct(F.col("doc_id")) < keep_rate(F.col("source")))
+    )
+    red = pii_redacted(F.col("text"))
+    return (
+        corpus.join(rep, "doc_id", "left")
+        .join(dec, "doc_id", "left")
+        .filter(kept)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.md5(red).alias("fp"),
+            F.length(red).cast("bigint").alias("n_chars_curated"),
+        )
+    )
+
+
+# Train/val/test split: a SECOND Lehmer step decorrelates the split
+# percentile from the sampling percentile (reusing lehmer_pct would
+# send every sampled doc to the same split band).
+TRAIN_PCT = 80
+VAL_PCT = 90
+
+
+def split_assign(docs: DataFrame) -> DataFrame:
+    """Deterministic, disjoint, exhaustive train/val/test assignment
+    per document (80/10/10 by a doc_id-derived percentile). Stable
+    across re-runs and engines — the property that makes the split
+    auditable and leak-checkable; zero shuffle."""
+    pct2 = lehmer_pct(lehmer_hash(F.col("doc_id")))
+    split = (
+        F.when(pct2 < TRAIN_PCT, "train")
+        .when(pct2 < VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        pct2.alias("split_pct"),
+        split.alias("split"),
     )
 
 

@@ -1395,6 +1395,73 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_apply",
+    f"WITH {TOKS_CTE}, {_REP_CTES}, {SHINGLES_CTE},"
+    + f"""
+    rep AS (
+        SELECT doc_id, {_REPETITIVE_SQL} AS repetitive FROM d
+    ),
+    ev AS (
+        SELECT DISTINCT shingle FROM sh WHERE doc_id % {EVAL_MOD} = 0
+    ),
+    hits AS (
+        SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        FROM sh s JOIN ev USING (shingle)
+        WHERE s.doc_id % {EVAL_MOD} <> 0
+        GROUP BY s.doc_id
+    ),
+    base AS (
+        SELECT doc_id, lang, source, text,
+               ({_PCT_SQL}) < ({_rate_case_sql()}) AS sampled
+        FROM documents WHERE doc_id % {EVAL_MOD} <> 0
+    )
+    SELECT b.doc_id, b.lang, b.source,
+           md5({_PII_RED_SQL}) AS fp,
+           CAST(length({_PII_RED_SQL}) AS BIGINT) AS n_chars_curated
+    FROM base b
+    LEFT JOIN rep r USING (doc_id)
+    LEFT JOIN hits h USING (doc_id)
+    WHERE coalesce(r.repetitive, FALSE) = FALSE
+      AND coalesce(h.n_shared >= {CONTAM_MIN_SHARED}, FALSE) = FALSE
+      AND b.sampled
+    """,
+    survey="curation end-game: materialized kept+PII-redacted corpus (datapipe curation)",
+)
+def q_curation_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .datapipe.curation import curation_apply
+
+    return curation_apply(tables.load(spark, sf_dir, "documents"))
+
+
+def _split_pct2_sql() -> str:
+    from .datapipe.curation import LEHMER_MOD, LEHMER_MUL
+
+    h1 = (
+        f"((doc_id % {LEHMER_MOD} + {LEHMER_MOD}) % {LEHMER_MOD})"
+        f" * {LEHMER_MUL} % {LEHMER_MOD}"
+    )
+    return f"({h1}) * {LEHMER_MUL} % {LEHMER_MOD} % 100"
+
+
+@register(
+    "split_assign",
+    f"""
+    SELECT doc_id, source,
+           CAST({_split_pct2_sql()} AS INT) AS split_pct,
+           CASE WHEN {_split_pct2_sql()} < 80 THEN 'train'
+                WHEN {_split_pct2_sql()} < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    survey="deterministic disjoint train/val/test split assignment (datapipe curation)",
+)
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .datapipe.curation import split_assign
+
+    return split_assign(tables.load(spark, sf_dir, "documents"))
+
+
+@register(
     "dedup_incremental",
     f"WITH {TOKS_CTE},"
     + f"""

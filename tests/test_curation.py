@@ -356,3 +356,58 @@ def test_lehmer_nonnegative_for_negative_ids(spark):
     assert 0 < len(out) < 59
     packed = pack_sequences(docs).collect()
     assert all(r["bucket"] >= 0 for r in packed)
+
+
+def test_curation_apply_matches_funnel_kept_counts(spark):
+    """The materialized curated corpus must contain exactly the docs
+    curation_funnel counts as kept, per source — the apply and the
+    report are two views of one decision."""
+    from marketviz_spark import tables
+    from marketviz_spark.datapipe.curation import (
+        curation_apply,
+        curation_funnel,
+    )
+
+    docs = tables.load(spark, "/root/testdata/sf0.001", "documents")
+    kept = {
+        r["source"]: r["n_kept"]
+        for r in curation_funnel(docs).collect()
+        if r["n_kept"] > 0
+    }
+    applied = {
+        r["source"]: r["n"]
+        for r in curation_apply(docs)
+        .groupBy("source")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert applied == kept and kept
+
+
+def test_split_assign_disjoint_exhaustive_decorrelated(spark):
+    """Every doc gets exactly one split; proportions are near
+    80/10/10; and the split is decorrelated from the sampling
+    percentile (the second Lehmer step): sampled docs must NOT all
+    land in one split."""
+    from marketviz_spark import tables
+    from marketviz_spark.datapipe.curation import (
+        sample_stratified,
+        split_assign,
+    )
+
+    docs = tables.load(spark, "/root/testdata/sf0.01", "documents")
+    out = split_assign(docs).collect()
+    assert len(out) == docs.count()  # exhaustive, one row per doc
+    by = {}
+    for r in out:
+        by.setdefault(r["split"], set()).add(r["doc_id"])
+    assert set(by) == {"train", "val", "test"}
+    total = sum(len(v) for v in by.values())
+    assert len(set.union(*by.values())) == total  # disjoint
+    assert 0.6 < len(by["train"]) / total < 0.95
+    sampled = {r["doc_id"] for r in sample_stratified(docs).collect()}
+    splits_of_sampled = {
+        r["split"] for r in out if r["doc_id"] in sampled
+    }
+    assert len(splits_of_sampled) > 1, "split correlated with sampling"
