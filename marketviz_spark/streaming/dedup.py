@@ -33,6 +33,71 @@ def stream_dedup_exact(
     )
 
 
+def stream_ingest_gate(
+    stream_df: DataFrame,
+    corpus_path: str,
+    checkpoint_dir: str,
+    content_col: str = "props",
+):
+    """Continuous-ingest dedup against a PERSISTED corpus — the
+    streaming twin of datapipe.incremental_dedup, and the piece the
+    watermark-bounded dedups above can't provide: duplicates are
+    refused no matter how far apart they arrive (days, restarts),
+    because the reference is the corpus on disk, not in-memory state.
+
+    Each micro-batch, inside foreachBatch:
+    1. fingerprint rows (md5 of the payload) and collapse the batch
+       to one representative per fingerprint (min event_id —
+       deterministic across replays);
+    2. anti-join against the fingerprints already in the corpus
+       table (the corpus IS the index: one row per fingerprint, so
+       the read is column-pruned to `fp` at scan time — at 100 TB
+       you'd bucket the table by fp for a co-located join);
+    3. write survivors partitioned by epoch with dynamic partition
+       OVERWRITE — a replayed batch (failure/restart) rewrites its
+       own partition identically instead of appending duplicates.
+       Checkpoint offsets + idempotent writes = exactly-once.
+    """
+
+    def gate(batch_df: DataFrame, epoch_id: int) -> None:
+        from ..pipelines.upsert import table_exists, upsert_by_date_partition
+
+        spark = batch_df.sparkSession
+        fp = F.when(
+            F.col(content_col).isNull(), F.lit("<null>")
+        ).otherwise(F.md5(F.col(content_col)))
+        batch = (
+            batch_df.withColumn("fp", fp)
+            .groupBy("fp")
+            .agg(F.min("event_id").alias("event_id"))
+        )
+        if table_exists(spark, corpus_path):
+            # exclude the CURRENT epoch: a replay after a partial
+            # epoch write must recompute the epoch's full survivor
+            # set and overwrite its partition wholesale — anti-join
+            # against its own partial rows would shrink it. The
+            # epoch filter is a partition prune, not a scan.
+            seen = (
+                spark.read.parquet(corpus_path)
+                .filter(F.col("epoch") != int(epoch_id))
+                .select("fp")
+            )
+            batch = batch.join(seen, "fp", "left_anti")
+        upsert_by_date_partition(
+            spark,
+            batch.withColumn("epoch", F.lit(int(epoch_id))),
+            corpus_path,
+            "epoch",
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+
+
 def stream_dedup_content(
     events: DataFrame,
     content_col: str = "props",

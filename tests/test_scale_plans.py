@@ -150,6 +150,24 @@ def test_sample_stratified_zero_shuffle(spark):
     assert "Exchange" not in plan, plan
 
 
+def test_split_assign_zero_shuffle(spark):
+    """Train/val/test assignment is a map-only projection — same
+    zero-shuffle contract as the sampler it must stay decorrelated
+    from."""
+    plan = _plan(QUERIES["split_assign"].fn(spark, SF_SMALL))
+    assert "Exchange" not in plan, plan
+
+
+def test_apply_queries_join_doc_keyed_no_cartesian(spark):
+    """The two end-game materializers must join flag/label tables on
+    doc_id (uniform keys) and never fall into a cartesian/nested-loop
+    product."""
+    for q in ("dedup_apply", "curation_apply"):
+        plan = _plan(QUERIES[q].fn(spark, SF_SMALL))
+        assert "CartesianProduct" not in plan, (q, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (q, plan)
+
+
 def test_repetition_shuffles_stay_doc_keyed(spark):
     """Every exchange in the repetition pipeline must embed doc_id in
     its partitioning key — the property that makes the key space at

@@ -418,3 +418,83 @@ def test_streaming_curation_map_ops_equal_batch(spark):
         assert _rows(spark.sql("SELECT * FROM t_cur_stats")) == _rows(
             text_stats(batch)
         )
+
+
+def test_stream_ingest_gate_dedups_against_persisted_corpus(spark):
+    """The foreachBatch ingest gate refuses duplicates across
+    micro-batches by anti-joining the PERSISTED corpus (not
+    watermark state): batch 2's repeat of batch 1's payload is
+    dropped, its genuinely new payload lands, within-batch dups
+    collapse to the min event_id, and re-running the whole stream
+    over the same checkpointed corpus admits nothing new
+    (idempotent restart)."""
+    import time
+
+    import pyspark.sql.types as T
+
+    from marketviz_spark.streaming.dedup import stream_ingest_gate
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), False),
+            T.StructField("ts", T.LongType(), False),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+    ns = 10**9
+    base = 1704103200 * ns
+    batch1 = [
+        (5, base + 60 * ns, 1, "click", 1.0, "payload-A"),
+        (2, base + 61 * ns, 1, "click", 1.0, "payload-A"),  # in-batch dup
+        (3, base + 120 * ns, 1, "view", 2.0, "payload-B"),
+    ]
+    batch2 = [
+        (9, base + 180 * ns, 2, "click", 3.0, "payload-A"),  # cross-batch dup
+        (4, base + 240 * ns, 2, "view", 4.0, "payload-C"),
+    ]
+    with tempfile.TemporaryDirectory() as src, \
+            tempfile.TemporaryDirectory() as d:
+        f1, f2 = os.path.join(src, "a.parquet"), os.path.join(src, "b.parquet")
+        spark.createDataFrame(batch1, schema).toPandas().to_parquet(f1)
+        spark.createDataFrame(batch2, schema).toPandas().to_parquet(f2)
+        now = time.time()
+        os.utime(f1, (now - 60, now - 60))
+        os.utime(f2, (now, now))
+        corpus = os.path.join(d, "corpus")
+
+        q = stream_ingest_gate(
+            read_events_stream(spark, src, max_files_per_trigger=1),
+            corpus,
+            os.path.join(d, "ckpt"),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        got = {
+            r["event_id"]
+            for r in spark.read.parquet(corpus).collect()
+        }
+        # payload-A -> min(2,5)=2; payload-B -> 3; payload-C -> 4; 9 refused
+        assert got == {2, 3, 4}
+
+        # restart with a FRESH checkpoint over the same files: the
+        # corpus itself is the dedup reference, so nothing is re-admitted
+        q2 = stream_ingest_gate(
+            read_events_stream(spark, src, max_files_per_trigger=1),
+            corpus,
+            os.path.join(d, "ckpt2"),
+        )
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        got2 = {
+            r["event_id"]
+            for r in spark.read.parquet(corpus).collect()
+        }
+        assert got2 == {2, 3, 4}
