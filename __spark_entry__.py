@@ -71,6 +71,7 @@ _FIRST = [
     "dedup_apply",
     "curation_apply",
     "split_assign",
+    "mm_frame_sample",
     "dedup_shingle_overflow",
     "dedup_minhash_estimate",
     "dedup_lsh_pairs",

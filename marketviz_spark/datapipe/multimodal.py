@@ -89,6 +89,84 @@ def decode_image(media: DataFrame) -> DataFrame:
     return media.mapInPandas(decode, schema)
 
 
+# Frame sampling: the payload as a sequence of fixed-size chunks
+# ("frames" — a deterministic stand-in for video frame extraction),
+# keeping every EVERY-th chunk. The op's Spark shape is the point:
+# a 1->N mapInPandas (output rows exceed input rows), the batch
+# geometry real frame sampling has.
+FRAME_CHUNK = 64
+FRAME_EVERY = 4
+
+
+def sample_frames(
+    media: DataFrame, chunk: int = FRAME_CHUNK, every: int = FRAME_EVERY
+) -> DataFrame:
+    """Sample every `every`-th fixed-size chunk of each payload as a
+    "frame": (doc_id, frame_idx, n_bytes, frame_md5). frame_idx is
+    the chunk's ordinal in the full stream (0, every, 2*every, ...),
+    so a downstream join can locate the frame in the source.
+
+    Scale: payloads never leave the executors; each Arrow batch of
+    payloads explodes to its frames inside the worker, and the
+    tail chunk (shorter than `chunk`) is kept — dropping it would
+    lose the end of every stream."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sizes, hashes = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for i in range(0, len(b), chunk * every):
+                    frame = b[i : i + chunk]
+                    ids.append(doc_id)
+                    idxs.append(i // chunk)
+                    sizes.append(len(frame))
+                    hashes.append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "n_bytes": pd.Series(sizes, dtype="int64"),
+                    "frame_md5": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(
+        extract, "doc_id long, frame_idx long, n_bytes long, frame_md5 string"
+    )
+
+
+# Resize planning: aspect-preserving downscale to a bounding box.
+RESIZE_MAX_SIDE = 256
+
+
+def resize_plan(
+    decoded: DataFrame, max_side: int = RESIZE_MAX_SIDE
+) -> DataFrame:
+    """Aspect-preserving resize arithmetic over decode_image output:
+    images whose longer side exceeds `max_side` scale down to it
+    (floor, never upscale); failed decodes pass the error channel
+    through untouched. The byte transform itself rides the same
+    stubbed decode path — the PLAN (what a resize stage must agree
+    on across engines) is exact integer arithmetic, JVM-side."""
+    long_side = F.greatest("width", "height")
+    scale_num = F.when(long_side > max_side, F.lit(max_side)).otherwise(
+        long_side
+    )
+    out_w = F.floor(F.col("width") * scale_num / long_side).cast("int")
+    out_h = F.floor(F.col("height") * scale_num / long_side).cast("int")
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        F.when(F.col("ok"), out_w).alias("out_width"),
+        F.when(F.col("ok"), out_h).alias("out_height"),
+        (F.col("ok") & (long_side > max_side)).alias("scaled"),
+        "ok",
+        "err",
+    )
+
+
 def _image_module():
     """Pillow feature detection (None when absent). Called inside
     the decode UDF so the check runs in the executor's Python

@@ -683,6 +683,37 @@ def q_mm_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payload_features(media)
 
 
+def _frame_sample_oracle() -> str:
+    from .datapipe.multimodal import FRAME_CHUNK, FRAME_EVERY
+
+    step = FRAME_CHUNK * FRAME_EVERY
+    n = f"(length(text) - 1) // {step} + 1"
+    frame = f"substr(text, (j - 1) * {step} + 1, {FRAME_CHUNK})"
+    # testdata text is pure ASCII (mm_payload_features relies on the
+    # same property), so char offsets equal the UDF's byte offsets
+    return f"""
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, {n}),
+               j -> CAST((j - 1) * {FRAME_EVERY} AS BIGINT))) AS frame_idx,
+           unnest(list_transform(generate_series(1, {n}),
+               j -> CAST(length({frame}) AS BIGINT))) AS n_bytes,
+           unnest(list_transform(generate_series(1, {n}),
+               j -> md5({frame}))) AS frame_md5
+    FROM documents
+    """
+
+
+@register(
+    "mm_frame_sample",
+    _frame_sample_oracle(),
+    survey="multimodal frame sampling: every-Nth fixed-size payload chunk via 1->N mapInPandas (datapipe)",
+)
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .datapipe.multimodal import sample_frames
+
+    return sample_frames(to_media(tables.load(spark, sf_dir, "documents")))
+
+
 @register(
     "emb_cosine_topk_blas",
     f"WITH {_VEC_CTE}"

@@ -546,3 +546,49 @@ def test_decode_image_pil_branch_via_injected_module():
     assert ok == (640, 480, True, None)
     bad = _decode(b"not an image", image_mod=FakeImageModule)
     assert bad[2] is False and "decoding failed" in bad[3]
+
+
+def test_frame_sample_chunks_and_tail(spark):
+    """Every 4th 64-byte chunk is kept, the short tail chunk
+    survives, and frame_md5 matches a driver-side recomputation."""
+    import hashlib
+
+    from marketviz_spark.datapipe.multimodal import (
+        sample_frames,
+        to_media,
+    )
+
+    text = "A" * 300  # frames at byte 0 (64B) and byte 256 (44B tail)
+    docs = _docs(spark, [text])
+    rows = sorted(
+        sample_frames(to_media(docs)).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [(r["frame_idx"], r["n_bytes"]) for r in rows] == [
+        (0, 64),
+        (4, 44),
+    ]
+    assert rows[0]["frame_md5"] == hashlib.md5(b"A" * 64).hexdigest()
+    assert rows[1]["frame_md5"] == hashlib.md5(b"A" * 44).hexdigest()
+
+
+def test_resize_plan_aspect_and_no_upscale(spark):
+    """Resize arithmetic: longer side capped at max_side with aspect
+    preserved (floor), small images pass through unscaled, failed
+    decodes keep the error channel."""
+    from marketviz_spark.datapipe.multimodal import resize_plan
+
+    decoded = spark.createDataFrame(
+        [
+            (1, 1024, 512, True, None),
+            (2, 100, 50, True, None),
+            (3, None, None, False, "decoding failed: boom"),
+        ],
+        "doc_id long, width int, height int, ok boolean, err string",
+    )
+    out = {r["doc_id"]: r for r in resize_plan(decoded).collect()}
+    assert (out[1]["out_width"], out[1]["out_height"]) == (256, 128)
+    assert out[1]["scaled"] is True
+    assert (out[2]["out_width"], out[2]["out_height"]) == (100, 50)
+    assert out[2]["scaled"] is False
+    assert out[3]["out_width"] is None and out[3]["err"] is not None
