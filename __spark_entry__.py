@@ -72,6 +72,8 @@ _FIRST = [
     "curation_apply",
     "split_assign",
     "mm_frame_sample",
+    "events_funnel_conversion",
+    "events_transition_matrix",
     "dedup_shingle_overflow",
     "dedup_minhash_estimate",
     "dedup_lsh_pairs",

@@ -1251,6 +1251,118 @@ def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_funnel_conversion",
+    """
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    s1 AS (
+        SELECT user_id, min(us) AS t1 FROM e
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 USING (user_id)
+        WHERE event_type = 'view' AND us > t1 GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, min(us) AS t3 FROM e JOIN s2 USING (user_id)
+        WHERE event_type = 'click' AND us > t2 GROUP BY e.user_id
+    ),
+    s4 AS (
+        SELECT e.user_id, min(us) AS t4 FROM e JOIN s3 USING (user_id)
+        WHERE event_type = 'purchase' AND us > t3 GROUP BY e.user_id
+    )
+    SELECT s1.user_id,
+           CAST(1 + CAST(t2 IS NOT NULL AS INT)
+                  + CAST(t3 IS NOT NULL AS INT)
+                  + CAST(t4 IS NOT NULL AS INT) AS INT) AS furthest_step
+    FROM s1
+    LEFT JOIN s2 USING (user_id)
+    LEFT JOIN s3 USING (user_id)
+    LEFT JOIN s4 USING (user_id)
+    """,
+    survey="ordered funnel conversion: signup->view->click->purchase per user (event-sequence extension)",
+)
+def q_events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel: step k counts only if it happens STRICTLY
+    AFTER the earliest achievable step k-1 (the greedy earliest-step
+    chain, which maximizes conversion — the standard funnel
+    semantics). Expressed as chained conditional min-aggregations:
+    every shuffle is keyed by user_id, so the four stages
+    co-partition and AQE reuses the exchange; no per-user event
+    array is ever materialized (a power user costs rows, not
+    memory), unlike the collect_list formulation."""
+    ev = tables.load_events(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+
+    def step(prev: DataFrame, etype: str, tprev: str, tcol: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .filter(F.col("us") > F.col(tprev))
+            .groupBy("user_id")
+            .agg(F.min("us").alias(tcol))
+        )
+
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    s2 = step(s1.select("user_id", "t1"), "view", "t1", "t2")
+    s3 = step(s2, "click", "t2", "t3")
+    s4 = step(s3, "purchase", "t3", "t4")
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .join(s4, "user_id", "left")
+        .select(
+            "user_id",
+            (
+                F.lit(1)
+                + F.col("t2").isNotNull().cast("int")
+                + F.col("t3").isNotNull().cast("int")
+                + F.col("t4").isNotNull().cast("int")
+            ).alias("furthest_step"),
+        )
+    )
+
+
+@register(
+    "events_transition_matrix",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+    survey="event-type transition matrix via per-user lag window (event-sequence extension)",
+)
+def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavior model: counts of consecutive event-type
+    transitions per user (event_id tiebreak pins ties for exact
+    cross-engine parity). One window shuffle keyed by user_id, then
+    a partial-aggregated count keyed by the 25-cell transition
+    space — hot cells collapse map-side."""
+    ev = tables.load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
     "q3_shipping_priority",
     """
     SELECT o_orderkey,

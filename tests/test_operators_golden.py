@@ -145,3 +145,51 @@ def test_salted_join_matches_plain(spark):
         for r in big.join(small, "k").collect()
     )
     assert got == want
+
+
+def test_funnel_requires_strict_temporal_order(spark):
+    """A purchase BEFORE the user's click must not count as step 4:
+    the funnel is sequential, not set-membership. User 1 does the
+    full ordered funnel (step 4); user 2 has all four event types
+    but the purchase precedes the click (step 3); user 3 never
+    views after signup (step 1)."""
+    from marketviz_spark.registry import QUERIES
+    import pyspark.sql.types as T
+    import tempfile
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), False),
+            T.StructField("ts", T.TimestampType(), False),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda m: t0 + dt.timedelta(minutes=m)  # noqa: E731
+    rows = [
+        # user 1: full ordered funnel
+        (1, s(0), 1, "signup", 0.0, None),
+        (2, s(1), 1, "view", 0.0, None),
+        (3, s(2), 1, "click", 0.0, None),
+        (4, s(3), 1, "purchase", 0.0, None),
+        # user 2: purchase BEFORE click -> furthest_step 3
+        (5, s(0), 2, "signup", 0.0, None),
+        (6, s(1), 2, "view", 0.0, None),
+        (7, s(2), 2, "purchase", 0.0, None),
+        (8, s(3), 2, "click", 0.0, None),
+        # user 3: view precedes signup -> furthest_step 1
+        (9, s(1), 3, "signup", 0.0, None),
+        (10, s(0), 3, "view", 0.0, None),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, schema).write.parquet(f"{d}/events.parquet")
+        out = {
+            r["user_id"]: r["furthest_step"]
+            for r in QUERIES["events_funnel_conversion"].fn(spark, d).collect()
+        }
+    assert out == {1: 4, 2: 3, 3: 1}
