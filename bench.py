@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "dedup_minhash_estimate",
     "events_click_error_pairs",
     "dedup_substring_spans",
+    "events_funnel_conversion",
+    "events_transition_matrix",
 ]
 
 
