@@ -109,6 +109,10 @@ def main() -> None:
                 materialize(QUERIES[name].fn(spark, sf_dir))
             except Exception as exc:
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                # a query must be EITHER a timed success OR an error
+                # row — a pass-1 timing for a query that broke in
+                # pass 2 would silently count toward the suite total
+                timings.pop(name, None)
                 continue
             dt = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)

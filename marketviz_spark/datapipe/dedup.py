@@ -223,16 +223,23 @@ def lsh_candidate_pairs(
 SHINGLE_DF_CAP = 2_000
 
 
+def _hot_shingles(sh: DataFrame, df_cap: int) -> DataFrame:
+    """(shingle, n_docs) with document frequency over df_cap — the
+    ONE definition of "hot" shared by the refuse path
+    (_rare_shingles) and the report path (shingle_overflow_keys),
+    so what is refused and what is reported can never diverge."""
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > df_cap)
+    )
+
+
 def _rare_shingles(sh: DataFrame, df_cap: int = SHINGLE_DF_CAP) -> DataFrame:
     """Drop shingles with document frequency > df_cap via a broadcast
     anti-join. The over-cap list is tiny by Zipf (boilerplate heads),
     so it broadcasts; the surviving table keeps its partitioning."""
-    hot = (
-        sh.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > df_cap)
-        .select("shingle")
-    )
+    hot = _hot_shingles(sh, df_cap).select("shingle")
     return sh.join(F.broadcast(hot), "shingle", "left_anti")
 
 
@@ -243,12 +250,7 @@ def shingle_overflow_keys(
     boilerplate so common it carries no near-dup signal. A 100 TB
     pipeline alerts on these (template/license text) instead of
     pairing them."""
-    return (
-        shingles(docs, n)
-        .groupBy("shingle")
-        .agg(F.count("*").alias("n_docs"))
-        .filter(F.col("n_docs") > df_cap)
-    )
+    return _hot_shingles(shingles(docs, n), df_cap)
 
 
 def ngram_jaccard_pairs(
@@ -631,7 +633,9 @@ def incremental_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_jaccard_estimate(docs: DataFrame) -> DataFrame:
+def minhash_jaccard_estimate(
+    docs: DataFrame, df_cap: int = SHINGLE_DF_CAP
+) -> DataFrame:
     """Sketch-accuracy audit: for every LSH candidate pair, the
     MinHash Jaccard ESTIMATE (fraction of matching signature
     positions — the unbiased estimator the sketch exists for) next
@@ -673,9 +677,9 @@ def minhash_jaccard_estimate(docs: DataFrame) -> DataFrame:
         .distinct()
     )
     cand_docs = docs.join(cand_ids, "doc_id", "left_semi")
-    exact = ngram_jaccard_pairs(cand_docs, threshold=0.0).select(
-        "doc_a", "doc_b", "jaccard"
-    )
+    exact = ngram_jaccard_pairs(
+        cand_docs, threshold=0.0, df_cap=df_cap
+    ).select("doc_a", "doc_b", "jaccard")
     matches = F.size(
         F.filter(
             F.zip_with(
@@ -685,15 +689,22 @@ def minhash_jaccard_estimate(docs: DataFrame) -> DataFrame:
         )
     )
     est = rnd(matches / F.lit(float(NUM_HASHES)), 6)
+    # LEFT join + coalesce(jaccard, 0): a candidate pair whose only
+    # shared shingles are over the DF cap has NO verifier row, but
+    # its Jaccard in the rare-shingle space is exactly 0 — and
+    # est~1/true=0 boilerplate collisions are precisely the sketch
+    # error this audit exists to expose. An inner join would
+    # silently drop them and understate the error.
+    jac = F.coalesce(F.col("jaccard"), F.lit(0.0))
     return (
         pairs.join(pa, "doc_a")
         .join(pb, "doc_b")
-        .join(exact, ["doc_a", "doc_b"])
+        .join(exact, ["doc_a", "doc_b"], "left")
         .select(
             "doc_a",
             "doc_b",
             est.alias("est_jaccard"),
-            "jaccard",
-            rnd(F.abs(est - F.col("jaccard")), 6).alias("abs_err"),
+            jac.alias("jaccard"),
+            rnd(F.abs(est - jac), 6).alias("abs_err"),
         )
     )

@@ -700,7 +700,11 @@ def _frame_sample_oracle() -> str:
            unnest(list_transform(generate_series(1, {n}),
                j -> md5({frame}))) AS frame_md5
     FROM documents
+    WHERE length(text) > 0
     """
+    # the length guard matches the UDF's range(0, 0, step) == no
+    # rows for an empty payload; DuckDB's truncating // would
+    # otherwise emit a phantom frame ((0-1)//step + 1 = 1)
 
 
 @register(
@@ -1601,14 +1605,17 @@ _JAC_SQL = rnd_sql("n_common / (za.n_sh + zb.n_sh - n_common)", 6)
     )
     SELECT p.doc_a, p.doc_b,
            {_EST_SQL} AS est_jaccard,
-           {_JAC_SQL} AS jaccard,
-           {rnd_sql(f"abs(({_EST_SQL}) - ({_JAC_SQL}))", 6)} AS abs_err
+           coalesce({_JAC_SQL}, 0.0) AS jaccard,
+           {rnd_sql(f"abs(({_EST_SQL}) - coalesce({_JAC_SQL}, 0.0))", 6)}
+               AS abs_err
     FROM pairs p
     JOIN splits sa ON sa.doc_id = p.doc_a
     JOIN splits sb ON sb.doc_id = p.doc_b
-    JOIN common c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
-    JOIN sizes za ON za.doc_id = p.doc_a
-    JOIN sizes zb ON zb.doc_id = p.doc_b
+    -- LEFT: a pair sharing only over-cap shingles has no verifier
+    -- row; its rare-shingle Jaccard is 0 (mirrors the Spark side)
+    LEFT JOIN common c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+    LEFT JOIN sizes za ON za.doc_id = p.doc_a
+    LEFT JOIN sizes zb ON zb.doc_id = p.doc_b
     """,
     survey="MinHash estimate vs exact Jaccard, candidate-bounded (sketch-accuracy audit, datapipe)",
 )

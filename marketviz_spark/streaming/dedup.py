@@ -53,11 +53,24 @@ def stream_ingest_gate(
        table (the corpus IS the index: one row per fingerprint, so
        the read is column-pruned to `fp` at scan time — at 100 TB
        you'd bucket the table by fp for a co-located join);
-    3. write survivors partitioned by epoch with dynamic partition
-       OVERWRITE — a replayed batch (failure/restart) rewrites its
-       own partition identically instead of appending duplicates.
-       Checkpoint offsets + idempotent writes = exactly-once.
+    3. write survivors partitioned by (run, epoch) with dynamic
+       partition OVERWRITE, where `run` is a fresh token per gate
+       START. The anti-join excludes only the CURRENT (run, epoch)
+       partition, which makes every failure mode idempotent:
+       - an in-run task retry of epoch N recomputes the full
+         survivor set and overwrites ITS OWN partition wholesale
+         (anti-joining against its partial rows would shrink it);
+       - a restart (same or fresh checkpoint) gets a NEW run token,
+         so epoch numbers restarting from 0 can never alias an
+         older run's partitions — nothing is deleted, prior rows
+         stay visible to the anti-join, and only the complement is
+         written. Epoch ids alone are NOT globally unique; keying
+         the overwrite by them alone would let a fresh checkpoint
+         silently replace an old run's partitions.
     """
+    import uuid
+
+    run_token = uuid.uuid4().hex
 
     def gate(batch_df: DataFrame, epoch_id: int) -> None:
         from ..pipelines.upsert import table_exists, upsert_by_date_partition
@@ -72,22 +85,26 @@ def stream_ingest_gate(
             .agg(F.min("event_id").alias("event_id"))
         )
         if table_exists(spark, corpus_path):
-            # exclude the CURRENT epoch: a replay after a partial
-            # epoch write must recompute the epoch's full survivor
-            # set and overwrite its partition wholesale — anti-join
-            # against its own partial rows would shrink it. The
-            # epoch filter is a partition prune, not a scan.
+            # partition-pruned read: everything EXCEPT this batch's
+            # own (run, epoch) partition
             seen = (
                 spark.read.parquet(corpus_path)
-                .filter(F.col("epoch") != int(epoch_id))
+                .filter(
+                    ~(
+                        (F.col("run") == run_token)
+                        & (F.col("epoch") == int(epoch_id))
+                    )
+                )
                 .select("fp")
             )
             batch = batch.join(seen, "fp", "left_anti")
         upsert_by_date_partition(
             spark,
-            batch.withColumn("epoch", F.lit(int(epoch_id))),
+            batch.withColumn("run", F.lit(run_token)).withColumn(
+                "epoch", F.lit(int(epoch_id))
+            ),
             corpus_path,
-            "epoch",
+            ["run", "epoch"],
         )
 
     return (

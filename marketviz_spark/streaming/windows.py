@@ -35,11 +35,26 @@ def read_events_stream(
     TIMESTAMP(NANOS) and how Spark surfaces it (long vs
     timestamp_ntz) has drifted across releases, so the probe always
     matches what the running Spark actually decodes. The footer-only
-    probe is driver-side metadata work, not a data scan.
+    probe is driver-side metadata work, not a data scan. A staging
+    directory that is still EMPTY (normal at stream start in
+    production) has no footer to probe — fall back to the canonical
+    EVENTS schema with `ts` as TIMESTAMP_NTZ, what current Spark
+    decodes TIMESTAMP(NANOS) parquet as; either way
+    normalize_events_ts folds the result to one TimestampType path.
     """
+    import copy
+
+    from pyspark.sql import types as T
+    from pyspark.sql.utils import AnalysisException
+
+    from ..schemas import EVENTS
     from ..tables import normalize_events_ts
 
-    schema = spark.read.parquet(events_dir).schema
+    try:
+        schema = spark.read.parquet(events_dir).schema
+    except AnalysisException:  # empty staging dir: nothing to probe
+        schema = copy.deepcopy(EVENTS)
+        schema.fields[1] = T.StructField("ts", T.TimestampNTZType(), False)
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)

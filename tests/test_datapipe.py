@@ -592,3 +592,21 @@ def test_resize_plan_aspect_and_no_upscale(spark):
     assert (out[2]["out_width"], out[2]["out_height"]) == (100, 50)
     assert out[2]["scaled"] is False
     assert out[3]["out_width"] is None and out[3]["err"] is not None
+
+
+def test_minhash_estimate_keeps_overcap_only_pairs(spark):
+    """A candidate pair whose ONLY shared shingles are over the DF
+    cap must stay in the sketch audit with jaccard 0 — est~1/true=0
+    boilerplate collisions are exactly the sketch error the audit
+    exists to expose; an inner join would silently drop them."""
+    from marketviz_spark.datapipe.dedup import minhash_jaccard_estimate
+
+    boiler = "all rights reserved worldwide do not copy this text"
+    texts = [boiler, boiler, boiler, boiler]  # identical: all bands collide
+    docs = _docs(spark, texts)
+    rows = minhash_jaccard_estimate(docs, df_cap=3).collect()
+    assert rows, "over-cap-only candidate pairs must not vanish"
+    for r in rows:
+        assert r["jaccard"] == 0.0  # rare-shingle space is empty
+        assert r["est_jaccard"] == 1.0  # identical signatures
+        assert r["abs_err"] == 1.0  # the error the audit must show

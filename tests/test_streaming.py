@@ -498,3 +498,35 @@ def test_stream_ingest_gate_dedups_against_persisted_corpus(spark):
             for r in spark.read.parquet(corpus).collect()
         }
         assert got2 == {2, 3, 4}
+
+
+def test_stream_starts_on_empty_staging_dir(spark):
+    """Production contract: the stream must start cleanly against an
+    existing-but-EMPTY staging directory (no parquet footer to
+    probe — the schema falls back to the canonical EVENTS shape)."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), False),
+            T.StructField("ts", T.LongType(), False),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+    with tempfile.TemporaryDirectory() as src:
+        stream = read_events_stream(spark, src)  # must not raise
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("t_empty_start")
+            .start()
+        )
+        try:
+            q.processAllAvailable()  # zero batches: fine
+            n0 = spark.sql("SELECT count(*) n FROM t_empty_start").first()["n"]
+            assert n0 == 0
+        finally:
+            q.stop()
