@@ -74,6 +74,7 @@ _FIRST = [
     "mm_frame_sample",
     "events_funnel_conversion",
     "events_transition_matrix",
+    "corpus_source_report",
     "dedup_shingle_overflow",
     "dedup_minhash_estimate",
     "dedup_lsh_pairs",

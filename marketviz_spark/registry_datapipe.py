@@ -1497,6 +1497,57 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_source_report",
+    """
+    WITH per_doc AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split(text, ' '),
+                        x -> x <> '')) AS BIGINT) AS n_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               md5(text) AS fp
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           CAST(floor(sum(n_chars) / count(*)) AS BIGINT)
+               AS avg_chars_floor,
+           CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dups
+    FROM per_doc
+    GROUP BY source
+    """,
+    survey="per-source corpus health report: volume, token/char mass, in-source exact-dup count (datapipe reporting)",
+)
+def q_corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first query a curation team runs: per-source volume,
+    token and char mass, floor-average doc length, and the
+    in-source exact-duplicate count (docs minus distinct content
+    fingerprints). One scan, one source-keyed aggregation with
+    map-side partials; the distinct-fp count is the only expanding
+    term and is keyed by (source, fp) — uniform by md5."""
+    from .datapipe.textstats import tokens
+
+    per_doc = tables.load(spark, sf_dir, "documents").select(
+        "source",
+        F.size(tokens()).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.md5("text").alias("fp"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+        F.floor(F.sum("n_chars") / F.count("*"))
+        .cast("long")
+        .alias("avg_chars_floor"),
+        (F.count("*") - F.countDistinct("fp"))
+        .cast("long")
+        .alias("n_exact_dups"),
+    )
+
+
+@register(
     "dedup_incremental",
     f"WITH {TOKS_CTE},"
     + f"""
