@@ -170,3 +170,113 @@ def test_funnel_conserves_documents(spark, rows):
         for c in ("n_repetitive", "n_contaminated", "n_sampled_out", "n_kept"):
             assert 0 <= r[c] <= r["n_docs"]
         assert r["n_kept"] <= r["n_docs"] - r["n_sampled_out"]
+
+
+word = st.text(alphabet="abcdefgh", min_size=1, max_size=6)
+
+
+@st.composite
+def doc_rows(draw):
+    n = draw(st.integers(2, 8))
+    return [
+        (i, " ".join(draw(st.lists(word, min_size=0, max_size=12))))
+        for i in range(n)
+    ]
+
+
+def _mk_docs(spark, rows, parts=1):
+    return spark.createDataFrame(
+        [(i, t, "en", f"src{i % 3}", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).repartition(parts)
+
+
+@given(rows=doc_rows(), seed=st.integers(0, 3))
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_substring_spans_invariant_under_partitioning(spark, rows, seed):
+    """The duplicated-span report is independent of row order and
+    partitioning (pure grouped aggregation — no partition-local
+    state), on arbitrary short documents."""
+    import random
+
+    from marketviz_spark.datapipe.dedup import substring_dup_spans
+
+    shuffled = rows[:]
+    random.Random(seed).shuffle(shuffled)
+    a = substring_dup_spans(_mk_docs(spark, rows, 1), k=4, stride=2).collect()
+    b = substring_dup_spans(
+        _mk_docs(spark, shuffled, 5), k=4, stride=2
+    ).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+@given(rows=doc_rows())
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_split_assign_deterministic_and_complete(spark, rows):
+    """Split assignment re-run twice is identical (no rand()), every
+    doc appears exactly once, and the split name always matches the
+    percentile band."""
+    from marketviz_spark.datapipe.curation import (
+        TRAIN_PCT,
+        VAL_PCT,
+        split_assign,
+    )
+
+    docs = _mk_docs(spark, rows, 3)
+    a = {r["doc_id"]: r for r in split_assign(docs).collect()}
+    b = {r["doc_id"]: r for r in split_assign(docs).collect()}
+    assert {k: str(v) for k, v in a.items()} == {
+        k: str(v) for k, v in b.items()
+    }
+    assert set(a) == {i for i, _ in rows}
+    for r in a.values():
+        band = (
+            "train"
+            if r["split_pct"] < TRAIN_PCT
+            else ("val" if r["split_pct"] < VAL_PCT else "test")
+        )
+        assert r["split"] == band
+
+
+@given(rows=doc_rows(), cap=st.integers(1, 4))
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_refused_and_paired_shingles_partition_cleanly(spark, rows, cap):
+    """For ANY corpus and cap: a shingle is either pairable (df <=
+    cap) or reported by shingle_overflow_keys (df > cap) — never
+    both, never neither. The refuse and report paths must partition
+    the shingle space exactly."""
+    from marketviz_spark.datapipe.dedup import (
+        _rare_shingles,
+        shingle_overflow_keys,
+        shingles,
+    )
+
+    docs = _mk_docs(spark, rows, 2)
+    all_sh = {
+        r["shingle"] for r in shingles(docs, 2).select("shingle").collect()
+    }
+    kept = {
+        r["shingle"]
+        for r in _rare_shingles(shingles(docs, 2), cap)
+        .select("shingle")
+        .collect()
+    }
+    refused = {
+        r["shingle"]
+        for r in shingle_overflow_keys(docs, n=2, df_cap=cap).collect()
+    }
+    assert kept | refused == all_sh
+    assert kept & refused == set()
