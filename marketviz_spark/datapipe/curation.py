@@ -352,52 +352,64 @@ def keep_rate(source_col: Column) -> Column:
     )
 
 
+def _kept_flags(docs: DataFrame) -> DataFrame:
+    """Corpus rows (eval split excluded) with the three coalesced
+    funnel flags — repetitive, contaminated, sampled — carried
+    alongside every document column. THE single definition of the
+    keep decision: curation_funnel (the counts) and curation_apply
+    (the materialized corpus) both read it, so they can never
+    disagree about which docs are kept. Documents too short for
+    repetition stats (absent from that output) count as not
+    repetitive. Both flag tables are doc_id-keyed (uniform joins
+    against the corpus)."""
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    corpus = docs.filter(~is_eval)
+    rep = repetition_stats(corpus).select("doc_id", "repetitive")
+    dec = decontaminate(docs).select("doc_id", "contaminated")
+    return (
+        corpus.join(rep, "doc_id", "left")
+        .join(dec, "doc_id", "left")
+        .withColumn("repetitive", F.coalesce("repetitive", F.lit(False)))
+        .withColumn(
+            "contaminated", F.coalesce("contaminated", F.lit(False))
+        )
+        .withColumn(
+            "sampled",
+            lehmer_pct(F.col("doc_id")) < keep_rate(F.col("source")),
+        )
+    )
+
+
+def _kept() -> Column:
+    """The keep predicate over _kept_flags output — one definition,
+    two consumers (funnel counts it, apply filters by it). A
+    function, not a module constant: classic PySpark Columns wrap
+    JVM objects, so building one requires an active SparkContext,
+    which doesn't exist at import time."""
+    return (
+        ~F.col("repetitive") & ~F.col("contaminated") & F.col("sampled")
+    )
+
+
 def curation_funnel(docs: DataFrame) -> DataFrame:
     """The end-to-end curation decision, per source: how many corpus
     documents each filter stage removes and how many survive.
 
     A corpus document (eval split excluded) is kept iff it is not
     repetitive, not contaminated, and selected by the stratified
-    sample. Documents too short for repetition stats (absent from
-    that output) count as not repetitive.
+    sample (see _kept_flags — shared with curation_apply).
 
-    Scale: both flag tables are doc_id-keyed (uniform joins against
-    the corpus); the final groupBy collapses to one row per source
-    with map-side partial aggregation.
+    Scale: the final groupBy collapses to one row per source with
+    map-side partial aggregation.
     """
-    is_eval = F.col("doc_id") % EVAL_MOD == 0
-    corpus = docs.filter(~is_eval)
-    rep = repetition_stats(corpus).select("doc_id", "repetitive")
-    dec = decontaminate(docs).select("doc_id", "contaminated")
-    base = corpus.select(
-        "doc_id",
-        "source",
-        (lehmer_pct(F.col("doc_id")) < keep_rate(F.col("source"))).alias(
-            "sampled"
-        ),
-    )
-    j = (
-        base.join(rep, "doc_id", "left")
-        .join(dec, "doc_id", "left")
-        .select(
-            "source",
-            "sampled",
-            F.coalesce("repetitive", F.lit(False)).alias("repetitive"),
-            F.coalesce("contaminated", F.lit(False)).alias(
-                "contaminated"
-            ),
-        )
-    )
-    kept = (
-        ~F.col("repetitive") & ~F.col("contaminated") & F.col("sampled")
-    )
+    j = _kept_flags(docs)
     cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
     return j.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         cnt(F.col("repetitive")).alias("n_repetitive"),
         cnt(F.col("contaminated")).alias("n_contaminated"),
         cnt(~F.col("sampled")).alias("n_sampled_out"),
-        cnt(kept).alias("n_kept"),
+        cnt(_kept()).alias("n_kept"),
     )
 
 
@@ -408,30 +420,18 @@ def curation_apply(docs: DataFrame) -> DataFrame:
     The content fingerprint is md5 of the REDACTED text, so the
     oracle hash-verifies the exact bytes a training run would read.
 
-    Scale: the two flag tables are doc_id-keyed left joins (uniform);
-    the keep predicate and redaction are map-only on the survivors.
-    This is the final INSERT INTO curated_corpus of the funnel."""
-    is_eval = F.col("doc_id") % EVAL_MOD == 0
-    corpus = docs.filter(~is_eval)
-    rep = repetition_stats(corpus).select("doc_id", "repetitive")
-    dec = decontaminate(docs).select("doc_id", "contaminated")
-    kept = (
-        ~F.coalesce(F.col("repetitive"), F.lit(False))
-        & ~F.coalesce(F.col("contaminated"), F.lit(False))
-        & (lehmer_pct(F.col("doc_id")) < keep_rate(F.col("source")))
-    )
+    Scale: the keep decision comes from _kept_flags (the SAME
+    dataflow curation_funnel counts — shared helper, so the apply
+    and the report can never diverge); the predicate and redaction
+    are map-only on the survivors. This is the final INSERT INTO
+    curated_corpus of the funnel."""
     red = pii_redacted(F.col("text"))
-    return (
-        corpus.join(rep, "doc_id", "left")
-        .join(dec, "doc_id", "left")
-        .filter(kept)
-        .select(
-            "doc_id",
-            "lang",
-            "source",
-            F.md5(red).alias("fp"),
-            F.length(red).cast("bigint").alias("n_chars_curated"),
-        )
+    return _kept_flags(docs).filter(_kept()).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5(red).alias("fp"),
+        F.length(red).cast("bigint").alias("n_chars_curated"),
     )
 
 

@@ -9,8 +9,8 @@ Scale design:
   signatures: each doc shuffles k band keys, candidates are only
   same-bucket pairs. Bucket-count vs recall is the NUM_HASHES /
   BANDS dial.
-- SimHash packs a document into one 16-bit integer; candidate
-  retrieval is an equi-join on 4-bit bands (pigeonhole: hamming<=3
+- SimHash packs a document into one SIMHASH_BITS (32)-bit integer;
+  candidate retrieval is an equi-join on 8-bit bands (pigeonhole: hamming<=3
   guarantees a shared band), verification is xor+bit_count.
 - n-gram Jaccard is computed over the RARE-shingle space: shingles
   whose document frequency exceeds SHINGLE_DF_CAP are anti-joined
@@ -397,7 +397,7 @@ def simhash(docs: DataFrame) -> DataFrame:
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash: candidates share one of 4 4-bit
+    """Near-dup pairs by SimHash: candidates share one of 4 8-bit
     bands (pigeonhole guarantees recall at hamming<=3), verified with
     xor + bit_count."""
     s = simhash(docs)
@@ -508,6 +508,18 @@ def _min_label_components(
         labels = updated
         if changed == 0:
             break
+    else:
+        # Refuse-and-report, like MAX_BUCKET/SHINGLE_DF_CAP: labels
+        # that stopped moving only because the iteration budget ran
+        # out are NOT converged components — silently returning them
+        # would let duplicate representatives through dedup_apply.
+        # Components are tiny by bucket-cap construction, so hitting
+        # this means pathological chaining; fail loudly.
+        raise RuntimeError(
+            f"connected components did not converge in {max_iter} "
+            f"rounds ({changed} labels still moving); raise max_iter "
+            "or investigate the near-dup graph's diameter"
+        )
     return labels
 
 

@@ -42,7 +42,11 @@ def to_media(docs: DataFrame) -> DataFrame:
 
 def payload_features(media: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over raw bytes: size, md5,
-    first byte. This is the real dataflow a decode step rides on."""
+    first byte. This is the real dataflow a decode step rides on.
+    A NULL payload (payload/text are nullable in the schemas)
+    propagates as NULL features — matching the SQL oracle's null
+    semantics — instead of raising in the Python worker and killing
+    the stage."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -50,13 +54,24 @@ def payload_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": payloads.map(len).astype("int64"),
-                    "payload_md5": payloads.map(
-                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    "n_bytes": pd.array(
+                        [None if b is None else len(b) for b in payloads],
+                        dtype="Int64",
                     ),
-                    "first_byte": payloads.map(
-                        lambda b: int(b[0]) if len(b) else -1
-                    ).astype("int32"),
+                    "payload_md5": payloads.map(
+                        lambda b: None
+                        if b is None
+                        else hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                    "first_byte": pd.array(
+                        [
+                            None
+                            if b is None
+                            else (int(b[0]) if len(b) else -1)
+                            for b in payloads
+                        ],
+                        dtype="Int32",
+                    ),
                 }
             )
 
@@ -78,6 +93,9 @@ def decode_image(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # nullable column: error-channel row
+                    rows.append((doc_id, None, None, False, "null payload"))
+                    continue
                 try:
                     rows.append((doc_id, *_decode(bytes(payload))))
                 except NotImplementedError as e:
@@ -107,14 +125,18 @@ def sample_frames(
     so a downstream join can locate the frame in the source.
 
     Scale: payloads never leave the executors; each Arrow batch of
-    payloads explodes to its frames inside the worker, and the
-    tail chunk (shorter than `chunk`) is kept — dropping it would
-    lose the end of every stream."""
+    payloads explodes to its frames inside the worker. A SAMPLED
+    chunk that runs past the end of the stream is truncated (kept
+    short), not dropped; chunks between sampled positions — which
+    can include the stream's final bytes — are skipped by design,
+    that being what sampling means."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, sizes, hashes = [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # nullable: no frames, like empty
+                    continue
                 b = bytes(payload)
                 for i in range(0, len(b), chunk * every):
                     frame = b[i : i + chunk]

@@ -184,7 +184,12 @@ def blas_cosine_topk(
 
     base = emb.select("vec_id", "embedding")
     if n_rows is None:
-        base = base.persist()
+        # plain count, no persist: caching here would pin the table
+        # in executor storage with no safe unpersist point (the
+        # result is consumed lazily, after this function returns),
+        # leaking memory across repeated calls. The extra pass is a
+        # column-pruned scan; on a real deployment the row count
+        # comes from table stats, not a scan at all.
         n_rows = base.count()
     par = emb.sparkSession.sparkContext.defaultParallelism
     nb = max(

@@ -32,10 +32,14 @@ def _update(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     n, s, b = state.get if state.exists else (0, 0.0, 0)
+    # ONE increment per invocation (= per micro-batch that touched
+    # this group): the iterator yields multiple pandas chunks when a
+    # group's batch data exceeds arrow.maxRecordsPerBatch, and
+    # counting chunks would overcount batches.
+    b += 1
     for pdf in pdfs:
         n += len(pdf)
         s += float(pdf["value"].sum())
-        b += 1
     state.update((n, s, b))
     yield pd.DataFrame(
         {

@@ -54,7 +54,9 @@ def read_events_stream(
         schema = spark.read.parquet(events_dir).schema
     except AnalysisException:  # empty staging dir: nothing to probe
         schema = copy.deepcopy(EVENTS)
-        schema.fields[1] = T.StructField("ts", T.TimestampNTZType(), False)
+        schema.fields[schema.names.index("ts")] = T.StructField(
+            "ts", T.TimestampNTZType(), False
+        )
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -610,3 +610,26 @@ def test_minhash_estimate_keeps_overcap_only_pairs(spark):
         assert r["jaccard"] == 0.0  # rare-shingle space is empty
         assert r["est_jaccard"] == 1.0  # identical signatures
         assert r["abs_err"] == 1.0  # the error the audit must show
+
+
+def test_multimodal_null_payload_error_channel(spark):
+    """A NULL payload (the columns are nullable) must flow through
+    every mapInPandas operator — null features, an error-channel
+    decode row, zero frames — never a Python-worker crash."""
+    from marketviz_spark.datapipe.multimodal import (
+        decode_image,
+        payload_features,
+        sample_frames,
+    )
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"real bytes"), "text/plain"), (2, None, None)],
+        "doc_id long, payload binary, mime string",
+    )
+    feats = {r["doc_id"]: r for r in payload_features(media).collect()}
+    assert feats[1]["n_bytes"] == 10
+    assert feats[2]["n_bytes"] is None and feats[2]["payload_md5"] is None
+    dec = {r["doc_id"]: r for r in decode_image(media).collect()}
+    assert dec[2]["ok"] is False and dec[2]["err"] == "null payload"
+    frames = sample_frames(media).collect()
+    assert {r["doc_id"] for r in frames} == {1}
