@@ -29,58 +29,54 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver checks queries in dict insertion order and may stop at
-# a count/time budget (50 of ~81 in recent rounds). Front-load the
-# entries whose last driver row is stale (r02 — skipped by the r04
-# budget) plus everything round 5 touches, so a budget cutoff can
-# only ever skip queries with a fresh green row.
+# a count/time budget (50 of ~90 in recent rounds). Front-load the
+# entries whose last driver row is stale (green in r04 but not re-run
+# in r05 because of the budget) plus everything round 6 touches, so a
+# budget cutoff can only ever skip queries with a fresh green row.
 _FIRST = [
-    # driver row last green in r02 (skipped by the r04 budget)
-    "o5_summary_tail30",
-    "q1_pricing_summary",
-    "scalar_bundle",
-    "set_ops",
-    "skew_salted_join",
-    "json_props",
-    "json_props_struct",
-    "events_tumbling_1h",
-    "events_sliding_1h_30m",
-    "events_session_10m",
-    "text_stats",
-    "text_token_bpe",
-    "text_langid",
-    "text_fingerprints",
-    "dedup_exact",
-    "dedup_minhash_signatures",
-    "dedup_bucket_overflow",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
+    # driver row last green in r04 (the full r04 \ r05 set)
+    "a4_a5_summary_metrics",
+    "agg_distinct_percentile",
+    "curation_funnel",
+    "dedup_clusters",
+    "dedup_clusters_multi",
+    "dedup_embedding_pairs",
+    "dedup_incremental",
+    "dq_lineitem_gate",
+    "emb_cosine_topk_blas",
+    "emb_ivf_topk",
+    "emb_quantize_int8",
+    "events_bars_rollup",
+    "events_hll_cascade",
+    "having_big_orders",
+    "j1_composition_market_cap",
+    "j2_upsert",
+    "j3_asof_walkback",
+    "p3_point_lookup",
+    "pack_sequences",
+    "pii_scrub",
+    "pii_stats",
+    "pivot_order_status",
+    "q13_order_histogram",
+    "q3_shipping_priority",
+    "q4_late_order_priority",
+    "sample_stratified",
+    "semi_anti_join",
+    "skew_salted_agg",
+    "text_decontaminate",
+    "text_rarity",
+    "text_repetition",
+    "unpivot_prices",
+    "vocab_topk",
+    "w3_w4_returns",
+    "w5_w6_composition_changes",
+    "w7_latest_stats",
+    "w8_latest_per_ticker",
+    "w9_topk_per_date",
+    "w_beta_corr",
+    "w_moving_stats",
+    # touched in round 6 (brute-force cap added in similarity.py)
     "emb_cosine_topk",
-    "emb_lsh_topk",
-    "mm_payload_features",
-    "dedup_levenshtein",
-    "cube_revenue",
-    "rollup_orders",
-    "w_ticker_trend_slope",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "w_rank_family",
-    # new or touched in round 5
-    "dedup_substring_spans",
-    "dedup_modality_agreement",
-    "dedup_apply",
-    "curation_apply",
-    "split_assign",
-    "mm_frame_sample",
-    "events_funnel_conversion",
-    "events_transition_matrix",
-    "corpus_source_report",
-    "dedup_shingle_overflow",
-    "dedup_minhash_estimate",
-    "dedup_lsh_pairs",
-    "events_range_join",
-    "events_click_error_pairs",
-    "agg_approx_sketches",
 ]
 
 

@@ -196,7 +196,13 @@ def lsh_candidate_pairs(
     checkpointed) when the caller also uses the signatures itself —
     Catalyst does not dedupe identical subplans across a self-join,
     so sharing the DataFrame avoids recomputing the shingle+minhash
-    aggregation once per use."""
+    aggregation once per use.
+
+    PRECEDENCE: when `sigs` is supplied it is authoritative and
+    `docs` is not read at all — the caller must ensure `sigs` was
+    derived from the same corpus (`minhash_signatures(docs)`), or
+    pass only one of the two. The two-argument form exists solely to
+    share an already-materialized signature plan."""
     if sigs is None:
         sigs = minhash_signatures(docs)
     n_bands = NUM_HASHES // BAND_SIZE
@@ -459,6 +465,11 @@ def _min_label_components(
     local/interactive) stores blocks on executors and dies with
     them. Both paths are semantically identical.
     """
+    if max_iter < 1:
+        raise ValueError(
+            f"max_iter must be >= 1, got {max_iter}: zero rounds "
+            "cannot certify convergence"
+        )
 
     def ckpt(df: DataFrame) -> DataFrame:
         if reliable_checkpoint:
@@ -662,6 +673,16 @@ def minhash_jaccard_estimate(
     runs, so the expensive verifier's cost is bounded by the
     candidate set, never the corpus. The shingle DF cap is then
     computed within that subset — the oracle mirrors both steps.
+
+    CONTRACT NOTE: because the DF cap is evaluated on the candidate
+    SUBSET, a shingle hot corpus-wide but rare among candidate docs
+    survives here while the standalone `ngram_jaccard_pairs` (run on
+    the full corpus) would drop it — this audit's "exact" Jaccard is
+    subset-relative and intentionally NOT comparable row-for-row with
+    the standalone verifier's output. To audit against corpus-wide
+    rare-shingle Jaccard instead, join this output's pairs to
+    `ngram_jaccard_pairs(docs, threshold=0.0)` (cost then scales with
+    the corpus, not the candidate set).
 
     The two SMALL intermediates consumed more than once — per-doc
     signatures (used by the pairing, both estimate sides, and the

@@ -47,13 +47,42 @@ def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
-def cosine_topk(emb: DataFrame, k: int = 5) -> DataFrame:
+# Refuse-and-report cap for the brute-force path (same contract as
+# dedup.MAX_BUCKET / dedup.SHINGLE_DF_CAP): above this many vectors an
+# uncapped all-pairs self-join is ~N_BRUTE_CAP²/2 scored pairs and is
+# the wrong tool on any engine — the caller is told which scale paths
+# to use instead of silently launching a quadratic job.
+N_BRUTE_CAP = 100_000
+
+
+def cosine_topk(
+    emb: DataFrame, k: int = 5, n_rows: int | None = None
+) -> DataFrame:
     """Exact top-k neighbors per vector by cosine similarity.
 
     Similarity is rounded to 6dp BEFORE ranking (with a vec-id
     tiebreak) so the ranking is reproducible across engines and
     partitionings despite float sum-order effects.
+
+    This is the O(n²·d) exact BASELINE; it refuses inputs larger
+    than ``N_BRUTE_CAP`` vectors (pass ``n_rows`` from table stats
+    to skip the guard's count scan). The scale paths with the same
+    output contract are ``blas_cosine_topk`` (exact, tiled BLAS),
+    ``hyperplane_lsh_topk`` and ``ivf_topk`` (approximate,
+    candidate-bounded).
     """
+    if n_rows is None:
+        # Column-pruned count scan; on a real deployment this comes
+        # from catalog statistics, not a job.
+        n_rows = emb.select("vec_id").count()
+    if n_rows > N_BRUTE_CAP:
+        raise ValueError(
+            f"cosine_topk: input has {n_rows} vectors, above "
+            f"N_BRUTE_CAP={N_BRUTE_CAP}; an all-pairs self-join at "
+            "this size is quadratic. Use blas_cosine_topk (exact, "
+            "block-tiled BLAS) or hyperplane_lsh_topk / ivf_topk "
+            "(approximate, candidate-bounded) instead."
+        )
     n = with_norm(emb).select(
         F.col("vec_id"), F.col("_v"), F.col("_norm")
     )

@@ -20,6 +20,48 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# session-id -> DataType: how that Spark surfaces parquet
+# TIMESTAMP(NANOS); one probe per session (driver-side, one row).
+_NANOS_TS_TYPE_CACHE: dict = {}
+
+
+def _probed_nanos_ts_type(spark: SparkSession):
+    """The type THIS Spark decodes parquet TIMESTAMP(NANOS) as.
+
+    Older Sparks honor spark.sql.legacy.parquet.nanosAsLong (-> long);
+    Spark 4.1+ ignores it (-> timestamp_ntz). Rather than branch on a
+    fuzzy version boundary, write a one-row nanos fixture with pyarrow
+    and read it back — the answer is whatever the running session
+    actually does, by construction. Falls back to TIMESTAMP_NTZ if
+    pyarrow can't write nanos (it can on every pinned version here).
+    """
+    key = id(spark)
+    if key not in _NANOS_TS_TYPE_CACHE:
+        import os
+        import shutil
+        import tempfile
+
+        from pyspark.sql import types as T
+
+        d = tempfile.mkdtemp(prefix="mvz_nanos_probe_")
+        try:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            pq.write_table(
+                pa.table({"ts": pa.array([0], pa.timestamp("ns"))}),
+                os.path.join(d, "probe.parquet"),
+                version="2.6",
+            )
+            _NANOS_TS_TYPE_CACHE[key] = (
+                spark.read.parquet(d).schema["ts"].dataType
+            )
+        except Exception:
+            _NANOS_TS_TYPE_CACHE[key] = T.TimestampNTZType()
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    return _NANOS_TS_TYPE_CACHE[key]
+
 
 def read_events_stream(
     spark: SparkSession, events_dir: str, max_files_per_trigger: int = 1
@@ -38,9 +80,12 @@ def read_events_stream(
     probe is driver-side metadata work, not a data scan. A staging
     directory that is still EMPTY (normal at stream start in
     production) has no footer to probe — fall back to the canonical
-    EVENTS schema with `ts` as TIMESTAMP_NTZ, what current Spark
-    decodes TIMESTAMP(NANOS) parquet as; either way
-    normalize_events_ts folds the result to one TimestampType path.
+    EVENTS schema with `ts` typed by `_probed_nanos_ts_type` (a
+    one-row pyarrow fixture read by THIS session: long on Sparks that
+    honor nanosAsLong, timestamp_ntz on 4.1+), so files that arrive
+    after an empty-dir start always match the declared stream schema;
+    either way normalize_events_ts folds the result to one
+    TimestampType path.
     """
     import copy
 
@@ -55,7 +100,7 @@ def read_events_stream(
     except AnalysisException:  # empty staging dir: nothing to probe
         schema = copy.deepcopy(EVENTS)
         schema.fields[schema.names.index("ts")] = T.StructField(
-            "ts", T.TimestampNTZType(), False
+            "ts", _probed_nanos_ts_type(spark), False
         )
     raw = (
         spark.readStream.schema(schema)

@@ -138,6 +138,27 @@ def test_cosine_topk_self_excluded_and_exact(spark):
     assert out[2]["cosine"] == 0.0
 
 
+def test_cosine_topk_refuses_above_brute_cap(spark):
+    """Refuse-and-report contract (same as dedup's MAX_BUCKET /
+    SHINGLE_DF_CAP): brute force must refuse an input larger than
+    N_BRUTE_CAP and point at the scale paths, without launching the
+    quadratic join. `n_rows` from table stats skips the count scan."""
+    import pytest
+
+    from marketviz_spark.datapipe.similarity import (
+        N_BRUTE_CAP,
+        cosine_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="blas_cosine_topk"):
+        cosine_topk(emb, k=1, n_rows=N_BRUTE_CAP + 1)
+    # at-cap input is allowed (stat-supplied count, no scan)
+    assert cosine_topk(emb, k=1, n_rows=N_BRUTE_CAP).count() == 0
+
+
 def test_multimodal_decode_stub_shapes(spark):
     """The stub decode must flow through mapInPandas with the real
     schema, flagging non-decodable rows instead of failing the job."""
