@@ -69,6 +69,15 @@ BENCH_QUERIES = [
     "dedup_substring_spans",
     "events_funnel_conversion",
     "events_transition_matrix",
+    # round-6 additions: the heaviest previously-unbenched registry
+    # queries (multi-way joins, multi-modal clustering, HLL cascade,
+    # candidate-bounded edit distance)
+    "q5_local_supplier_volume",
+    "q13_order_histogram",
+    "q4_late_order_priority",
+    "dedup_clusters_multi",
+    "events_hll_cascade",
+    "dedup_levenshtein",
 ]
 
 

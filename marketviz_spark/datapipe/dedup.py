@@ -453,10 +453,13 @@ def _min_label_components(
 
     The canonical Spark iterative algorithm shape: a driver loop of
     joins with a checkpoint per round to truncate lineage (without it
-    the plan doubles every iteration), converging in O(component
-    diameter) rounds, each round one shuffle. Near-dup components are
-    tiny by construction (LSH buckets are capped), so convergence is
-    fast at any scale.
+    the plan doubles every iteration). Each round does (a) the
+    neighbor-min propagation and (b) POINTER DOUBLING — every label
+    is itself a node id, so shortcutting each node's label through
+    its label's current label halves the remaining label distance.
+    Convergence is O(log diameter) rounds, not O(diameter): a chain
+    of 10⁶ docs (mass-duplication graphs produce exactly these)
+    converges in ~20 rounds where plain min-label needs 10⁶.
 
     `reliable_checkpoint=True` uses `DataFrame.checkpoint` (requires
     `spark.sparkContext.setCheckpointDir` on fault-tolerant storage)
@@ -495,13 +498,12 @@ def _min_label_components(
             .groupBy("doc_a")
             .agg(F.min("cluster_id").alias("n_min"))
         )
-        updated = (
+        propagated = ckpt(
             labels.join(
                 neighbor_min,
                 labels["doc_id"] == neighbor_min["doc_a"],
                 "left",
-            )
-            .select(
+            ).select(
                 "doc_id",
                 F.least(
                     F.col("cluster_id"),
@@ -509,7 +511,28 @@ def _min_label_components(
                 ).alias("cluster_id"),
             )
         )
-        updated = ckpt(updated)
+        # Pointer doubling: cluster_id is always some node's doc_id
+        # (labels start as ids and only move by min over ids), so
+        # re-labeling through the label's own label compresses two
+        # hops into one — this is what turns O(diameter) rounds into
+        # O(log diameter). `propagated` is checkpointed first so the
+        # self-join reads the materialized table twice instead of
+        # recomputing the edge join.
+        parent = propagated.select(
+            F.col("doc_id").alias("p_id"),
+            F.col("cluster_id").alias("p_lbl"),
+        )
+        updated = ckpt(
+            propagated.alias("x")
+            .join(parent, F.col("x.cluster_id") == F.col("p_id"), "left")
+            .select(
+                F.col("x.doc_id").alias("doc_id"),
+                F.least(
+                    F.col("x.cluster_id"),
+                    F.coalesce(F.col("p_lbl"), F.col("x.cluster_id")),
+                ).alias("cluster_id"),
+            )
+        )
         changed = (
             updated.alias("u")
             .join(labels.alias("l"), "doc_id")

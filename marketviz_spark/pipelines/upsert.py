@@ -11,8 +11,12 @@ The reference upserts row-at-a-time into SQLite PK tables
 - `upsert_merge` — the general path for non-partition keys:
   anti-join old vs new key set, union, rewrite (Delta MERGE
   semantics without Delta).
+- `upsert_keyed` — backend dispatcher (SURVEY §1.2/§4.2 "Delta
+  MERGE if available"): a real Delta `MERGE` when the delta-spark
+  package + JVM classes are present (transactional, no full-table
+  rewrite), else the anti-join path. Same observable semantics.
 
-Both are idempotent: re-running the same batch yields byte-identical
+All are idempotent: re-running the same batch yields identical
 table state.
 """
 
@@ -90,3 +94,61 @@ def upsert_merge(
     # Materialize before overwriting the path we read from.
     staged = merged.localCheckpoint(eager=True)
     staged.write.mode("overwrite").parquet(path)
+
+
+def delta_available(spark: SparkSession) -> bool:
+    """Capability probe for Delta Lake: the python package AND the
+    JVM-side classes must both be present (the package alone is not
+    enough — the session needs the delta-spark jars)."""
+    try:
+        from delta.tables import DeltaTable  # noqa: F401
+    except ImportError:
+        return False
+    try:
+        jvm = spark._jvm
+        getattr(jvm.io.delta.tables, "DeltaTable")
+        return True
+    except Exception:
+        return False
+
+
+def upsert_keyed(
+    spark: SparkSession,
+    new: DataFrame,
+    path: str,
+    keys: list[str],
+    backend: str = "auto",
+) -> str:
+    """Keyed INSERT-OR-REPLACE with backend dispatch; returns the
+    backend used ('delta' or 'antijoin').
+
+    - `delta`: transactional `MERGE INTO` via DeltaTable — matched
+      rows update, unmatched insert; only touched files rewrite, so
+      at 100 TB the write cost scales with the BATCH, not the table.
+    - `antijoin`: upsert_merge (anti-join + union + full rewrite) —
+      correct everywhere parquet works, table-sized writes.
+    - `auto`: delta when available, else antijoin — the SURVEY §1.2
+      preference order.
+    """
+    if backend == "auto":
+        backend = "delta" if delta_available(spark) else "antijoin"
+    if backend == "antijoin":
+        upsert_merge(spark, new, path, keys)
+        return "antijoin"
+    if backend != "delta":
+        raise ValueError(f"unknown upsert backend: {backend!r}")
+    from delta.tables import DeltaTable
+
+    if not DeltaTable.isDeltaTable(spark, path):
+        new.write.format("delta").mode("overwrite").save(path)
+        return "delta"
+    cond = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+    (
+        DeltaTable.forPath(spark, path)
+        .alias("t")
+        .merge(new.alias("s"), cond)
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    return "delta"

@@ -138,6 +138,76 @@ def test_cosine_topk_self_excluded_and_exact(spark):
     assert out[2]["cosine"] == 0.0
 
 
+def test_components_chain_converges_in_log_rounds(spark):
+    """Pointer doubling in _min_label_components must collapse a
+    long PATH graph in O(log diameter) rounds: a 200-node chain with
+    max_iter=12 (2^12 >> 200) converges only if label distance
+    compounds per round — plain one-hop min-label would need 200
+    rounds and raise. This is the shape an sf0.1 multimodal dup
+    graph actually produced (non-convergence at 20 rounds, round 6)."""
+    from marketviz_spark.datapipe.dedup import _min_label_components
+
+    n = 200
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(n)], "doc_id long"
+    )
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    labels = _min_label_components(nodes, chain, max_iter=12)
+    got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_dedup_adversarial_all_identical_corpus(spark):
+    """Adversarial mass-duplication: a corpus of N IDENTICAL
+    documents must flow end-to-end through dedup_clusters without a
+    quadratic pair explosion — the identical MinHash signatures land
+    in one LSH bucket per band, the bucket cap bounds pairing, the
+    overflow report names the refused buckets, and the cluster
+    output still assigns every doc a label with ONE representative
+    corpus after dedup_apply."""
+    from pyspark.sql import functions as F
+
+    from marketviz_spark.datapipe.dedup import (
+        BAND_SIZE,
+        MAX_BUCKET,
+        NUM_HASHES,
+        bucket_overflow_keys,
+        dedup_apply,
+        dedup_clusters,
+        minhash_signatures,
+    )
+
+    n = 300  # > bucket cap when capped small below; identical texts
+    docs = _docs(spark, [BASE] * n)
+
+    # 1) capped pairing: with a tiny cap every bucket overflows and
+    # is REPORTED, not paired (refuse-and-report under skew)
+    sigs = minhash_signatures(docs)
+    n_bands = NUM_HASHES // BAND_SIZE
+    stacked = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"band_{b}") for b in range(n_bands)])
+        ).alias("band", "key"),
+    ).select("band", "key", F.col("doc_id").alias("item"))
+    overflow = bucket_overflow_keys(stacked, max_bucket=10).collect()
+    assert overflow and all(r["n_items"] == n for r in overflow)
+
+    # 2) default caps: N=300 < MAX_BUCKET so pairing is allowed and
+    # bounded; clusters converge (pointer doubling) to ONE cluster
+    assert n < MAX_BUCKET
+    labels = dedup_clusters(docs)
+    got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    assert set(got) == set(range(n))
+    assert set(got.values()) == {0}
+
+    # 3) representative-only corpus: exactly one doc survives
+    kept = dedup_apply(docs).collect()
+    assert len(kept) == 1 and kept[0]["doc_id"] == 0
+
+
 def test_cosine_topk_refuses_above_brute_cap(spark):
     """Refuse-and-report contract (same as dedup's MAX_BUCKET /
     SHINGLE_DF_CAP): brute force must refuse an input larger than

@@ -94,6 +94,137 @@ def test_stateful_running_totals_equals_batch(spark, events_dir):
     assert got == want
 
 
+def test_stateful_state_carries_across_micro_batches(spark):
+    """Live-mode contract of the custom stateful operator: state
+    must CARRY across micro-batches, not reset. Two staggered files
+    force two micro-batches; the update-mode sink records each
+    batch's emission, so the per-batch running totals are directly
+    assertable — including the second batch's incremented state."""
+    import time
+
+    import pyspark.sql.types as T
+
+    from marketviz_spark.streaming.stateful import running_user_totals
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), False),
+            T.StructField("ts", T.LongType(), False),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+    ns = 10**9
+    base = 1704103200 * ns
+    batch1 = [
+        (1, base + 60 * ns, 1, "click", 1.0, None),
+        (2, base + 120 * ns, 1, "view", 2.0, None),
+        (3, base + 180 * ns, 2, "click", 3.0, None),
+    ]
+    batch2 = [
+        (4, base + 240 * ns, 1, "click", 4.0, None),  # user 1 again
+        (5, base + 300 * ns, 3, "view", 5.0, None),  # new user
+    ]
+    with tempfile.TemporaryDirectory() as src:
+        f1, f2 = os.path.join(src, "a.parquet"), os.path.join(src, "b.parquet")
+        spark.createDataFrame(batch1, schema).toPandas().to_parquet(f1)
+        spark.createDataFrame(batch2, schema).toPandas().to_parquet(f2)
+        now = time.time()
+        os.utime(f1, (now - 60, now - 60))
+        os.utime(f2, (now, now))
+
+        stream = read_events_stream(spark, src, max_files_per_trigger=1)
+        run_to_memory(
+            running_user_totals(stream), "t_stateful_multi", "update"
+        )
+        got = {
+            (r["user_id"], r["batches"]): (r["n_events"], r["value_sum"])
+            for r in spark.sql("SELECT * FROM t_stateful_multi").collect()
+        }
+    # batch 1 emissions: fresh state per touched user
+    assert got[(1, 1)] == (2, 3.0)
+    assert got[(2, 1)] == (1, 3.0)
+    # batch 2: user 1's state CARRIED (n=2+1, s=3+4, batches=2);
+    # user 3 starts fresh; user 2 untouched -> no second emission
+    assert got[(1, 2)] == (3, 7.0)
+    assert got[(3, 1)] == (1, 5.0)
+    assert (2, 2) not in got
+    assert len(got) == 4
+
+
+def test_stream_stream_join_multi_batch_watermark_eviction(spark):
+    """Live-mode contract of the stream-stream interval join across
+    micro-batches: an in-horizon pair in batch 1 emits; batch 2
+    advances event time (and thus the watermark); a LATE error in
+    batch 3 — older than the watermark — is dropped at input, so it
+    joins with nothing even though its matching click existed; a
+    fresh in-horizon pair in batch 3 still emits."""
+    import time
+
+    import pyspark.sql.types as T
+
+    from marketviz_spark.streaming.joins import click_error_pairs_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), False),
+            T.StructField("ts", T.LongType(), False),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+    ns = 10**9
+    h = 3600 * ns
+    base = 1704103200 * ns
+    # watermark = 10 minutes (passed below)
+    batch1 = [
+        (1, base + 60 * ns, 1, "click", 1.0, None),
+        (2, base + 120 * ns, 1, "error", 1.0, None),  # pairs with 1
+    ]
+    # advances max event time on BOTH sides (the global watermark is
+    # the MIN across the click and error watermark nodes, so a batch
+    # advancing only clicks leaves the join's watermark at the start)
+    # -> subsequent batches run with watermark ~base+2h-10m
+    batch2 = [
+        (3, base + 2 * h, 9, "click", 1.0, None),
+        (7, base + 2 * h, 8, "error", 1.0, None),  # no click for u=8: no pair
+    ]
+    # state cleanup runs at the END of a batch with that batch's
+    # watermark, so one more batch must pass for click 1's state to
+    # be evicted (same two-step as the dedup-content watermark test)
+    batch3 = [(8, base + 2 * h + 30 * ns, 9, "click", 1.0, None)]
+    batch4 = [
+        # LATE error (event time far below the watermark): its only
+        # range match, click 1, is evicted -> must produce no pair
+        (4, base + 180 * ns, 1, "error", 1.0, None),
+        # fresh in-horizon pair, proving the join still works
+        (5, base + 2 * h + 60 * ns, 2, "click", 1.0, None),
+        (6, base + 2 * h + 120 * ns, 2, "error", 1.0, None),
+    ]
+    with tempfile.TemporaryDirectory() as src:
+        now = time.time()
+        for i, batch in enumerate((batch1, batch2, batch3, batch4)):
+            f = os.path.join(src, f"{i}.parquet")
+            spark.createDataFrame(batch, schema).toPandas().to_parquet(f)
+            os.utime(f, (now - 60 + 30 * i, now - 60 + 30 * i))
+
+        stream = read_events_stream(spark, src, max_files_per_trigger=1)
+        run_to_memory(
+            click_error_pairs_stream(stream, watermark="10 minutes"),
+            "t_ss_join_multi",
+            "append",
+        )
+        got = {
+            (r["error_id"], r["click_id"])
+            for r in spark.sql("SELECT * FROM t_ss_join_multi").collect()
+        }
+    assert got == {(2, 1), (6, 5)}
+
+
 def test_sliding_stream_equals_batch(spark, events_dir):
     from pyspark.sql import functions as F
 
