@@ -77,6 +77,15 @@ _FIRST = [
     "w_moving_stats",
     # touched in round 6 (brute-force cap added in similarity.py)
     "emb_cosine_topk",
+    # new in round 6 (OLAP anchors: decorrelation, HAVING semi-join,
+    # nation-pair volume, returned-revenue top-k, grouping sets,
+    # argmin-per-group)
+    "q17_small_qty_revenue",
+    "q18_large_order_customers",
+    "q7_nation_volume",
+    "q10_returned_revenue",
+    "grouping_sets_revenue",
+    "q2_min_cost_supplier",
 ]
 
 

@@ -2129,3 +2129,320 @@ def q_dq_lineitem_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         unique_keys=[["l_orderkey", "l_linenumber"]],
         refs=[("l_orderkey", orders, "o_orderkey")],
     ).select("check", "n_violations")
+
+
+@register(
+    "q17_small_qty_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10)))
+                AS DOUBLE) / 7.0 AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand = 'Brand#1'
+      AND l_quantity * 5
+          * (SELECT count(*) FROM lineitem l2
+             WHERE l2.l_partkey = p_partkey)
+          < (SELECT CAST(sum(CAST(l_quantity AS DECIMAL(28,10)))
+                         AS DOUBLE)
+             FROM lineitem l3 WHERE l3.l_partkey = p_partkey)
+    """,
+    survey="correlated scalar subquery -> decorrelated agg-join, TPC-H Q17 shape (engine extension)",
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity revenue: lines whose quantity is below 20% of
+    the part's average quantity. Expressed as a TRUE correlated
+    scalar subquery in Spark SQL — Catalyst decorrelates it into a
+    per-part aggregate joined back (one pass over lineitem for the
+    thresholds, one for the probe; never a per-row subplan), which
+    is exactly the plan you'd hand-write with groupBy+join.
+
+    Cross-engine exactness: the textbook `l_quantity < 0.2 * avg`
+    compares against a float DIVISION whose value depends on sum
+    order; rewritten as `l_quantity * 5 * count < sum` every term
+    is either exact (decimal sum, bigint count) or a single IEEE
+    multiply, so both engines evaluate the identical predicate.
+    Parts absent from lineitem yield NULL sums -> row filtered, in
+    both engines.
+    """
+    tables.register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10)))
+                    AS DOUBLE) / 7.0 AS avg_yearly,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey
+          AND p_brand = 'Brand#1'
+          AND l_quantity * 5
+              * (SELECT count(*) FROM lineitem l2
+                 WHERE l2.l_partkey = p_partkey)
+              < (SELECT CAST(sum(CAST(l_quantity AS DECIMAL(28,10)))
+                             AS DOUBLE)
+                 FROM lineitem l3 WHERE l3.l_partkey = p_partkey)
+        """
+    )
+
+
+@register(
+    "q18_large_order_customers",
+    """
+    WITH big AS (
+        SELECT l_orderkey AS bok,
+               CAST(sum(CAST(l_quantity AS DECIMAL(28,10)))
+                    AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(28,10))) > 300)
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+    FROM big
+    JOIN orders ON o_orderkey = bok
+    JOIN customer ON c_custkey = o_custkey
+    """,
+    survey="semi-join on HAVING aggregate, TPC-H Q18 shape (engine extension)",
+)
+def q18_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers holding very large orders: aggregate lineitem by
+    order, keep sums over the threshold, join back to orders and
+    customers. Scale shape: the HAVING filter collapses the fact
+    table to a tiny key set BEFORE the dimension joins (46 rows at
+    sf0.01), so both joins broadcast; the only big shuffle is the
+    orderkey aggregation, which partial-aggregates map-side."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    o = tables.load(spark, sf_dir, "orders")
+    c = tables.load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(28,10)")).alias("dq")
+        )
+        .filter(F.col("dq") > 300)
+        .select(
+            F.col("l_orderkey").alias("bok"),
+            F.col("dq").cast("double").alias("sum_qty"),
+        )
+    )
+    return (
+        big.join(o, o["o_orderkey"] == big["bok"])
+        .join(c, c["c_custkey"] == o["o_custkey"])
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty"
+        )
+    )
+
+
+@register(
+    "q7_nation_volume",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+           CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                         AS DECIMAL(28,10))) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    survey="bidirectional nation-pair trade volume by year, TPC-H Q7 shape (engine extension)",
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping volume between two nations per year, in both
+    directions. The nation dimension joins twice under different
+    roles (supplier vs customer side) — both broadcast (25 rows);
+    the disjunctive nation-pair predicate lands on the broadcast
+    result, so the fact table shuffles only for the final
+    3-key aggregation."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    o = tables.load(spark, sf_dir, "orders")
+    c = tables.load(spark, sf_dir, "customer")
+    s = tables.load(spark, sf_dir, "supplier")
+    n1 = tables.load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = tables.load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    joined = (
+        li.join(o, o["o_orderkey"] == li["l_orderkey"])
+        .join(c, c["c_custkey"] == o["o_custkey"])
+        .join(s, s["s_suppkey"] == li["l_suppkey"])
+        .join(F.broadcast(n1), F.col("n1_key") == s["s_nationkey"])
+        .join(F.broadcast(n2), F.col("n2_key") == c["c_nationkey"])
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return joined.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("long").alias("l_year"),
+    ).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).cast(
+                "decimal(28,10)"
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@register(
+    "q10_returned_revenue",
+    """
+    SELECT c_custkey, c_name, n_name,
+           CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                         AS DECIMAL(28,10))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    survey="top-k customers by returned-item revenue, TPC-H Q10 shape (engine extension)",
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by revenue lost to returns in a half-year.
+    The top-k set is deterministic cross-engine because revenue is a
+    decimal-exact sum cast once to double (identical in both
+    engines) with a custkey tiebreak. Returnflag and the order-date
+    range both push into the parquet scans."""
+    li = tables.load(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    o = tables.load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    )
+    c = tables.load(spark, sf_dir, "customer")
+    n = tables.load(spark, sf_dir, "nation")
+    return (
+        li.join(o, o["o_orderkey"] == li["l_orderkey"])
+        .join(c, c["c_custkey"] == o["o_custkey"])
+        .join(F.broadcast(n), F.col("n_nationkey") == c["c_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+                ).cast("decimal(28,10)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "grouping_sets_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), ())
+    """,
+    survey="explicit GROUPING SETS (completes the cube/rollup family, engine extension)",
+)
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping-set selection — the general form that
+    cube_revenue / rollup_orders are special cases of. One scan:
+    Spark expands the sets with a single Expand node feeding one
+    aggregation, not one scan per set."""
+    tables.register_all(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS revenue,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        """
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               floor(min(l_extendedprice / l_quantity) * 1000000.0
+                     + 0.5) / 1000000.0 AS unit_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey),
+    ranked AS (
+        SELECT l_partkey, l_suppkey, unit_cost,
+               row_number() OVER (PARTITION BY l_partkey
+                                  ORDER BY unit_cost, l_suppkey) AS rn
+        FROM ps)
+    SELECT p_partkey, p_brand, s_name, unit_cost
+    FROM ranked
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE rn = 1 AND p_type = 'PROMO'
+    """,
+    survey="argmin-per-group min-cost supplier, TPC-H Q2 shape adapted to lineitem prices (engine extension)",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every PROMO part, the supplier with the lowest observed
+    unit price (argmin per group — the Q2 correlated-min shape,
+    adapted because the testdata has no partsupp table). Unit cost
+    is a single IEEE division, min'ed (order-insensitive) and
+    floor-rounded BEFORE ranking with a suppkey tiebreak, so both
+    engines rank identically. Scale: the (part, supp) aggregation
+    partial-aggregates map-side; the per-part window runs on the
+    already-collapsed aggregate (~|part|x|supp| rows max), and the
+    part/supplier dimension joins broadcast."""
+    from pyspark.sql import Window
+
+    from .numerics import rnd
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    p = tables.load(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    )
+    s = tables.load(spark, sf_dir, "supplier")
+    ps = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            rnd(
+                F.min(F.col("l_extendedprice") / F.col("l_quantity")), 6
+            ).alias("unit_cost")
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("unit_cost"), F.col("l_suppkey")
+    )
+    best = ps.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        best.join(F.broadcast(p), p["p_partkey"] == best["l_partkey"])
+        .join(F.broadcast(s), s["s_suppkey"] == best["l_suppkey"])
+        .select("p_partkey", "p_brand", "s_name", "unit_cost")
+    )

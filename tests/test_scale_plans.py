@@ -266,3 +266,31 @@ def test_salted_agg_query_is_two_phase(spark):
     assert any(
         "l_returnflag" in l and "_salt" not in l for l in exchanges
     )
+
+
+def test_q17_subquery_decorrelated(spark):
+    """The correlated scalar subqueries in q17 must decorrelate into
+    aggregate-joins: the executed plan may contain NO subquery node
+    (a per-row subplan would re-scan lineitem per probe row)."""
+    plan = _plan(QUERIES["q17_small_qty_revenue"].fn(spark, SF_SMALL))
+    assert "Subquery" not in plan
+    # decorrelated = per-part aggregates joined back: >= 2 joins
+    assert plan.count("Join") >= 2
+
+
+def test_q7_all_dimension_joins_broadcast(spark):
+    """q7's five joins (orders, customer, supplier, nation x2) must
+    all run as broadcasts — the fact table shuffles only for the
+    final 3-key aggregation, never for a join."""
+    plan = _plan(QUERIES["q7_nation_volume"].fn(spark, SF_SMALL))
+    assert plan.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in plan
+
+
+def test_q2_argmin_uses_window_group_limit(spark):
+    """The per-part rank=1 filter must push below the window sort as
+    a WindowGroupLimit (map-side top-1 per part), and the dimension
+    joins must broadcast."""
+    plan = _plan(QUERIES["q2_min_cost_supplier"].fn(spark, SF_SMALL))
+    assert "WindowGroupLimit" in plan
+    assert plan.count("BroadcastHashJoin") == 2
