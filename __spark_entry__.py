@@ -86,6 +86,15 @@ _FIRST = [
     "q10_returned_revenue",
     "grouping_sets_revenue",
     "q2_min_cost_supplier",
+    # new in round 6, batch 2 (remaining TPC-H hard shapes)
+    "q8_market_share",
+    "q11_part_value_share",
+    "q14_promo_revenue_pct",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q19_bracket_disjunction",
+    "q21_sole_late_supplier",
+    "q22_idle_customer_balance",
 ]
 
 

@@ -2446,3 +2446,384 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), s["s_suppkey"] == best["l_suppkey"])
         .select("p_partkey", "p_brand", "s_name", "unit_cost")
     )
+
+
+# ----------------------------------------------------------------------
+# Round-6 OLAP anchors, batch 2: the remaining classic hard shapes —
+# two-level conditional-agg ratio (Q8), HAVING vs a global scalar
+# (Q11), single-row promo ratio (Q14), argmax-vs-view (Q15), distinct
+# count with NOT-IN exclusion (Q16), OR-of-brackets join predicate
+# (Q19), double-correlated EXISTS/NOT EXISTS (Q21), and anti-join
+# against a global average (Q22).
+# ----------------------------------------------------------------------
+
+_DEC_REV = "CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))"
+
+
+@register(
+    "q8_market_share",
+    f"""
+    WITH flows AS (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+               n2.n_name AS supp_nation,
+               {_DEC_REV} AS rev
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON n1.n_nationkey = c_nationkey
+        JOIN region ON r_regionkey = n1.n_regionkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s_nationkey
+        JOIN part ON p_partkey = l_partkey
+        WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+    SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN rev
+                         ELSE CAST(0 AS DECIMAL(28,10)) END) AS DOUBLE)
+               / CAST(sum(rev) AS DOUBLE) AS mkt_share,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM flows GROUP BY o_year
+    """,
+    survey="national market share: two-level conditional-agg ratio, TPC-H Q8 shape (engine extension)",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_2's share of STANDARD-part revenue sold into ASIA-region
+    customers, per order year. Shape: 7-way join where every
+    dimension (customer/nation x2/region/supplier/part) broadcasts,
+    the order-date range pushes into the orders scan, and the fact
+    table shuffles once for the per-year aggregation. The share is a
+    single IEEE division of two decimal-exact sums, so both engines
+    emit bit-identical ratios."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    o = tables.load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = tables.load(spark, sf_dir, "customer")
+    s = tables.load(spark, sf_dir, "supplier")
+    p = tables.load(spark, sf_dir, "part").filter(
+        F.col("p_type") == "STANDARD"
+    )
+    n1 = tables.load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_regionkey").alias("cn_region"),
+    )
+    n2 = tables.load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    r = tables.load(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    rev = (F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).cast(
+        "decimal(28,10)"
+    )
+    flows = (
+        li.join(o, o["o_orderkey"] == li["l_orderkey"])
+        .join(c, c["c_custkey"] == o["o_custkey"])
+        .join(F.broadcast(n1), F.col("cn_key") == c["c_nationkey"])
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("cn_region"))
+        .join(s, s["s_suppkey"] == li["l_suppkey"])
+        .join(F.broadcast(n2), F.col("sn_key") == s["s_nationkey"])
+        .join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.col("supp_nation"),
+            rev.alias("rev"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(28,10)")
+    return flows.groupBy("o_year").agg(
+        (
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_2", F.col("rev"))
+                .otherwise(zero)
+            ).cast("double")
+            / F.sum("rev").cast("double")
+        ).alias("mkt_share"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@register(
+    "q11_part_value_share",
+    f"""
+    SELECT l_partkey,
+           CAST(sum({_DEC_REV}) AS DOUBLE) AS part_value
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING CAST(sum({_DEC_REV}) AS DOUBLE) * 2000.0
+           > (SELECT CAST(sum({_DEC_REV}) AS DOUBLE) FROM lineitem)
+    """,
+    survey="HAVING against a global scalar subquery, TPC-H Q11 shape (engine extension)",
+)
+def q11_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose revenue exceeds 0.05% of GLOBAL revenue — a HAVING
+    clause referencing an uncorrelated scalar subquery. Catalyst
+    computes the global sum once (one extra pass, broadcast as a
+    1-row join), never per group. Exactness: both sides of the
+    comparison are decimal-exact sums cast once to double, with a
+    multiply instead of a division against the threshold."""
+    tables.register_all(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT l_partkey,
+               CAST(sum({_DEC_REV}) AS DOUBLE) AS part_value
+        FROM lineitem
+        GROUP BY l_partkey
+        HAVING CAST(sum({_DEC_REV}) AS DOUBLE) * 2000.0
+               > (SELECT CAST(sum({_DEC_REV}) AS DOUBLE) FROM lineitem)
+        """
+    )
+
+
+@register(
+    "q14_promo_revenue_pct",
+    f"""
+    SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_DEC_REV}
+                         ELSE CAST(0 AS DECIMAL(28,10)) END) AS DOUBLE)
+               * 100.0
+               / CAST(sum({_DEC_REV}) AS DOUBLE) AS promo_pct,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+    """,
+    survey="single-row conditional-agg ratio, TPC-H Q14 shape (engine extension)",
+)
+def q14_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent of one month's revenue from PROMO parts. The ship-date
+    range pushes into the lineitem scan, part broadcasts, and the
+    whole query collapses to one partial-aggregated scan. The ratio
+    divides two decimal-exact doubles (multiply by 100 first — both
+    engines evaluate the identical expression tree)."""
+    li = tables.load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-06-01")
+        & (F.col("l_shipdate") < "1997-07-01")
+    )
+    p = tables.load(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).cast(
+        "decimal(28,10)"
+    )
+    zero = F.lit(0).cast("decimal(28,10)")
+    return (
+        li.join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
+                ).cast("double")
+                * F.lit(100.0)
+                / F.sum(rev).cast("double")
+            ).alias("promo_pct"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(sum({_DEC_REV}) AS DOUBLE) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    survey="argmax against a reused aggregate view, TPC-H Q15 shape (engine extension)",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The supplier(s) with maximum revenue in a quarter — the Q15
+    view-reuse shape: the same aggregate feeds both the probe and the
+    global-max scalar. Expressed in SQL so Catalyst plans the reuse
+    (the CTE aggregates once per reference; equality on the
+    decimal-exact double is safe cross-engine). The supplier
+    dimension join broadcasts."""
+    tables.register_all(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   CAST(sum({_DEC_REV}) AS DOUBLE) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+            GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        """
+    )
+
+
+@register(
+    "q16_supplier_variety",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    survey="distinct-count with NOT-IN supplier exclusion, TPC-H Q16 shape (engine extension)",
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many distinct (non-delinquent) suppliers serve each part
+    shape. The NOT IN exclusion list (suppliers in arrears) is a
+    broadcast anti-join — s_suppkey is non-null so NOT IN and
+    LEFT ANTI agree; the part predicate prunes before the join; the
+    distinct count shuffles on the 3 group keys with the suppkey
+    folded into the aggregation buffer."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    p = tables.load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    bad = tables.load(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(
+            F.broadcast(bad),
+            li["l_suppkey"] == bad["s_suppkey"],
+            "left_anti",
+        )
+        .join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q19_bracket_disjunction",
+    f"""
+    SELECT CAST(sum({_DEC_REV}) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 20
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 21 AND 30
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+    survey="OR-of-brackets multi-column join predicate, TPC-H Q19 shape (engine extension)",
+)
+def q19_bracket_disjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from three disjunctive brand/size/quantity brackets —
+    the classic test that an engine extracts the common join key and
+    pushes the per-table conjuncts from a disjunction: Catalyst
+    derives `l_quantity BETWEEN 1 AND 30` and the brand/size union
+    onto the scans, then applies the full bracket predicate after
+    the broadcast join."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    p = tables.load(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).cast(
+        "decimal(28,10)"
+    )
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & (F.col("l_quantity") >= 1)
+            & (F.col("l_quantity") <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(11, 20)
+            & (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(21, 30)
+            & (F.col("l_quantity") >= 20)
+            & (F.col("l_quantity") <= 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
+        .filter(bracket)
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q21_sole_late_supplier",
+    """
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate
+                            > o3.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    survey="double-correlated EXISTS/NOT EXISTS anti-join, TPC-H Q21 shape (engine extension)",
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who were the SOLE late shipper on finished
+    multi-supplier orders (late = shipped >60 days after the order
+    date — adapted: this schema has no commit/receipt dates). The
+    correlated EXISTS becomes a left-semi join and the NOT EXISTS a
+    left-anti join, both on l_orderkey — Catalyst plans two hash
+    joins against the same fact table, never a per-row subplan.
+    Identical SQL runs on both engines."""
+    tables.register_all(spark, sf_dir)
+    return spark.sql(QUERIES["q21_sole_late_supplier"].oracle)
+
+
+@register(
+    "q22_idle_customer_balance",
+    """
+    WITH pos AS (
+        SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(28,10))) AS DOUBLE)
+                   AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM customer WHERE c_acctbal > 0.0)
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(28,10))) AS DOUBLE)
+               AS totacctbal
+    FROM customer, pos
+    WHERE c_acctbal * n > s
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+    survey="anti-join against orders + global-average balance filter, TPC-H Q22 shape (engine extension)",
+)
+def q22_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Well-funded customers who never ordered, by segment: balance
+    above the all-customer positive average (written multiply-only:
+    `bal * n > sum`, both factors exact or single-IEEE) and an
+    anti-join against orders. The 1-row average cross-joins
+    (broadcast); the anti-join shuffles on custkey — at scale
+    that's the one real exchange, against a key set AQE can
+    convert to broadcast when the order side is small."""
+    tables.register_all(spark, sf_dir)
+    return spark.sql(QUERIES["q22_idle_customer_balance"].oracle)

@@ -294,3 +294,53 @@ def test_q2_argmin_uses_window_group_limit(spark):
     plan = _plan(QUERIES["q2_min_cost_supplier"].fn(spark, SF_SMALL))
     assert "WindowGroupLimit" in plan
     assert plan.count("BroadcastHashJoin") == 2
+
+
+def test_q8_all_dimension_joins_broadcast(spark):
+    """q8's 7-way join: every dimension side (orders-filtered fact
+    excluded) broadcasts; the fact table never sort-merge-joins."""
+    plan = _plan(QUERIES["q8_market_share"].fn(spark, SF_SMALL))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 7
+
+
+def test_q16_not_in_is_broadcast_anti_join(spark):
+    """The NOT-IN supplier exclusion must plan as a broadcast
+    LeftAnti hash join (never a nested-loop or a shuffle), and the
+    part predicates must push into the parquet scan."""
+    plan = _plan(QUERIES["q16_supplier_variety"].fn(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PushedFilters: [IsNotNull(p_brand)" in plan or (
+        "Not(EqualTo(p_brand,Brand#5))" in plan
+    )
+
+
+def test_q19_disjunction_extracts_join_key(spark):
+    """The OR-of-brackets predicate must still use the common
+    p_partkey equi-join (hash join, not nested loop), with the
+    quantity envelope pushed to the lineitem scan."""
+    plan = _plan(QUERIES["q19_bracket_disjunction"].fn(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # Catalyst derives l_quantity >= 1 AND <= 30 from the disjunction
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
+
+
+def test_q21_exists_become_semi_and_anti_joins(spark):
+    """Both correlated subqueries must decorrelate: EXISTS -> one
+    LeftSemi, NOT EXISTS -> one LeftAnti; no per-row subplan
+    survives in the executed plan."""
+    plan = _plan(QUERIES["q21_sole_late_supplier"].fn(spark, SF_SMALL))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "Subquery" not in plan
+
+
+def test_q11_global_scalar_not_per_group(spark):
+    """The HAVING's global-revenue scalar must be computed once as a
+    subquery result reused across groups — the plan may contain the
+    scalar subquery exactly once, and exactly 2 lineitem scans (one
+    per aggregate), never one per group."""
+    plan = _plan(QUERIES["q11_part_value_share"].fn(spark, SF_SMALL))
+    assert plan.count("Scan parquet") == 2
