@@ -95,6 +95,9 @@ _FIRST = [
     "q19_bracket_disjunction",
     "q21_sole_late_supplier",
     "q22_idle_customer_balance",
+    "q9_nation_profit",
+    "q12_priority_by_delay",
+    "q20_promo_volume_suppliers",
 ]
 
 

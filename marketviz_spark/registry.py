@@ -2827,3 +2827,107 @@ def q22_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     convert to broadcast when the order side is small."""
     tables.register_all(spark, sf_dir)
     return spark.sql(QUERIES["q22_idle_customer_balance"].oracle)
+
+
+@register(
+    "q9_nation_profit",
+    """
+    SELECT n_name AS supp_nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                         - p_retailprice * l_quantity * 0.5
+                         AS DECIMAL(28,10))) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY supp_nation, o_year
+    """,
+    survey="product-line profit by supplier nation and year, TPC-H Q9 shape (engine extension; cost = half retail, no partsupp table)",
+)
+def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit on red parts by supplier nation per year. The cost
+    term substitutes half the part's retail price for the absent
+    ps_supplycost. Each row's margin is three IEEE multiplies and a
+    subtract — identical bits on both engines — then decimal-summed.
+    The LIKE filter prunes part BEFORE its broadcast join; supplier
+    and nation broadcast; orders joins on the fact key; one
+    aggregation shuffle on (nation, year)."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    p = tables.load(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    )
+    s = tables.load(spark, sf_dir, "supplier")
+    n = tables.load(spark, sf_dir, "nation")
+    o = tables.load(spark, sf_dir, "orders")
+    margin = (
+        F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.5)
+    ).cast("decimal(28,10)")
+    return (
+        li.join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
+        .join(F.broadcast(s), s["s_suppkey"] == li["l_suppkey"])
+        .join(F.broadcast(n), F.col("n_nationkey") == s["s_nationkey"])
+        .join(o, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("supp_nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(margin).cast("double").alias("profit"))
+    )
+
+
+@register(
+    "q12_priority_by_delay",
+    """
+    SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                THEN 'LATE' ELSE 'ONTIME' END AS delay_class,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY delay_class
+    """,
+    survey="priority mix by delivery-delay class, TPC-H Q12 shape (engine extension; shipmode -> derived delay class)",
+)
+def q12_priority_by_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many high- vs low-priority order lines fall in each
+    delivery-delay class for one ship year (Q12's shipmode replaced
+    by a derived LATE/ONTIME class — the schema carries no shipmode).
+    Integer CASE-sums, one aggregation over a 2-value derived key;
+    the ship-date range pushes into the scan."""
+    tables.register_all(spark, sf_dir)
+    return spark.sql(QUERIES["q12_priority_by_delay"].oracle)
+
+
+@register(
+    "q20_promo_volume_suppliers",
+    """
+    SELECT s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN
+              (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_suppkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(28,10))) > 500)
+    """,
+    survey="nested IN semi-join chain over a HAVING aggregate, TPC-H Q20 shape (engine extension)",
+)
+def q20_promo_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who moved serious PROMO-part volume in a year — the
+    Q20 nested-IN chain: part keys IN-filter lineitem (semi join),
+    the surviving lines aggregate per supplier with a HAVING
+    threshold (decimal-exact), and that key set IN-filters supplier
+    (second semi join). Catalyst turns both INs into hash semi-joins
+    — the inner one broadcast — so the fact table is scanned once,
+    pre-pruned by the pushed ship-date range."""
+    tables.register_all(spark, sf_dir)
+    return spark.sql(QUERIES["q20_promo_volume_suppliers"].oracle)

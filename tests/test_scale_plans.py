@@ -337,6 +337,22 @@ def test_q21_exists_become_semi_and_anti_joins(spark):
     assert "Subquery" not in plan
 
 
+def test_q20_nested_in_becomes_semi_join_chain(spark):
+    """Both INs must plan as hash semi-joins (part side broadcast);
+    the ship-date range must push into the lineitem scan."""
+    plan = _plan(QUERIES["q20_promo_volume_suppliers"].fn(spark, SF_SMALL))
+    assert plan.count("LeftSemi") == 2
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_q9_dimensions_broadcast_fact_single_agg_shuffle(spark):
+    """part/supplier/nation broadcast; the only SortMergeJoin
+    permitted is the fact-fact orderkey join."""
+    plan = _plan(QUERIES["q9_nation_profit"].fn(spark, SF_SMALL))
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
 def test_q11_global_scalar_not_per_group(spark):
     """The HAVING's global-revenue scalar must be computed once as a
     subquery result reused across groups — the plan may contain the
