@@ -98,6 +98,10 @@ _FIRST = [
     "q9_nation_profit",
     "q12_priority_by_delay",
     "q20_promo_volume_suppliers",
+    # new in round 6, batch 3 (datapipe + streaming extensions)
+    "corpus_drift",
+    "semdedup_prune",
+    "events_enrich_static",
 ]
 
 

@@ -526,3 +526,66 @@ def rarity_scores(docs: DataFrame) -> DataFrame:
             .alias("rarity_ppm"),
         )
     )
+
+
+def corpus_drift(docs: DataFrame) -> DataFrame:
+    """Per-source token-distribution drift: the total-variation
+    distance between each source's unigram distribution and the rest
+    of the corpus — the mixture-audit a training pipeline runs to
+    catch a source whose content shifted between crawls (or a split
+    whose distribution leaks).
+
+    TV(s) = 1/2 * sum_t | cnt_{t,s}/N_s - cnt_{t,rest}/N_rest |
+    is computed WITHOUT per-token division: the numerator
+    sum_t |cnt_{t,s} * N_rest - cnt_{t,rest} * N_s| is exact int64
+    arithmetic (tokens absent from the source fold into one closed-
+    form term, (G - sum_{t in s} g_t) * N_s, so the sum only ranges
+    over tokens PRESENT in the source — no source x vocabulary
+    expansion). The single final division is one IEEE op on exact
+    integers: bit-identical on any engine. int64 bounds the corpus
+    at ~3e9 tokens per cohort pair; past that, flip the last
+    multiply to double (the audit is a ratio — 1 ulp is noise).
+
+    Scale shape: two partial-aggregated shuffles — (source, token)
+    then token — plus a broadcast of the per-source totals and the
+    1-row global total. Never quadratic, no skew (hot tokens
+    collapse map-side in both aggregations).
+    """
+    tok = docs.select("source", F.explode(tokens()).alias("token"))
+    st = tok.groupBy("source", "token").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    g = st.groupBy("token").agg(F.sum("cnt").alias("g"))
+    tot = st.groupBy("source").agg(F.sum("cnt").alias("n_src"))
+    gt = st.agg(F.sum("cnt").alias("gtot"))
+    j = (
+        st.join(g, "token")
+        .join(F.broadcast(tot), "source")
+        .crossJoin(F.broadcast(gt))
+    )
+    term = F.abs(
+        F.col("cnt") * (F.col("gtot") - F.col("n_src"))
+        - (F.col("g") - F.col("cnt")) * F.col("n_src")
+    )
+    agg = j.groupBy("source", "n_src", "gtot").agg(
+        F.count("*").cast("long").alias("n_vocab"),
+        F.sum(term).alias("num_in"),
+        F.sum("g").alias("sg"),
+    )
+    drift_num = F.col("num_in") + (
+        (F.col("gtot") - F.col("sg")) * F.col("n_src")
+    )
+    return agg.select(
+        "source",
+        F.col("n_src").alias("n_tokens"),
+        "n_vocab",
+        drift_num.cast("long").alias("drift_num"),
+        (
+            drift_num.cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n_src")
+                * (F.col("gtot") - F.col("n_src"))
+            )
+        ).alias("tv_dist"),
+    )

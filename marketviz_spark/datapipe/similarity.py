@@ -647,3 +647,71 @@ def quantize_int8(emb: DataFrame) -> DataFrame:
             ",", F.transform(F.col("q"), lambda c: c.cast("string"))
         ).alias("q_codes"),
     )
+
+
+SEMDEDUP_TAU = NEAR_DUP_COSINE
+
+
+def semdedup(
+    emb: DataFrame, tau: float = SEMDEDUP_TAU
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
+    2303.09540): cluster embeddings with the trained IVF centroids,
+    then inside each cluster prune every vector that has a
+    sufficiently-similar neighbor with a smaller vec_id. One row per
+    vector: (vec_id, cell, kept, pruned_by) where pruned_by is the
+    SMALLEST dominating neighbor (NULL for kept rows) — so the kept
+    set is exactly the id-dominance representatives, deterministic
+    on any engine (cosines are rounded to 6dp before the threshold
+    test, and the dominance rule needs no iteration, unlike
+    connected components).
+
+    Scale shape: the quadratic pair space is confined to each IVF
+    cell (the whole point of SemDeDup — k cells cut the O(N^2)
+    all-pairs to O(N^2/k) and the cells are embarrassingly
+    parallel); the per-cell self-join is an equi-join on cell, the
+    dominance reduction is a partial-aggregated min per pruned
+    vector, and the final join back to the assignment is
+    vec_id-keyed. Degenerate cells (everything identical) cost
+    b^2/2 within their own cell only — route corpora with massive
+    exact duplication through dedup_exact first.
+    """
+    base = _assign_to(
+        with_norm(emb).select("vec_id", "_v", "_norm"), ivf_train(emb)
+    )
+    a = base.select(
+        F.col("cell"),
+        F.col("vec_id").alias("a_id"),
+        F.col("_v").alias("a_v"),
+        F.col("_norm").alias("a_n"),
+    )
+    b = base.select(
+        F.col("cell"),
+        F.col("vec_id").alias("b_id"),
+        F.col("_v").alias("b_v"),
+        F.col("_norm").alias("b_n"),
+    )
+    dom = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(
+            rnd(
+                _dot(F.col("a_v"), F.col("b_v"))
+                / (F.col("a_n") * F.col("b_n")),
+                6,
+            )
+            >= F.lit(tau)
+        )
+        .groupBy("b_id")
+        .agg(F.min("a_id").alias("pruned_by"))
+    )
+    return (
+        base.select("vec_id", "cell")
+        .join(dom, base["vec_id"] == dom["b_id"], "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.col("pruned_by").isNull().alias("kept"),
+            "pruned_by",
+        )
+    )

@@ -2931,3 +2931,35 @@ def q20_promo_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-pruned by the pushed ship-date range."""
     tables.register_all(spark, sf_dir)
     return spark.sql(QUERIES["q20_promo_volume_suppliers"].oracle)
+
+
+@register(
+    "events_enrich_static",
+    """
+    WITH profile AS (
+        SELECT user_id AS p_user_id,
+               CAST(count(*) AS BIGINT) AS hist_events,
+               CASE WHEN count(*) >= 40 THEN 'heavy'
+                    WHEN count(*) >= 20 THEN 'medium'
+                    ELSE 'light' END AS tier
+        FROM events
+        WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+        GROUP BY user_id)
+    SELECT event_id, user_id, event_type,
+           coalesce(tier, 'new') AS tier,
+           coalesce(hist_events, 0) AS hist_events
+    FROM events
+    LEFT JOIN profile ON p_user_id = user_id
+    WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+    """,
+    survey="stream-static enrichment join, batch twin (streaming dimension pattern, §2.9 extension)",
+)
+def q_events_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.enrich.enrich_stream: live events
+    left-joined onto the broadcast per-user historical profile
+    (stateless streaming-dimension pattern — stream==batch asserted
+    in tests/test_streaming.py)."""
+    from .streaming.enrich import enrich, user_profile
+
+    ev = tables.load_events(spark, sf_dir)
+    return enrich(ev, user_profile(ev))

@@ -1703,3 +1703,83 @@ from .datapipe.curation import RARITY_SCALE, rarity_scores  # noqa: E402
 )
 def q_text_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rarity_scores(tables.load(spark, sf_dir, "documents"))
+
+
+# ----------------------------------------------------------------------
+# Corpus mixture drift audit
+# ----------------------------------------------------------------------
+
+from .datapipe.curation import corpus_drift  # noqa: E402
+
+
+@register(
+    "corpus_drift",
+    """
+    WITH tok AS (
+        SELECT source,
+               unnest(list_filter(string_split(text, ' '),
+                                  x -> x <> '')) AS token
+        FROM documents),
+    st AS (
+        SELECT source, token, CAST(count(*) AS BIGINT) AS cnt
+        FROM tok GROUP BY source, token),
+    g AS (SELECT token, CAST(sum(cnt) AS BIGINT) AS g
+          FROM st GROUP BY token),
+    tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_src
+            FROM st GROUP BY source),
+    gt AS (SELECT CAST(sum(cnt) AS BIGINT) AS gtot FROM st),
+    j AS (
+        SELECT st.source, st.cnt, g.g, tot.n_src, gt.gtot
+        FROM st
+        JOIN g USING (token)
+        JOIN tot ON tot.source = st.source, gt),
+    agg AS (
+        SELECT source, n_src, gtot,
+               CAST(count(*) AS BIGINT) AS n_vocab,
+               CAST(sum(abs(cnt * (gtot - n_src)
+                            - (g - cnt) * n_src)) AS BIGINT) AS num_in,
+               CAST(sum(g) AS BIGINT) AS sg
+        FROM j GROUP BY source, n_src, gtot)
+    SELECT source,
+           n_src AS n_tokens,
+           n_vocab,
+           CAST(num_in + (gtot - sg) * n_src AS BIGINT) AS drift_num,
+           CAST(num_in + (gtot - sg) * n_src AS DOUBLE)
+               / (2.0 * n_src * (gtot - n_src)) AS tv_dist
+    FROM agg
+    """,
+    survey="per-source token-distribution TV-distance drift audit, exact-integer numerator (datapipe curation)",
+)
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_drift(tables.load(spark, sf_dir, "documents"))
+
+
+# ----------------------------------------------------------------------
+# SemDeDup semantic dedup
+# ----------------------------------------------------------------------
+
+from .datapipe.similarity import SEMDEDUP_TAU, semdedup  # noqa: E402
+
+
+@register(
+    "semdedup_prune",
+    f"WITH {_VEC_CTE}"
+    + _IVF_CTE
+    + f"""
+    , dom AS (
+        SELECT b.vec_id AS b_id, min(a.vec_id) AS pruned_by
+        FROM assigned a
+        JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE floor(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm)
+                    * 1000000.0 + 0.5) / 1000000.0 >= {SEMDEDUP_TAU}
+        GROUP BY b.vec_id)
+    SELECT s.vec_id, s.cell,
+           dom.pruned_by IS NULL AS kept,
+           dom.pruned_by
+    FROM assigned s LEFT JOIN dom ON dom.b_id = s.vec_id
+    """,
+    survey="SemDeDup semantic dedup: IVF-cell-confined cosine dominance prune (datapipe)",
+)
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semdedup(tables.load(spark, sf_dir, "embeddings"))

@@ -661,3 +661,21 @@ def test_stream_starts_on_empty_staging_dir(spark):
             assert n0 == 0
         finally:
             q.stop()
+
+
+def test_stream_static_enrich_equals_batch(spark, events_dir):
+    """Stream-static dimension join: replaying the bounded events
+    through enrich_stream must equal the oracle-checked batch twin.
+    Stateless — no watermark involved."""
+    from marketviz_spark import tables
+    from marketviz_spark.streaming.enrich import enrich_stream
+
+    stream = read_events_stream(spark, events_dir)
+    batch = tables.load_events(spark, SF_SMALL)
+    run_to_memory(
+        enrich_stream(stream, batch), "t_enrich", "append"
+    )
+    got = _rows(spark.sql("SELECT * FROM t_enrich"))
+    want = _rows(QUERIES["events_enrich_static"].fn(spark, SF_SMALL))
+    assert got == want
+    assert len(got) > 0
