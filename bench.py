@@ -78,6 +78,16 @@ BENCH_QUERIES = [
     "dedup_clusters_multi",
     "events_hll_cascade",
     "dedup_levenshtein",
+    # round-6 batch 2/3: the heaviest of the new TPC-H anchors
+    # (multi-way broadcast joins, decorrelated subqueries, the
+    # double-EXISTS), the token-drift audit, and SemDeDup
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_nation_profit",
+    "q17_small_qty_revenue",
+    "q21_sole_late_supplier",
+    "corpus_drift",
+    "semdedup_prune",
 ]
 
 

@@ -411,3 +411,102 @@ def test_split_assign_disjoint_exhaustive_decorrelated(spark):
         r["split"] for r in out if r["doc_id"] in sampled
     }
     assert len(splits_of_sampled) > 1, "split correlated with sampling"
+
+
+def test_corpus_drift_identical_sources_zero_distance(spark):
+    """Two sources with the SAME token multiset must both read
+    tv_dist == 0 exactly (the int64 numerator makes this an exact
+    zero, not an epsilon); a third source with disjoint vocabulary
+    must read tv_dist == 1 exactly."""
+    from marketviz_spark.datapipe.curation import corpus_drift
+
+    docs = _docs(
+        spark,
+        [
+            (0, "alpha beta beta gamma", "s_a"),
+            (1, "beta gamma alpha beta", "s_b"),  # same multiset
+            (2, "zeta zeta eta theta", "s_c"),  # disjoint vocab
+        ],
+    )
+    got = {r["source"]: r for r in corpus_drift(docs).collect()}
+    # s_a vs rest: rest = s_b + s_c; not zero. The exact-zero case
+    # needs rest == same distribution, so compare s_a against s_b
+    # alone:
+    two = {
+        r["source"]: r
+        for r in corpus_drift(docs.filter("source != 's_c'")).collect()
+    }
+    assert two["s_a"]["tv_dist"] == 0.0
+    assert two["s_b"]["tv_dist"] == 0.0
+    assert two["s_a"]["drift_num"] == 0
+    # disjoint vocabulary vs rest -> TV exactly 1
+    disj = {
+        r["source"]: r
+        for r in corpus_drift(docs.filter("source != 's_b'")).collect()
+    }
+    assert disj["s_c"]["tv_dist"] == 1.0
+
+
+def test_corpus_drift_matches_brute_force(spark):
+    """The folded absent-token term must equal the brute-force TV
+    distance computed per token over the full union vocabulary."""
+    from collections import Counter
+
+    from marketviz_spark.datapipe.curation import corpus_drift
+
+    rows = [
+        (0, "a b c c d", "x"),
+        (1, "b c d d e e", "x"),
+        (2, "a a a f g", "y"),
+        (3, "c d e f g g g", "y"),
+        (4, "h h i j", "z"),
+    ]
+    docs = _docs(spark, rows)
+    got = {r["source"]: r["tv_dist"] for r in corpus_drift(docs).collect()}
+    by_src: dict[str, Counter] = {}
+    for _i, text, src in rows:
+        by_src.setdefault(src, Counter()).update(text.split())
+    for src, cnt in by_src.items():
+        rest = Counter()
+        for other, c in by_src.items():
+            if other != src:
+                rest.update(c)
+        ns, nr = sum(cnt.values()), sum(rest.values())
+        vocab = set(cnt) | set(rest)
+        tv = sum(
+            abs(cnt[t] / ns - rest[t] / nr) for t in vocab
+        ) / 2.0
+        assert abs(got[src] - tv) < 1e-12, src
+
+
+def test_semdedup_dominance_invariants(spark):
+    """SemDeDup structural properties: every pruned_by is a smaller
+    id; the smallest vec_id of every cell is always kept; kept is
+    exactly (pruned_by IS NULL); and a rerun is identical."""
+    from pyspark.sql import functions as F
+
+    from marketviz_spark import tables
+    from marketviz_spark.datapipe.similarity import semdedup
+    from tests.conftest import SF_SMALL
+
+    emb = tables.load(spark, SF_SMALL, "embeddings")
+    out = semdedup(emb).cache()
+    rows = out.collect()
+    assert len(rows) == emb.count()  # one row per vector
+    for r in rows:
+        if r["pruned_by"] is not None:
+            assert r["pruned_by"] < r["vec_id"]
+            assert not r["kept"]
+        else:
+            assert r["kept"]
+    mins = {
+        r["cell"]: r["m"]
+        for r in out.groupBy("cell")
+        .agg(F.min("vec_id").alias("m"))
+        .collect()
+    }
+    by_id = {r["vec_id"]: r for r in rows}
+    for cell, m in mins.items():
+        assert by_id[m]["kept"], f"cell {cell} min id {m} not kept"
+    again = sorted(map(str, semdedup(emb).collect()))
+    assert sorted(map(str, rows)) == again
