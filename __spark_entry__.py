@@ -102,6 +102,8 @@ _FIRST = [
     "corpus_drift",
     "semdedup_prune",
     "events_enrich_static",
+    "mixture_plan",
+    "oov_rates",
 ]
 
 

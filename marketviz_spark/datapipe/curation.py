@@ -589,3 +589,94 @@ def corpus_drift(docs: DataFrame) -> DataFrame:
             )
         ).alias("tv_dist"),
     )
+
+
+def mixture_plan(docs: DataFrame) -> DataFrame:
+    """Uniform-mixture rebalance plan: given the per-source token
+    inventory, the largest corpus in which every source contributes
+    an EQUAL token share is bounded by the scarcest source; each
+    source's keep fraction is that bound over its inventory. The op
+    emits the plan a sampler (sample_stratified) would execute:
+    (source, n_tokens, keep_ppm, kept_tokens).
+
+    keep_ppm = floor(min_inventory * 1e6 / inventory) and
+    kept_tokens = floor(n_tokens * keep_ppm / 1e6) are pure integer
+    arithmetic — identical on any engine, no float shares. The
+    scarcest source reads keep_ppm == 1_000_000 exactly.
+
+    Scale: one partial-aggregated shuffle on source (hot sources
+    collapse map-side), then a 1-row global min broadcast back —
+    the plan output is |sources| rows.
+    """
+    tok = docs.select("source", F.explode(tokens()).alias("token"))
+    inv = tok.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_tokens")
+    )
+    floor_min = F.broadcast(inv.agg(F.min("n_tokens").alias("min_inv")))
+    keep_ppm = F.floor(
+        F.col("min_inv") * F.lit(1_000_000) / F.col("n_tokens")
+    ).cast("long")
+    return (
+        inv.crossJoin(floor_min)
+        .select(
+            "source",
+            "n_tokens",
+            keep_ppm.alias("keep_ppm"),
+            F.floor(
+                F.col("n_tokens") * keep_ppm / F.lit(1_000_000)
+            )
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+    )
+
+
+# Vocabulary-coverage audit: the top-K corpus tokens stand in for a
+# tokenizer's vocab; per-document OOV rate in ppm is the signal a
+# pipeline uses to catch content a fixed tokenizer would shred.
+OOV_VOCAB_K = 20  # sized to the synthetic corpus's 31-token vocab; a real
+# tokenizer audit would use the tokenizer's actual vocab size
+
+
+def oov_rates(docs: DataFrame, vocab_k: int = OOV_VOCAB_K) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus top-K
+    vocabulary (tf desc, token tiebreak — the deterministic twin of
+    vocab_topk's ordering). oov_ppm = floor(oov_tokens * 1e6 /
+    n_tokens): integer-exact on any engine.
+
+    Scale: the vocab is a two-phase top-K aggregate (map-side
+    combine, then a K-row TakeOrdered result) BROADCAST into the
+    scoring join — joining occurrence rows on token by shuffle
+    would put every 'the' on one partition (the join-skew trap).
+    Scoring is then map-only per token with one doc_id-keyed
+    aggregation."""
+    tok = docs.select("doc_id", F.explode(tokens()).alias("token"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("token"))
+        .limit(vocab_k)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    scored = tok.join(F.broadcast(vocab), "token", "left")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("oov_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "oov_tokens",
+            F.floor(
+                F.col("oov_tokens") * F.lit(1_000_000) / F.col("n_tokens")
+            )
+            .cast("long")
+            .alias("oov_ppm"),
+        )
+    )

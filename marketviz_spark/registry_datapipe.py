@@ -1783,3 +1783,63 @@ from .datapipe.similarity import SEMDEDUP_TAU, semdedup  # noqa: E402
 )
 def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(tables.load(spark, sf_dir, "embeddings"))
+
+
+# ----------------------------------------------------------------------
+# Mixture rebalance plan + vocabulary-coverage audit
+# ----------------------------------------------------------------------
+
+from .datapipe.curation import OOV_VOCAB_K, mixture_plan, oov_rates  # noqa: E402
+
+
+@register(
+    "mixture_plan",
+    """
+    WITH tok AS (
+        SELECT source,
+               unnest(list_filter(string_split(text, ' '),
+                                  x -> x <> '')) AS token
+        FROM documents),
+    inv AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_tokens
+        FROM tok GROUP BY source),
+    m AS (SELECT CAST(min(n_tokens) AS BIGINT) AS min_inv FROM inv)
+    SELECT source, n_tokens,
+           CAST(floor(min_inv * 1000000 / n_tokens) AS BIGINT)
+               AS keep_ppm,
+           CAST(floor(n_tokens
+                      * floor(min_inv * 1000000 / n_tokens)
+                      / 1000000) AS BIGINT) AS kept_tokens
+    FROM inv, m
+    """,
+    survey="uniform-mixture rebalance plan: integer-exact per-source keep fractions bounded by the scarcest source (datapipe curation)",
+)
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mixture_plan(tables.load(spark, sf_dir, "documents"))
+
+
+@register(
+    "oov_rates",
+    f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '),
+                                  x -> x <> '')) AS token
+        FROM documents),
+    vocab AS (
+        SELECT token, 1 AS in_vocab
+        FROM (SELECT token, count(*) AS tf FROM tok GROUP BY token)
+        ORDER BY tf DESC, token LIMIT {OOV_VOCAB_K})
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS oov_tokens,
+           CAST(floor(sum(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END)
+                      * 1000000 / count(*)) AS BIGINT) AS oov_ppm
+    FROM tok LEFT JOIN vocab USING (token)
+    GROUP BY doc_id
+    """,
+    survey="per-document OOV rate vs the corpus top-K vocabulary, integer-exact (datapipe curation)",
+)
+def q_oov_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return oov_rates(tables.load(spark, sf_dir, "documents"))
