@@ -104,6 +104,7 @@ _FIRST = [
     "events_enrich_static",
     "mixture_plan",
     "oov_rates",
+    "doc_chunks",
 ]
 
 

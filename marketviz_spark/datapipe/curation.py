@@ -680,3 +680,51 @@ def oov_rates(docs: DataFrame, vocab_k: int = OOV_VOCAB_K) -> DataFrame:
             .alias("oov_ppm"),
         )
     )
+
+
+# Retrieval-side chunking: fixed token windows with overlap — the
+# dual of pack_sequences (training-side concat-and-chunk).
+CHUNK_TOKENS = 30
+CHUNK_STRIDE = 20
+
+
+def doc_chunks(
+    docs: DataFrame,
+    window: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Overlapping token-window chunks per document (the RAG
+    indexing unit): chunk k covers tokens [k*stride, k*stride +
+    window). Emits (doc_id, chunk_id, start_pos, n_chunk_tokens,
+    chunk_md5) — the fingerprint, not the text, so the output stays
+    row-shaped for downstream embedding/indexing joins.
+
+    Scale: ZERO shuffle — chunk starts are generated per row with
+    `sequence` over the token count and sliced from the already-
+    tokenized array, so the whole op is one map-side explode with
+    ~n_tokens/stride output rows per document. Zero-token documents
+    produce no chunks (filtered before the explode, both engines).
+    """
+    t = tokens()
+    chunked = (
+        docs.select("doc_id", t.alias("t"), F.size(t).alias("n"))
+        .filter(F.col("n") > 0)
+        .select(
+            "doc_id",
+            F.col("t"),
+            # last start < n, so every chunk is non-empty
+            F.explode(
+                F.sequence(F.lit(0), F.col("n") - 1, F.lit(stride))
+            ).alias("start_pos"),
+        )
+    )
+    piece = F.slice(F.col("t"), F.col("start_pos") + 1, window)
+    return chunked.select(
+        "doc_id",
+        F.floor(F.col("start_pos") / stride).cast("long").alias(
+            "chunk_id"
+        ),
+        F.col("start_pos").cast("long").alias("start_pos"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.array_join(piece, " ")).alias("chunk_md5"),
+    )

@@ -1843,3 +1843,39 @@ def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_oov_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return oov_rates(tables.load(spark, sf_dir, "documents"))
+
+
+# ----------------------------------------------------------------------
+# Retrieval-side document chunking
+# ----------------------------------------------------------------------
+
+from .datapipe.curation import CHUNK_STRIDE, CHUNK_TOKENS, doc_chunks  # noqa: E402
+
+
+@register(
+    "doc_chunks",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents),
+    starts AS (
+        SELECT doc_id, t,
+               unnest(generate_series(0, len(t) - 1, {CHUNK_STRIDE}))
+                   AS start_pos
+        FROM toks WHERE len(t) > 0)
+    SELECT doc_id,
+           CAST(floor(start_pos / {CHUNK_STRIDE}) AS BIGINT) AS chunk_id,
+           CAST(start_pos AS BIGINT) AS start_pos,
+           CAST(len(list_slice(t, start_pos + 1,
+                               start_pos + {CHUNK_TOKENS})) AS BIGINT)
+               AS n_chunk_tokens,
+           md5(array_to_string(
+               list_slice(t, start_pos + 1,
+                          start_pos + {CHUNK_TOKENS}), ' ')) AS chunk_md5
+    FROM starts
+    """,
+    survey="overlapping token-window chunking, the RAG indexing unit — zero-shuffle map-side explode (datapipe curation)",
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_chunks(tables.load(spark, sf_dir, "documents"))

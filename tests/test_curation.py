@@ -267,8 +267,12 @@ def test_curation_ops_on_empty_corpus(spark):
     frame on an empty documents table — the first morning of a new
     pipeline is always empty."""
     from marketviz_spark.datapipe.curation import (
+        corpus_drift,
         curation_funnel,
         decontaminate,
+        doc_chunks,
+        mixture_plan,
+        oov_rates,
         pack_sequences,
         pii_scrub,
         pii_stats,
@@ -289,6 +293,10 @@ def test_curation_ops_on_empty_corpus(spark):
         vocab_topk,
         curation_funnel,
         incremental_dedup,
+        corpus_drift,
+        mixture_plan,
+        oov_rates,
+        doc_chunks,
     ):
         assert op(empty).count() == 0, op.__name__
 
