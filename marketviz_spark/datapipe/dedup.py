@@ -505,6 +505,7 @@ def _min_label_components(
                 "left",
             ).select(
                 "doc_id",
+                F.col("cluster_id").alias("old_cluster"),
                 F.least(
                     F.col("cluster_id"),
                     F.coalesce(F.col("n_min"), F.col("cluster_id")),
@@ -517,29 +518,28 @@ def _min_label_components(
         # hops into one — this is what turns O(diameter) rounds into
         # O(log diameter). `propagated` is checkpointed first so the
         # self-join reads the materialized table twice instead of
-        # recomputing the edge join.
+        # recomputing the edge join. The `moved` flag rides along so
+        # the convergence count is a filter over this round's
+        # checkpoint, not another labels join.
         parent = propagated.select(
             F.col("doc_id").alias("p_id"),
             F.col("cluster_id").alias("p_lbl"),
+        )
+        new_lbl = F.least(
+            F.col("x.cluster_id"),
+            F.coalesce(F.col("p_lbl"), F.col("x.cluster_id")),
         )
         updated = ckpt(
             propagated.alias("x")
             .join(parent, F.col("x.cluster_id") == F.col("p_id"), "left")
             .select(
                 F.col("x.doc_id").alias("doc_id"),
-                F.least(
-                    F.col("x.cluster_id"),
-                    F.coalesce(F.col("p_lbl"), F.col("x.cluster_id")),
-                ).alias("cluster_id"),
+                new_lbl.alias("cluster_id"),
+                (new_lbl != F.col("x.old_cluster")).alias("moved"),
             )
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "doc_id")
-            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
-            .count()
-        )
-        labels = updated
+        changed = updated.filter("moved").count()
+        labels = updated.select("doc_id", "cluster_id")
         if changed == 0:
             break
     else:
