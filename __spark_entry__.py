@@ -34,7 +34,42 @@ def entry(spark: SparkSession) -> DataFrame:
 # in r05 because of the budget) plus everything round 6 touches, so a
 # budget cutoff can only ever skip queries with a fresh green row.
 _FIRST = [
-    # driver row last green in r04 (the full r04 \ r05 set)
+    # NEW in round 6 — no driver row exists yet, so these outrank
+    # every refresh: a one-round-stale green row is still evidence,
+    # a never-run query is invisible to the correctness record.
+    # Batch 1 (OLAP anchors: decorrelation, HAVING semi-join,
+    # nation-pair volume, returned-revenue top-k, grouping sets,
+    # argmin-per-group)
+    "q17_small_qty_revenue",
+    "q18_large_order_customers",
+    "q7_nation_volume",
+    "q10_returned_revenue",
+    "grouping_sets_revenue",
+    "q2_min_cost_supplier",
+    # Batch 2 (remaining TPC-H hard shapes)
+    "q8_market_share",
+    "q11_part_value_share",
+    "q14_promo_revenue_pct",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q19_bracket_disjunction",
+    "q21_sole_late_supplier",
+    "q22_idle_customer_balance",
+    "q9_nation_profit",
+    "q12_priority_by_delay",
+    "q20_promo_volume_suppliers",
+    # Batch 3 (datapipe + streaming extensions)
+    "corpus_drift",
+    "semdedup_prune",
+    "events_enrich_static",
+    "mixture_plan",
+    "oov_rates",
+    "doc_chunks",
+    # touched in round 6 (brute-force cap added in similarity.py)
+    "emb_cosine_topk",
+    # driver row last green in r04 (the full r04 \ r05 set); a ~50
+    # budget covers all of the above plus the front of this list —
+    # any cutoff lands on rows that already have a green r04 row.
     "a4_a5_summary_metrics",
     "agg_distinct_percentile",
     "curation_funnel",
@@ -75,36 +110,6 @@ _FIRST = [
     "w9_topk_per_date",
     "w_beta_corr",
     "w_moving_stats",
-    # touched in round 6 (brute-force cap added in similarity.py)
-    "emb_cosine_topk",
-    # new in round 6 (OLAP anchors: decorrelation, HAVING semi-join,
-    # nation-pair volume, returned-revenue top-k, grouping sets,
-    # argmin-per-group)
-    "q17_small_qty_revenue",
-    "q18_large_order_customers",
-    "q7_nation_volume",
-    "q10_returned_revenue",
-    "grouping_sets_revenue",
-    "q2_min_cost_supplier",
-    # new in round 6, batch 2 (remaining TPC-H hard shapes)
-    "q8_market_share",
-    "q11_part_value_share",
-    "q14_promo_revenue_pct",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q19_bracket_disjunction",
-    "q21_sole_late_supplier",
-    "q22_idle_customer_balance",
-    "q9_nation_profit",
-    "q12_priority_by_delay",
-    "q20_promo_volume_suppliers",
-    # new in round 6, batch 3 (datapipe + streaming extensions)
-    "corpus_drift",
-    "semdedup_prune",
-    "events_enrich_static",
-    "mixture_plan",
-    "oov_rates",
-    "doc_chunks",
 ]
 
 
