@@ -65,6 +65,13 @@ _FIRST = [
     "mixture_plan",
     "oov_rates",
     "doc_chunks",
+    # Batch 4 (boilerplate detection, leakage-safe split, mixture
+    # execution, vocab-coverage curve, cohort retention)
+    "boilerplate_chunks",
+    "cluster_split",
+    "mixture_apply",
+    "token_coverage_curve",
+    "events_retention_cohorts",
     # touched in round 6 (brute-force cap added in similarity.py)
     "emb_cosine_topk",
     # driver row last green in r04 (the full r04 \ r05 set); a ~50

@@ -728,3 +728,203 @@ def doc_chunks(
         F.size(piece).cast("long").alias("n_chunk_tokens"),
         F.md5(F.array_join(piece, " ")).alias("chunk_md5"),
     )
+
+
+# Boilerplate detection: the CCNet/RefinedWeb "line dedup" signal,
+# adapted to the chunk unit (this corpus has no newlines — the chunk
+# fingerprint is the repeated-content unit). A chunk fingerprint
+# shared by >= BOILER_MIN_DOCS distinct documents is boilerplate
+# (headers, footers, templated spans); boiler_ppm is the per-document
+# removal/score signal.
+BOILER_MIN_DOCS = 2
+
+
+def boilerplate_chunks(
+    docs: DataFrame,
+    window: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+    min_docs: int = BOILER_MIN_DOCS,
+) -> DataFrame:
+    """Per-document boilerplate ratio: the fraction (ppm) of a
+    document's token-window chunks whose fingerprint also appears in
+    >= min_docs distinct documents corpus-wide. Emits (doc_id,
+    n_chunks, boiler_chunks, boiler_ppm), integer-exact.
+
+    Scale: chunking is the zero-shuffle map-side explode of
+    doc_chunks; the corpus-wide frequency is one partial-aggregated
+    groupBy(chunk_md5) (uniform 128-bit keys); the flag-back join is
+    an equality join on chunk_md5 — left as a shuffle join on
+    purpose (the boilerplate set grows with the corpus, so a
+    broadcast would not survive 100 TB) with AQE skew-join covering
+    the pathological one-chunk-in-a-million-docs case. The final
+    rollup is doc_id-keyed.
+    """
+    ch = doc_chunks(docs, window, stride).select("doc_id", "chunk_md5")
+    common = (
+        ch.groupBy("chunk_md5")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("chunk_md5", F.lit(1).alias("is_boiler"))
+    )
+    flagged = ch.join(common, "chunk_md5", "left")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(
+                F.when(F.col("is_boiler").isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("boiler_chunks"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "boiler_chunks",
+            F.floor(
+                F.col("boiler_chunks") * F.lit(1_000_000) / F.col("n_chunks")
+            )
+            .cast("long")
+            .alias("boiler_ppm"),
+        )
+    )
+
+
+def cluster_split(docs: DataFrame) -> DataFrame:
+    """Leakage-safe train/val/test split: every member of a near-dup
+    cluster (dedup_clusters labels) lands in the SAME split, because
+    the split percentile is hashed from the CLUSTER id, not the doc
+    id. split_assign hashes doc_id and can put a document in train
+    and its near-duplicate in test — the classic contamination bug
+    this operator exists to prevent.
+
+    Scale: inherits dedup_clusters' capped-bucket + pointer-doubling
+    shape; the split itself adds one doc_id-keyed join (labels are
+    (doc_id, cluster_id) — co-partitioned with the corpus) and a
+    map-only hash. Same 80/10/10 Lehmer split as split_assign, so
+    the two are directly comparable in an A/B audit.
+    """
+    from .dedup import dedup_clusters
+
+    labels = dedup_clusters(docs)
+    pct2 = lehmer_pct(lehmer_hash(F.col("cluster_id")))
+    split = (
+        F.when(pct2 < TRAIN_PCT, "train")
+        .when(pct2 < VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(labels, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            pct2.alias("split_pct"),
+            split.alias("split"),
+        )
+    )
+
+
+def mixture_apply(docs: DataFrame) -> DataFrame:
+    """Execute mixture_plan at document granularity: per source, keep
+    documents in deterministic pseudo-random order (Lehmer hash of
+    doc_id, doc_id tiebreak) until the kept token count reaches the
+    uniform-mixture bound (the scarcest source's inventory). Emits
+    the kept rows as (doc_id, source, n_tokens, cum_tokens) — the
+    document-level realization of mixture_plan's keep_ppm.
+
+    A document is kept while the running total INCLUDING it stays
+    <= the bound, so kept_tokens <= min_inventory exactly and the
+    scarcest source keeps everything.
+
+    Scale: per-doc token counts are map-only (size of the token
+    array, no explode); the cumulative sum is a window partitioned
+    by SOURCE — parallelism = source count, the right unit because
+    the budget is per-source (a source big enough to overflow one
+    task's window would first overflow the budget itself and can be
+    pre-filtered by mixture_plan's keep_ppm). ROWS UNBOUNDED
+    PRECEDING with a total order (hash, then doc_id) keeps the
+    frame engine-identical.
+    """
+    from pyspark.sql import Window
+
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens()).cast("long").alias("n_tokens"),
+    )
+    inv = per_doc.groupBy("source").agg(
+        F.sum("n_tokens").alias("inv")
+    )
+    bound = F.broadcast(inv.agg(F.min("inv").alias("min_inv")))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(lehmer_hash(F.col("doc_id")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return (
+        per_doc.crossJoin(bound)
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            cum.cast("long").alias("cum_tokens"),
+            F.col("min_inv"),
+        )
+        .filter(F.col("cum_tokens") <= F.col("min_inv"))
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
+
+
+# Tokenizer-vocab sizing curve: how much of the corpus the top-K
+# tokens cover, cumulatively.
+COVERAGE_TOPK = 25
+
+
+def token_coverage_curve(
+    docs: DataFrame, k: int = COVERAGE_TOPK
+) -> DataFrame:
+    """Cumulative corpus coverage of the top-K tokens by frequency
+    (tf desc, token tiebreak): (rank, token, tf, cum_tf,
+    coverage_ppm). The curve a tokenizer-vocab sizing decision reads
+    — where it flattens is where additional vocab stops paying.
+    Integer-exact: coverage_ppm = floor(cum_tf * 1e6 / total).
+
+    Scale: the frequency table is one partial-aggregated
+    groupBy(token); the top-K is a TakeOrdered LIMIT (never a full
+    sort); the ranking window then runs over K ROWS ONLY — an
+    unpartitioned window is safe exactly because its input is
+    pre-limited to a constant. The 1-row corpus total broadcasts.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select(F.explode(tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    total = F.broadcast(tf.agg(F.sum("tf").alias("total")))
+    topk = tf.orderBy(F.desc("tf"), F.asc("token")).limit(k)
+    w = (
+        Window.orderBy(F.desc("tf"), F.asc("token"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        topk.crossJoin(total)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.desc("tf"), F.asc("token")))
+            .cast("int")
+            .alias("rank"),
+            "token",
+            "tf",
+            F.sum("tf").over(w).cast("long").alias("cum_tf"),
+            F.floor(
+                F.sum("tf").over(w) * F.lit(1_000_000) / F.col("total")
+            )
+            .cast("long")
+            .alias("coverage_ppm"),
+        )
+    )

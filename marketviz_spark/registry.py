@@ -1363,6 +1363,47 @@ def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_retention_cohorts",
+    """
+    WITH cohort AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    active AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    )
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(datediff('day', cohort_day, d) AS INT) AS age_days,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM active JOIN cohort USING (user_id)
+    GROUP BY 1, 2
+    """,
+    survey="cohort retention matrix: users active N days after their first-seen day (event-sequence extension)",
+)
+def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention: cohort = a user's first active
+    calendar day; cell (cohort_day, age_days) counts users from
+    that cohort active exactly age_days later. Every shuffle is
+    keyed by user_id (cohort min-agg, distinct active days, the
+    join) — co-partitioned, so AQE reuses one exchange; the final
+    rollup's key space is bounded by days², not data volume.
+    count(*) is exact because (user_id, d) is already distinct."""
+    ev = tables.load_events(spark, sf_dir).select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    active = ev.distinct()
+    return (
+        active.join(cohort, "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("d", "cohort_day").cast("int").alias("age_days"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@register(
     "q3_shipping_priority",
     """
     SELECT o_orderkey,

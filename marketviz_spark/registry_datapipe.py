@@ -1879,3 +1879,165 @@ from .datapipe.curation import CHUNK_STRIDE, CHUNK_TOKENS, doc_chunks  # noqa: E
 )
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_chunks(tables.load(spark, sf_dir, "documents"))
+
+
+# ----------------------------------------------------------------------
+# Boilerplate chunk detection, leakage-safe split, mixture execution,
+# vocabulary-coverage curve
+# ----------------------------------------------------------------------
+
+from .datapipe.curation import (  # noqa: E402
+    BOILER_MIN_DOCS,
+    COVERAGE_TOPK,
+    LEHMER_MOD,
+    LEHMER_MUL,
+    boilerplate_chunks,
+    cluster_split,
+    mixture_apply,
+    token_coverage_curve,
+)
+
+_CHUNK_CTE = f"""
+    toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents),
+    starts AS (
+        SELECT doc_id, t,
+               unnest(generate_series(0, len(t) - 1, {CHUNK_STRIDE}))
+                   AS start_pos
+        FROM toks WHERE len(t) > 0),
+    ch AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   list_slice(t, start_pos + 1,
+                              start_pos + {CHUNK_TOKENS}), ' '))
+                   AS chunk_md5
+        FROM starts)
+"""
+
+
+@register(
+    "boilerplate_chunks",
+    f"""
+    WITH {_CHUNK_CTE},
+    common AS (
+        SELECT chunk_md5, 1 AS is_boiler
+        FROM (SELECT chunk_md5, count(DISTINCT doc_id) AS nd
+              FROM ch GROUP BY chunk_md5)
+        WHERE nd >= {BOILER_MIN_DOCS})
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN is_boiler IS NULL THEN 0 ELSE 1 END)
+                AS BIGINT) AS boiler_chunks,
+           CAST(floor(sum(CASE WHEN is_boiler IS NULL THEN 0 ELSE 1 END)
+                      * 1000000 / count(*)) AS BIGINT) AS boiler_ppm
+    FROM ch LEFT JOIN common USING (chunk_md5)
+    GROUP BY doc_id
+    """,
+    survey="per-document boilerplate ratio: chunk fingerprints shared across documents — the CCNet line-dedup signal at the chunk unit (datapipe curation)",
+)
+def q_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return boilerplate_chunks(tables.load(spark, sf_dir, "documents"))
+
+
+def _cluster_pct2_sql(col: str) -> str:
+    from .datapipe.curation import LEHMER_MOD, LEHMER_MUL
+
+    h1 = (
+        f"(({col} % {LEHMER_MOD} + {LEHMER_MOD}) % {LEHMER_MOD})"
+        f" * {LEHMER_MUL} % {LEHMER_MOD}"
+    )
+    return f"({h1}) * {LEHMER_MUL} % {LEHMER_MOD} % 100"
+
+
+@register(
+    "cluster_split",
+    _MINHASH_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f""", stacked AS ({_BAND_STACK}),{_CAPPED_PAIRS}, edges AS (
+        SELECT doc_a, doc_b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ), reach AS (
+        SELECT doc_id AS doc, doc_id AS r FROM documents
+        UNION
+        SELECT e.doc_a AS doc, reach.r
+        FROM edges e JOIN reach ON e.doc_b = reach.doc
+    ), labels AS (
+        SELECT doc AS doc_id, min(r) AS cluster_id
+        FROM reach GROUP BY doc
+    )
+    SELECT d.doc_id, d.source,
+           CAST(l.cluster_id AS BIGINT) AS cluster_id,
+           CAST({_cluster_pct2_sql("l.cluster_id")} AS INT) AS split_pct,
+           CASE WHEN {_cluster_pct2_sql("l.cluster_id")} < 80
+                    THEN 'train'
+                WHEN {_cluster_pct2_sql("l.cluster_id")} < 90
+                    THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents d JOIN labels l ON l.doc_id = d.doc_id
+    """,
+    survey="leakage-safe train/val/test split: near-dup clusters assigned atomically by cluster-id hash (datapipe curation)",
+)
+def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cluster_split(tables.load(spark, sf_dir, "documents"))
+
+
+@register(
+    "mixture_apply",
+    f"""
+    WITH per_doc AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split(text, ' '),
+                        x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents),
+    m AS (SELECT min(inv) AS min_inv FROM (
+        SELECT source, sum(n_tokens) AS inv FROM per_doc
+        GROUP BY source)),
+    c AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(sum(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY ((doc_id % {LEHMER_MOD} + {LEHMER_MOD})
+                             % {LEHMER_MOD}) * {LEHMER_MUL}
+                             % {LEHMER_MOD},
+                            doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens
+        FROM per_doc)
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM c, m WHERE cum_tokens <= min_inv
+    """,
+    survey="uniform-mixture execution: per-source greedy doc selection to the scarcest-source token budget (datapipe curation)",
+)
+def q_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mixture_apply(tables.load(spark, sf_dir, "documents"))
+
+
+@register(
+    "token_coverage_curve",
+    f"""
+    WITH tf AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT unnest(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS token
+              FROM documents)
+        GROUP BY token),
+    total AS (SELECT sum(tf) AS total FROM tf),
+    topk AS (SELECT token, tf FROM tf
+             ORDER BY tf DESC, token LIMIT {COVERAGE_TOPK})
+    SELECT CAST(row_number() OVER (ORDER BY tf DESC, token) AS INT)
+               AS rank,
+           token, tf,
+           CAST(sum(tf) OVER (ORDER BY tf DESC, token
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_tf,
+           CAST(floor(sum(tf) OVER (ORDER BY tf DESC, token
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                * 1000000 / total) AS BIGINT) AS coverage_ppm
+    FROM topk, total
+    """,
+    survey="cumulative corpus coverage of the top-K tokens — the tokenizer-vocab sizing curve (datapipe curation)",
+)
+def q_token_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_coverage_curve(tables.load(spark, sf_dir, "documents"))

@@ -518,3 +518,109 @@ def test_semdedup_dominance_invariants(spark):
         assert by_id[m]["kept"], f"cell {cell} min id {m} not kept"
     again = sorted(map(str, semdedup(emb).collect()))
     assert sorted(map(str, rows)) == again
+
+
+# ---------------------------------------------------------------------------
+# Round-6 batch 4: boilerplate detection, leakage-safe split, mixture
+# execution, coverage curve
+# ---------------------------------------------------------------------------
+
+
+def test_boilerplate_identical_docs_fully_flagged(spark):
+    """Two identical documents share every chunk fingerprint, so with
+    min_docs=2 both score boiler_ppm == 1e6; a unique doc scores 0."""
+    from marketviz_spark.datapipe.curation import boilerplate_chunks
+
+    body = " ".join(f"w{i}" for i in range(55))
+    uniq = " ".join(f"u{i}" for i in range(55))
+    docs = _docs(spark, [(1, body, "a"), (2, body, "a"), (3, uniq, "b")])
+    got = {
+        r["doc_id"]: (r["boiler_ppm"], r["n_chunks"])
+        for r in boilerplate_chunks(docs).collect()
+    }
+    assert got[1][0] == 1_000_000 and got[2][0] == 1_000_000
+    assert got[3][0] == 0
+    assert got[1][1] == got[3][1] == 3  # 55 tokens, stride 20
+
+
+def test_boilerplate_partial_overlap(spark):
+    """A doc sharing only its FIRST aligned chunk with another doc is
+    flagged on exactly that chunk."""
+    from marketviz_spark.datapipe.curation import boilerplate_chunks
+
+    shared = " ".join(f"s{i}" for i in range(40))
+    a = shared + " " + " ".join(f"a{i}" for i in range(40))
+    b = shared + " " + " ".join(f"b{i}" for i in range(40))
+    docs = _docs(spark, [(1, a, "x"), (2, b, "x")])
+    got = {r["doc_id"]: r for r in boilerplate_chunks(docs).collect()}
+    # 80 tokens -> starts 0,20,40,60: only the start-0 window
+    # [0,30) lies fully inside the shared 40-token prefix
+    assert got[1]["n_chunks"] == 4
+    assert got[1]["boiler_chunks"] == 1
+    assert got[1]["boiler_ppm"] == 250_000
+
+
+def test_cluster_split_keeps_near_dups_together(spark):
+    """Every member of a dedup cluster gets the same split label, and
+    the assignment is exhaustive and disjoint."""
+    from marketviz_spark.datapipe.curation import cluster_split
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = base.replace("tok59", "changed")
+    rows = [(1, base, "a"), (2, near, "a"), (3, base, "b")] + [
+        (10 + i, f"solo{i} " * 30, "c") for i in range(20)
+    ]
+    docs = _docs(spark, rows)
+    out = cluster_split(docs).collect()
+    assert len(out) == len(rows)  # exhaustive, one row per doc
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # docs 1-3 are near-dups of each other -> one cluster, one split
+    c = {r["doc_id"]: r["cluster_id"] for r in out}
+    assert c[1] == c[2] == c[3]
+
+
+def test_mixture_apply_respects_budget_and_keeps_scarcest(spark):
+    """Kept tokens per source never exceed the scarcest source's
+    inventory, and the scarcest source keeps every document."""
+    from marketviz_spark.datapipe.curation import mixture_apply
+
+    rows = (
+        [(i, "a " * 50, "big") for i in range(1, 21)]
+        + [(100 + i, "b " * 50, "mid") for i in range(1, 11)]
+        + [(200 + i, "c " * 50, "small") for i in range(1, 4)]
+    )
+    docs = _docs(spark, [(i, t.strip(), s) for i, t, s in rows])
+    out = mixture_apply(docs).collect()
+    per_src = {}
+    for r in out:
+        per_src.setdefault(r["source"], []).append(r)
+    min_inv = 3 * 50
+    for src, kept in per_src.items():
+        assert sum(r["n_tokens"] for r in kept) <= min_inv
+        assert max(r["cum_tokens"] for r in kept) <= min_inv
+    assert len(per_src["small"]) == 3  # scarcest keeps everything
+    assert len(per_src["big"]) == 3  # 3*50 fills the 150 budget
+
+
+def test_token_coverage_curve_monotone_and_bounded(spark):
+    from marketviz_spark.datapipe.curation import token_coverage_curve
+
+    docs = _docs(
+        spark,
+        [(1, "x x x y y z", "a"), (2, "x y q r s t u v w", "a")],
+    )
+    out = token_coverage_curve(docs, k=5).collect()
+    out.sort(key=lambda r: r["rank"])
+    assert [r["rank"] for r in out] == [1, 2, 3, 4, 5]
+    assert out[0]["token"] == "x" and out[0]["tf"] == 4
+    cums = [r["cum_tf"] for r in out]
+    assert cums == sorted(cums)
+    assert all(0 < r["coverage_ppm"] <= 1_000_000 for r in out)
+    # cum_tf really is the running sum of tf in rank order
+    run = 0
+    for r in out:
+        run += r["tf"]
+        assert r["cum_tf"] == run

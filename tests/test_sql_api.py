@@ -30,3 +30,22 @@ def test_views_queryable(spark):
         "SELECT count(*) AS n FROM events WHERE event_type = 'click'"
     ).collect()[0].n
     assert e > 0
+
+
+def test_retention_cohorts_age0_equals_cohort_size(spark):
+    """Every cohort's age-0 row counts the whole cohort (each user is
+    by definition active on their own first day), and no age is
+    negative."""
+    from marketviz_spark.registry import QUERIES
+
+    out = QUERIES["events_retention_cohorts"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert out, "retention matrix must be non-empty"
+    assert all(r["age_days"] >= 0 for r in out)
+    age0 = {r["cohort_day"]: r["n_users"] for r in out if r["age_days"] == 0}
+    # age-0 must exist for every cohort present in the matrix and be
+    # the max count in that cohort's row (retention never exceeds 100%)
+    for r in out:
+        assert r["cohort_day"] in age0
+        assert r["n_users"] <= age0[r["cohort_day"]]
