@@ -72,6 +72,7 @@ _FIRST = [
     "mixture_apply",
     "token_coverage_curve",
     "events_retention_cohorts",
+    "ann_recall",
     # touched in round 6 (brute-force cap added in similarity.py)
     "emb_cosine_topk",
     # driver row last green in r04 (the full r04 \ r05 set); a ~50

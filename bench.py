@@ -88,6 +88,15 @@ BENCH_QUERIES = [
     "q21_sole_late_supplier",
     "corpus_drift",
     "semdedup_prune",
+    # round-6 batch 4: boilerplate detection (chunk-fingerprint
+    # groupBy + flag-back join), leakage-safe cluster split, mixture
+    # execution, coverage curve, cohort retention
+    "boilerplate_chunks",
+    "cluster_split",
+    "mixture_apply",
+    "token_coverage_curve",
+    "events_retention_cohorts",
+    "ann_recall",
 ]
 
 

@@ -715,3 +715,55 @@ def semdedup(
             "pruned_by",
         )
     )
+
+
+def ann_recall(emb: DataFrame, k: int = 3) -> DataFrame:
+    """Recall@k audit of the hyperplane-LSH ANN against exact
+    brute-force ground truth, broken down by label (the similarity-
+    search analog of dedup_modality_agreement): per label,
+    n_queries, the exact neighbor count (k per query), how many of
+    those the LSH path recovered, and recall_ppm — the number that
+    tells you whether N_HYPERPLANES is sized right BEFORE you trust
+    the scale path on a real corpus.
+
+    Both sides rank with the same floor-rounded 6dp cosine and
+    neighbor-id tiebreak, so the "true" top-k set is deterministic
+    and the hit join is exact, not tolerance-based.
+
+    Scale: ground truth is blas_cosine_topk (tiled, nothing on the
+    driver) — inherently O(N²/block) and meant to run on a DETER-
+    MINISTIC SAMPLE of queries at real scale (filter vec_id by
+    Lehmer percentile first; exactness per query is unaffected
+    because the CORPUS side stays complete). The hit join and label
+    rollup are (vec_id, neighbor_id)- and label-keyed — uniform.
+    """
+    exact = blas_cosine_topk(emb, k=k, round_dp=6).select(
+        "vec_id", "neighbor_id"
+    )
+    approx = hyperplane_lsh_topk(emb, k=k).select(
+        "vec_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    labels = emb.select("vec_id", "label")
+    hits = (
+        exact.join(approx, ["vec_id", "neighbor_id"], "left")
+        .join(labels, "vec_id")
+    )
+    return (
+        hits.groupBy("label")
+        .agg(
+            F.count_distinct("vec_id").cast("long").alias("n_queries"),
+            F.count("*").cast("long").alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hits"),
+        )
+        .select(
+            "label",
+            "n_queries",
+            "n_exact",
+            "n_hits",
+            F.floor(F.col("n_hits") * F.lit(1_000_000) / F.col("n_exact"))
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+    )

@@ -1383,18 +1383,21 @@ def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic cohort retention: cohort = a user's first active
     calendar day; cell (cohort_day, age_days) counts users from
-    that cohort active exactly age_days later. Every shuffle is
-    keyed by user_id (cohort min-agg, distinct active days, the
-    join) — co-partitioned, so AQE reuses one exchange; the final
-    rollup's key space is bounded by days², not data volume.
-    count(*) is exact because (user_id, d) is already distinct."""
-    ev = tables.load_events(spark, sf_dir).select(
-        "user_id", F.to_date("ts").alias("d")
+    that cohort active exactly age_days later. Three shuffles
+    total, none of the raw fact: distinct active (user, day) pairs
+    (partial-aggregated — a power user's million events collapse
+    map-side to <=days rows), a user_id-partitioned window MIN for
+    the cohort day (no separate cohort aggregate + join back), and
+    the final rollup whose key space is bounded by days², not data
+    volume. count(*) is exact because (user_id, d) is distinct."""
+    active = (
+        tables.load_events(spark, sf_dir)
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
     )
-    cohort = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
-    active = ev.distinct()
+    w = Window.partitionBy("user_id")
     return (
-        active.join(cohort, "user_id")
+        active.withColumn("cohort_day", F.min("d").over(w))
         .groupBy(
             F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
             F.datediff("d", "cohort_day").cast("int").alias("age_days"),

@@ -2041,3 +2041,58 @@ def q_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_token_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_coverage_curve(tables.load(spark, sf_dir, "documents"))
+
+
+# ----------------------------------------------------------------------
+# ANN recall audit: LSH scale path vs exact ground truth
+# ----------------------------------------------------------------------
+
+from .datapipe.similarity import ann_recall  # noqa: E402
+
+
+@register(
+    "ann_recall",
+    f"WITH {_VEC_CTE}"
+    + f""", epairs AS (
+        SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+               floor(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm)
+                     * 1000000.0 + 0.5) / 1000000.0 AS cosine
+        FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    ), exact AS (
+        SELECT vec_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id
+            ) AS rank FROM epairs
+        ) WHERE rank <= 3
+    ), bucketed AS (
+        SELECT vec_id, vec, nrm,
+               CAST({_lsh_bucket_sql()} AS BIGINT) AS bucket
+        FROM v
+    ), apairs AS (
+        SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+               floor(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm)
+                     * 1000000.0 + 0.5) / 1000000.0 AS cosine
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ), approx AS (
+        SELECT vec_id, neighbor_id, 1 AS hit FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id
+            ) AS rank FROM apairs
+        ) WHERE rank <= 3
+    )
+    SELECT label,
+           CAST(count(DISTINCT e.vec_id) AS BIGINT) AS n_queries,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_hits,
+           CAST(floor(coalesce(sum(hit), 0) * 1000000 / count(*))
+                AS BIGINT) AS recall_ppm
+    FROM exact e
+    LEFT JOIN approx a USING (vec_id, neighbor_id)
+    JOIN embeddings m ON m.vec_id = e.vec_id
+    GROUP BY label
+    """,
+    survey="ANN recall@k audit: hyperplane-LSH vs exact ground truth, per label (datapipe similarity)",
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_recall(tables.load(spark, sf_dir, "embeddings"), k=3)

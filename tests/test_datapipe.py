@@ -724,3 +724,50 @@ def test_multimodal_null_payload_error_channel(spark):
     assert dec[2]["ok"] is False and dec[2]["err"] == "null payload"
     frames = sample_frames(media).collect()
     assert {r["doc_id"] for r in frames} == {1}
+
+
+def test_ann_recall_bounds_and_arithmetic(spark):
+    """Recall is bounded by [0, 1e6], n_exact == k * n_queries, and
+    recall_ppm is exactly floor(n_hits*1e6/n_exact). Noisy clusters
+    near a hyperplane boundary legitimately give recall < 1e6 (bucket
+    splits are the cost the audit exists to measure), so this test
+    pins the accounting, not a recall value."""
+    import numpy as np
+
+    from marketviz_spark.datapipe.similarity import EMB_DIM, ann_recall
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for label, center in ((0, 1.0), (1, -1.0)):
+        base = np.full(EMB_DIM, center, dtype=np.float64)
+        for i in range(6):
+            v = base + rng.normal(0, 1e-3, EMB_DIM)
+            rows.append(
+                (label * 100 + i, [float(x) for x in v], label)
+            )
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r["label"]: r for r in ann_recall(emb, k=3).collect()}
+    for label in (0, 1):
+        r = out[label]
+        assert r["n_queries"] == 6
+        assert r["n_exact"] == 18  # k * n_queries
+        assert 0 <= r["n_hits"] <= r["n_exact"]
+        assert r["recall_ppm"] == r["n_hits"] * 1_000_000 // r["n_exact"]
+
+
+def test_ann_recall_perfect_on_identical_vectors(spark):
+    """Identical vectors share one LSH bucket by construction (every
+    hyperplane dot is bit-identical), so the approx candidate set
+    contains the full corpus and recall must be exactly 1e6."""
+    from marketviz_spark.datapipe.similarity import EMB_DIM, ann_recall
+
+    v = [1.0] * EMB_DIM
+    emb = spark.createDataFrame(
+        [(i, v, 0) for i in range(8)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    (r,) = ann_recall(emb, k=3).collect()
+    assert r["n_queries"] == 8 and r["n_exact"] == 24
+    assert r["recall_ppm"] == 1_000_000, r

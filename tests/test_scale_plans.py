@@ -360,3 +360,50 @@ def test_q11_global_scalar_not_per_group(spark):
     per aggregate), never one per group."""
     plan = _plan(QUERIES["q11_part_value_share"].fn(spark, SF_SMALL))
     assert plan.count("Scan parquet") == 2
+
+
+def test_coverage_curve_limits_before_window(spark):
+    """token_coverage_curve's unpartitioned window is safe only
+    because its input is pre-limited to K rows: the top-K must be a
+    TakeOrderedAndProject, never a full vocabulary sort feeding the
+    window."""
+    plan = _plan(QUERIES["token_coverage_curve"].fn(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_mixture_apply_window_partitioned_by_source(spark):
+    """The budget cumsum must be a source-partitioned window (the
+    budget's own unit) plus a broadcast of the 1-row bound — an
+    unpartitioned window or a shuffled bound join would serialize
+    the corpus through one task."""
+    plan = _plan(QUERIES["mixture_apply"].fn(spark, SF_SMALL))
+    assert "windowspecdefinition(source" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_boilerplate_join_broadcast_is_size_based_not_forced(spark):
+    """The chunk-frequency flag-back join must not carry a broadcast
+    HINT: the boilerplate fingerprint set grows with the corpus, so
+    a forced broadcast would OOM the executors at 100 TB. Catalyst
+    may still pick a broadcast from size STATS (it does at this sf —
+    correct, and exactly the behavior that flips to a shuffle join
+    when the stats grow), so assert the logical plan carries no
+    ResolvedHint rather than asserting the physical strategy."""
+    df = QUERIES["boilerplate_chunks"].fn(spark, SF_SMALL)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical, logical
+    # and the rollup keys stay doc/md5-shaped (uniform), never a
+    # cartesian product
+    static = df._jdf.queryExecution().sparkPlan().toString()
+    assert "CartesianProduct" not in static, static
+
+
+def test_retention_cohorts_three_keyed_shuffles(spark):
+    """Retention's shuffles: distinct (user, day) with map-side
+    partial agg, one user_id window, the days²-bounded rollup —
+    and never a shuffle of the raw event stream (the distinct's
+    partial aggregation is what collapses power users map-side)."""
+    plan = _plan(QUERIES["events_retention_cohorts"].fn(spark, SF_SMALL))
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    # the distinct must be partial-aggregated (HashAggregate twice)
+    assert "partial" in plan.lower() or plan.count("HashAggregate") >= 4
