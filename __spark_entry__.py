@@ -73,6 +73,9 @@ _FIRST = [
     "token_coverage_curve",
     "events_retention_cohorts",
     "ann_recall",
+    "mixture_plan_weighted",
+    "cluster_size_histogram",
+    "events_anomaly_days",
     # touched in round 6 (brute-force cap added in similarity.py)
     "emb_cosine_topk",
     # driver row last green in r04 (the full r04 \ r05 set); a ~50

@@ -928,3 +928,73 @@ def token_coverage_curve(
             .alias("coverage_ppm"),
         )
     )
+
+
+# Weighted mixture: target domain weights for the blended corpus
+# (DoReMi/multilingual-temperature style rebalance, vs mixture_plan's
+# uniform target). Relative weights; normalization to ppm happens in
+# integer arithmetic inside the op.
+MIX_WEIGHTS = {"src0": 3, "src1": 2}
+MIX_DEFAULT_WEIGHT = 1
+
+
+def mixture_plan_weighted(
+    docs: DataFrame,
+    weights: dict[str, int] | None = None,
+    default_weight: int = MIX_DEFAULT_WEIGHT,
+) -> DataFrame:
+    """Rebalance plan for an ARBITRARY target mixture: given relative
+    integer weights per source, the largest corpus in which source s
+    contributes share w_s is bounded by min_s floor(inv_s * 1e6 /
+    w_ppm_s) — the source that runs out first at its target share.
+    Emits (source, n_tokens, w_ppm, kept_tokens, keep_ppm), all
+    integer arithmetic: w_ppm = floor(w_rel * 1e6 / sum(w_rel)) over
+    the sources PRESENT, kept_tokens = floor(C * w_ppm / 1e6) which
+    is <= inv_s by construction of C.
+
+    Scale: one partial-aggregated shuffle on source for the
+    inventory; weights enter as a literal CASE (a driver-side dict —
+    the mixture spec is configuration, not data); the binding C is a
+    1-row global min broadcast back. |sources| output rows.
+    """
+    w = weights if weights is not None else MIX_WEIGHTS
+    tok = docs.select("source", F.explode(tokens()).alias("token"))
+    inv = tok.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_tokens")
+    )
+    rel = F.lit(default_weight)
+    for src, wt in sorted(w.items()):
+        rel = F.when(F.col("source") == src, F.lit(int(wt))).otherwise(rel)
+    with_rel = inv.select("source", "n_tokens", rel.alias("w_rel"))
+    tot = F.broadcast(with_rel.agg(F.sum("w_rel").alias("w_tot")))
+    with_ppm = (
+        with_rel.crossJoin(tot)
+        .select(
+            "source",
+            "n_tokens",
+            F.floor(F.col("w_rel") * F.lit(1_000_000) / F.col("w_tot"))
+            .cast("long")
+            .alias("w_ppm"),
+        )
+    )
+    c = F.broadcast(
+        with_ppm.agg(
+            F.min(
+                F.floor(F.col("n_tokens") * F.lit(1_000_000) / F.col("w_ppm"))
+            )
+            .cast("long")
+            .alias("c_total")
+        )
+    )
+    kept = F.floor(F.col("c_total") * F.col("w_ppm") / F.lit(1_000_000)).cast(
+        "long"
+    )
+    return with_ppm.crossJoin(c).select(
+        "source",
+        "n_tokens",
+        "w_ppm",
+        kept.alias("kept_tokens"),
+        F.floor(kept * F.lit(1_000_000) / F.col("n_tokens"))
+        .cast("long")
+        .alias("keep_ppm"),
+    )

@@ -764,3 +764,35 @@ def minhash_jaccard_estimate(
             rnd(F.abs(est - jac), 6).alias("abs_err"),
         )
     )
+
+
+def cluster_size_histogram(docs: DataFrame) -> DataFrame:
+    """The headline dedup report: distribution of near-dup cluster
+    sizes. Per size: how many clusters, how many documents they
+    hold, and how many of those are redundant (size - 1 per
+    cluster — the docs dedup_apply would drop). Size-1 rows count
+    the unique mass, so the histogram partitions the corpus exactly.
+
+    Scale: rides dedup_clusters' capped-bucket + pointer-doubling
+    labels; then two partial-aggregated shuffles — cluster_id
+    (uniform: cluster sizes are bounded by the bucket caps upstream)
+    and the tiny size-keyed rollup.
+    """
+    labels = dedup_clusters(docs)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+            .cast("long")
+            .alias("dup_docs"),
+        )
+    )

@@ -1407,6 +1407,79 @@ def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_anomaly_days",
+    """
+    WITH daily AS (
+        SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(n_events) AS BIGINT) AS s,
+               CAST(sum(n_events * n_events) AS BIGINT) AS q
+        FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type, d.day, d.n_events,
+           CAST(CASE WHEN
+               CAST(d.n_events * n - s AS HUGEINT)
+               * CAST(d.n_events * n - s AS HUGEINT)
+               > 4 * CAST(n AS HUGEINT) * (n * q - s * s) / n
+           THEN 1 ELSE 0 END AS INT) AS is_anomaly
+    FROM daily d JOIN stats USING (event_type)
+    """,
+    survey="integer-exact daily-volume anomaly flags per event type (|z| > 2 without computing z) (event-sequence extension)",
+)
+def q_events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-count anomaly detection with NO floating point in the
+    decision: |count - mean| > 2*stddev is algebraically
+    (n*c - S)^2 > 4 * (n*Q - S^2), all integers (S = sum of daily
+    counts, Q = sum of squares, n = days) — so Spark and any SQL
+    engine flag the identical set of days with no epsilon. The
+    squares can exceed int64 at real scale, so the comparison runs
+    in DECIMAL(38,0) (HUGEINT on the DuckDB side; both exact).
+    Shape: one (type, day)-keyed partial aggregation, a per-type
+    stats rollup of DAYS (bounded by the calendar, broadcast back),
+    and a map-only flag."""
+    ev = tables.load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type",
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count("*").cast("long").alias("n_events"))
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("n_events").cast("long").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events"))
+        .cast("long")
+        .alias("q"),
+    )
+    dec = "decimal(38,0)"
+    dev = (F.col("n_events") * F.col("n") - F.col("s")).cast(dec)
+    # 4n(nQ - S²)/n = 4(nQ - S²); keep the /n form mirrored with the
+    # oracle so integer division truncates identically on both sides
+    rhs = (
+        F.lit(4).cast(dec)
+        * F.col("n").cast(dec)
+        * (
+            F.col("n").cast(dec) * F.col("q").cast(dec)
+            - F.col("s").cast(dec) * F.col("s").cast(dec)
+        )
+        / F.col("n").cast(dec)
+    )
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            F.when(dev * dev > rhs, 1).otherwise(0).cast("int").alias(
+                "is_anomaly"
+            ),
+        )
+    )
+
+
+@register(
     "q3_shipping_priority",
     """
     SELECT o_orderkey,

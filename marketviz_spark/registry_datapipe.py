@@ -2096,3 +2096,85 @@ from .datapipe.similarity import ann_recall  # noqa: E402
 )
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall(tables.load(spark, sf_dir, "embeddings"), k=3)
+
+
+# ----------------------------------------------------------------------
+# Weighted mixture plan + dedup cluster-size histogram
+# ----------------------------------------------------------------------
+
+from .datapipe.curation import (  # noqa: E402
+    MIX_DEFAULT_WEIGHT,
+    MIX_WEIGHTS,
+    mixture_plan_weighted,
+)
+from .datapipe.dedup import cluster_size_histogram  # noqa: E402
+
+
+def _mix_rel_sql() -> str:
+    branches = " ".join(
+        f"WHEN '{src}' THEN {wt}" for src, wt in sorted(MIX_WEIGHTS.items())
+    )
+    return f"CASE source {branches} ELSE {MIX_DEFAULT_WEIGHT} END"
+
+
+@register(
+    "mixture_plan_weighted",
+    f"""
+    WITH tok AS (
+        SELECT source,
+               unnest(list_filter(string_split(text, ' '),
+                                  x -> x <> '')) AS token
+        FROM documents),
+    inv AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+               {_mix_rel_sql()} AS w_rel
+        FROM tok GROUP BY source),
+    t AS (SELECT sum(w_rel) AS w_tot FROM inv),
+    p AS (
+        SELECT source, n_tokens,
+               CAST(floor(w_rel * 1000000 / w_tot) AS BIGINT) AS w_ppm
+        FROM inv, t),
+    c AS (SELECT CAST(min(floor(n_tokens * 1000000 / w_ppm)) AS BIGINT)
+              AS c_total FROM p)
+    SELECT source, n_tokens, w_ppm,
+           CAST(floor(c_total * w_ppm / 1000000) AS BIGINT)
+               AS kept_tokens,
+           CAST(floor(floor(c_total * w_ppm / 1000000) * 1000000
+                      / n_tokens) AS BIGINT) AS keep_ppm
+    FROM p, c
+    """,
+    survey="weighted-mixture rebalance plan: arbitrary target domain shares bounded by the first source to run out (datapipe curation)",
+)
+def q_mixture_plan_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mixture_plan_weighted(tables.load(spark, sf_dir, "documents"))
+
+
+@register(
+    "cluster_size_histogram",
+    _MINHASH_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f""", stacked AS ({_BAND_STACK}),{_CAPPED_PAIRS}, edges AS (
+        SELECT doc_a, doc_b FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ), reach AS (
+        SELECT doc_id AS doc, doc_id AS r FROM documents
+        UNION
+        SELECT e.doc_a AS doc, reach.r
+        FROM edges e JOIN reach ON e.doc_b = reach.doc
+    ), labels AS (
+        SELECT doc AS doc_id, min(r) AS cluster_id
+        FROM reach GROUP BY doc
+    ), sizes AS (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM labels GROUP BY cluster_id
+    )
+    SELECT cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+           CAST((cluster_size - 1) * count(*) AS BIGINT) AS dup_docs
+    FROM sizes GROUP BY cluster_size
+    """,
+    survey="dedup cluster-size histogram: unique vs redundant document mass per cluster size (datapipe reporting)",
+)
+def q_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cluster_size_histogram(tables.load(spark, sf_dir, "documents"))

@@ -624,3 +624,55 @@ def test_token_coverage_curve_monotone_and_bounded(spark):
     for r in out:
         run += r["tf"]
         assert r["cum_tf"] == run
+
+
+def test_mixture_plan_weighted_binding_source(spark):
+    """With target weights 3:1 and equal inventories, the
+    high-weight source binds: it keeps (nearly) everything while the
+    low-weight source is cut to ~1/3 of the corpus bound — and no
+    source ever keeps more than its inventory."""
+    from marketviz_spark.datapipe.curation import mixture_plan_weighted
+
+    docs = _docs(
+        spark,
+        [(i, "w " * 100, "hot") for i in range(5)]
+        + [(10 + i, "w " * 100, "cold") for i in range(5)],
+    )
+    out = {
+        r["source"]: r
+        for r in mixture_plan_weighted(docs, weights={"hot": 3}).collect()
+    }
+    assert out["hot"]["n_tokens"] == out["cold"]["n_tokens"] == 500
+    assert out["hot"]["w_ppm"] == 750_000
+    assert out["cold"]["w_ppm"] == 250_000
+    for r in out.values():
+        assert r["kept_tokens"] <= r["n_tokens"]
+    # hot binds: C = floor(500e6/750000) = 666 -> hot keeps 499
+    assert out["hot"]["kept_tokens"] == 499
+    assert out["cold"]["kept_tokens"] == 166
+
+
+def test_mixture_plan_weighted_uniform_matches_plan(spark):
+    """With all-equal weights the weighted plan degenerates to the
+    uniform plan's kept_tokens (same binding bound)."""
+    from marketviz_spark.datapipe.curation import (
+        mixture_plan,
+        mixture_plan_weighted,
+    )
+
+    docs = _docs(
+        spark,
+        [(1, "a " * 30, "x"), (2, "b " * 70, "y"), (3, "c " * 50, "z")],
+    )
+    uni = {
+        r["source"]: r["kept_tokens"]
+        for r in mixture_plan(docs).collect()
+    }
+    wtd = {
+        r["source"]: r["kept_tokens"]
+        for r in mixture_plan_weighted(docs, weights={}).collect()
+    }
+    # w_ppm = 333333 for 3 sources; C = floor(min_inv*1e6/333333);
+    # floor noise keeps them within 1 token of the uniform plan
+    for s in uni:
+        assert abs(uni[s] - wtd[s]) <= 1, (s, uni[s], wtd[s])

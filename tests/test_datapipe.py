@@ -771,3 +771,22 @@ def test_ann_recall_perfect_on_identical_vectors(spark):
     (r,) = ann_recall(emb, k=3).collect()
     assert r["n_queries"] == 8 and r["n_exact"] == 24
     assert r["recall_ppm"] == 1_000_000, r
+
+
+def test_cluster_size_histogram_partitions_corpus(spark):
+    """The histogram partitions the corpus exactly: sum(n_docs) ==
+    total documents, dup_docs == n_docs - n_clusters per row, and a
+    corpus with one duplicated pair yields exactly one size-2 row."""
+    from marketviz_spark.datapipe.dedup import cluster_size_histogram
+    from tests.test_curation import _docs
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    rows = [(1, base, "a"), (2, base, "a")] + [
+        (10 + i, f"solo{i} unique{i} " * 20, "b") for i in range(6)
+    ]
+    out = cluster_size_histogram(_docs(spark, rows)).collect()
+    assert sum(r["n_docs"] for r in out) == len(rows)
+    for r in out:
+        assert r["dup_docs"] == r["n_docs"] - r["n_clusters"]
+    two = [r for r in out if r["cluster_size"] == 2]
+    assert len(two) == 1 and two[0]["n_clusters"] == 1

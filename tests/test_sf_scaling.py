@@ -31,6 +31,11 @@ JOIN_HEAVY = [
     "dedup_minhash_estimate",
     "dedup_simhash_pairs",
     "dedup_embedding_pairs",
+    # round-6 batch 4: chunk-fingerprint flag-back join (would go
+    # quadratic if the chunk unit ever degenerated to per-token) and
+    # the cluster-hash split riding on the capped-bucket components
+    "boilerplate_chunks",
+    "cluster_split",
 ]
 
 MAX_RATIO = 25.0

@@ -49,3 +49,26 @@ def test_retention_cohorts_age0_equals_cohort_size(spark):
     for r in out:
         assert r["cohort_day"] in age0
         assert r["n_users"] <= age0[r["cohort_day"]]
+
+
+def test_anomaly_flags_match_pure_python_mirror(spark):
+    """The integer-exact anomaly rule recomputed in arbitrary-
+    precision Python must flag the identical set of (type, day)
+    cells — the no-epsilon guarantee the operator advertises."""
+    from collections import defaultdict
+
+    from marketviz_spark.registry import QUERIES
+
+    rows = QUERIES["events_anomaly_days"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r["event_type"]].append(r)
+    for evs in by_type.values():
+        n = len(evs)
+        s = sum(r["n_events"] for r in evs)
+        q = sum(r["n_events"] ** 2 for r in evs)
+        for r in evs:
+            expect = int((r["n_events"] * n - s) ** 2 > 4 * (n * q - s * s))
+            assert r["is_anomaly"] == expect, r
