@@ -76,6 +76,7 @@ _FIRST = [
     "mixture_plan_weighted",
     "cluster_size_histogram",
     "events_anomaly_days",
+    "dq_documents_gate",
     # touched in round 6 (brute-force cap added in similarity.py)
     "emb_cosine_topk",
     # driver row last green in r04 (the full r04 \ r05 set); a ~50

@@ -52,6 +52,14 @@ def accepted_values(col: str, values: list) -> Check:
     )
 
 
+def expression(name: str, violation: Column) -> Check:
+    """Escape hatch for cross-column expectations (e.g. a stored
+    length column must equal the recomputed length). `violation` is
+    TRUE for violating rows; it folds into the same single-scan agg
+    as the built-in row-level checks."""
+    return Check(f"expression({name})", violation)
+
+
 def row_level(df: DataFrame, checks: list[Check]) -> DataFrame:
     """All row-level checks in ONE scan: each check is a conditional
     count column of a single agg."""

@@ -2249,6 +2249,70 @@ def q_dq_lineitem_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dq_documents_gate",
+    """
+    SELECT 'not_null(doc_id)' AS "check",
+           CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violations
+    FROM documents
+    UNION ALL
+    SELECT 'not_null(text)',
+           CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'accepted_range(n_chars,1,None)',
+           CAST(sum(CASE WHEN n_chars IS NOT NULL AND n_chars < 1
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'accepted_values(lang)',
+           CAST(sum(CASE WHEN lang IS NOT NULL
+                          AND lang NOT IN ('en','zh','fr','es','de')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'expression(n_chars=len(text))',
+           CAST(sum(CASE WHEN length(text) <> n_chars
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'unique(doc_id)',
+           CAST(count(*) - count(DISTINCT doc_id) AS BIGINT)
+    FROM documents
+    """,
+    survey="documents-table quality gate: ingest expectations incl. a cross-column length-consistency expression, one scan + one key probe (datapipe extension)",
+)
+def q_dq_documents_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest gate a corpus pipeline runs per batch: the five
+    row-level expectations (incl. the cross-column stored-length
+    consistency check via the `expression` escape hatch) compile
+    into ONE scan; uniqueness adds one doc_id-keyed groupBy."""
+    from .pipelines.quality import (
+        accepted_range,
+        accepted_values,
+        check_table,
+        expression,
+        not_null,
+    )
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return check_table(
+        docs,
+        checks=[
+            not_null("doc_id"),
+            not_null("text"),
+            accepted_range("n_chars", 1, None),
+            accepted_values("lang", ["en", "zh", "fr", "es", "de"]),
+            expression(
+                "n_chars=len(text)",
+                F.length("text") != F.col("n_chars"),
+            ),
+        ],
+        unique_keys=[["doc_id"]],
+    ).select("check", "n_violations")
+
+
+@register(
     "q17_small_qty_revenue",
     """
     SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10)))

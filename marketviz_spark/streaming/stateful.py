@@ -61,3 +61,58 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming anomaly flags: the live twin of the batch
+# events_anomaly_days rule, with per-type history in group state.
+# ---------------------------------------------------------------------------
+
+ANOMALY_OUTPUT_SCHEMA = (
+    "event_type string, batch_count long, hist_batches long, is_anomaly int"
+)
+ANOMALY_STATE_SCHEMA = "n long, s long, q long"
+
+
+def _anomaly_update(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    n, s, q = state.get if state.exists else (0, 0, 0)
+    c = 0
+    for pdf in pdfs:
+        c += len(pdf)
+    # Flag against PRIOR history only (the arriving batch must not
+    # dilute its own baseline), with the same all-integer |z|>2
+    # rewrite as the batch operator: (c*n - s)^2 > 4*(n*q - s^2).
+    # Python ints are arbitrary-precision, so there is no overflow
+    # cliff here at any history length. n == 0 (no history) never
+    # flags; n == 1 flags ANY change (variance-0 warm-up — callers
+    # gate on hist_batches if they want a longer burn-in).
+    flag = int(n > 0 and (c * n - s) ** 2 > 4 * (n * q - s * s))
+    state.update((n + 1, s + c, q + c * c))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "batch_count": [c],
+            "hist_batches": [n],
+            "is_anomaly": [flag],
+        }
+    )
+
+
+def running_type_anomaly(events: DataFrame) -> DataFrame:
+    """events stream -> per-micro-batch volume anomaly flags per
+    event type. State is (n, s, q) over BATCH counts — O(types)
+    rows, the smallest state any drift detector can carry; the
+    decision is the integer-exact rule events_anomaly_days uses, so
+    a replayed stream and the batch operator agree on flags for the
+    same batch boundaries."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _anomaly_update,
+        outputStructType=ANOMALY_OUTPUT_SCHEMA,
+        stateStructType=ANOMALY_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -280,3 +280,83 @@ def test_refused_and_paired_shingles_partition_cleanly(spark, rows, cap):
     }
     assert kept | refused == all_sh
     assert kept & refused == set()
+
+
+@st.composite
+def corpus_rows(draw):
+    n_sources = draw(st.integers(2, 4))
+    rows = []
+    doc_id = 0
+    for s in range(n_sources):
+        for _ in range(draw(st.integers(1, 6))):
+            n_tok = draw(st.integers(1, 30))
+            words = [
+                f"w{draw(st.integers(0, 9))}" for _ in range(n_tok)
+            ]
+            rows.append((doc_id, " ".join(words), f"s{s}"))
+            doc_id += 1
+    return rows
+
+
+@given(rows=corpus_rows())
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_mixture_apply_budget_invariants(spark, rows):
+    """For ANY corpus: per-source kept tokens never exceed the
+    scarcest source's inventory; the scarcest source keeps every
+    document; output is a subset of the input; re-run is identical
+    (no rand())."""
+    from marketviz_spark.datapipe.curation import mixture_apply
+
+    docs = spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in rows],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    inv = {}
+    for _i, t, s in rows:
+        inv[s] = inv.get(s, 0) + len(t.split())
+    min_inv = min(inv.values())
+    out = mixture_apply(docs).collect()
+    per_src: dict[str, int] = {}
+    for r in out:
+        per_src[r["source"]] = per_src.get(r["source"], 0) + r["n_tokens"]
+    for s, kept in per_src.items():
+        assert kept <= min_inv, (s, kept, min_inv)
+    scarcest = min(inv, key=lambda s: inv[s])
+    n_docs_scarcest = sum(1 for _i, _t, s in rows if s == scarcest)
+    assert (
+        sum(1 for r in out if r["source"] == scarcest) == n_docs_scarcest
+    )
+    again = mixture_apply(docs).collect()
+    assert sorted(map(str, out)) == sorted(map(str, again))
+
+
+@given(rows=corpus_rows())
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_boilerplate_doubled_corpus_fully_flagged(spark, rows):
+    """Duplicating EVERY document (fresh ids) makes every chunk
+    fingerprint appear in >=2 docs, so with min_docs=2 every doc
+    scores boiler_ppm == 1e6 — and ppm is always in [0, 1e6]."""
+    from marketviz_spark.datapipe.curation import boilerplate_chunks
+
+    base = [(i, t, "en", s, len(t)) for i, t, s in rows]
+    doubled = base + [
+        (10_000 + i, t, lang, s, n) for i, t, lang, s, n in base
+    ]
+    docs = spark.createDataFrame(
+        doubled,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    out = boilerplate_chunks(docs).collect()
+    assert len(out) == len(doubled)  # every doc has >=1 chunk (>=1 token)
+    for r in out:
+        assert r["boiler_ppm"] == 1_000_000, r

@@ -679,3 +679,63 @@ def test_stream_static_enrich_equals_batch(spark, events_dir):
     want = _rows(QUERIES["events_enrich_static"].fn(spark, SF_SMALL))
     assert got == want
     assert len(got) > 0
+
+
+def test_streaming_anomaly_flags_match_integer_rule(spark):
+    """Three staggered micro-batches per event type; the emitted
+    flags must equal the pure-Python integer rule applied to the
+    prior batch-count history — batch 1 has no history (never
+    flags), batch 2 flags any change, batch 3 flags iff the count
+    deviates from the first two."""
+    import time
+
+    import pyspark.sql.types as T
+
+    from marketviz_spark.streaming.stateful import running_type_anomaly
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), False),
+            T.StructField("ts", T.LongType(), False),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+    ns = 10**9
+    base = 1704103200 * ns
+    # per-batch counts for type "click": 3, 3, 9 (spike at batch 3)
+    counts = [3, 3, 9]
+    batches = []
+    eid = 0
+    for b, c in enumerate(counts):
+        rows = []
+        for i in range(c):
+            eid += 1
+            rows.append(
+                (eid, base + (b * 600 + i) * ns, 1, "click", 1.0, None)
+            )
+        batches.append(rows)
+    with tempfile.TemporaryDirectory() as src:
+        now = time.time()
+        for b, rows in enumerate(batches):
+            f = os.path.join(src, f"b{b}.parquet")
+            spark.createDataFrame(rows, schema).toPandas().to_parquet(f)
+            os.utime(f, (now - 60 * (len(batches) - b), ) * 2)
+        stream = read_events_stream(spark, src, max_files_per_trigger=1)
+        run_to_memory(
+            running_type_anomaly(stream), "t_anomaly_multi", "update"
+        )
+        got = {
+            r["hist_batches"]: (r["batch_count"], r["is_anomaly"])
+            for r in spark.sql("SELECT * FROM t_anomaly_multi").collect()
+        }
+    # mirror the integer rule in python over the same history
+    n, s, q = 0, 0, 0
+    for b, c in enumerate(counts):
+        expect = int(n > 0 and (c * n - s) ** 2 > 4 * (n * q - s * s))
+        assert got[b] == (c, expect), (b, got[b], expect)
+        n, s, q = n + 1, s + c, q + c * c
+    # and the spike batch specifically must be flagged
+    assert got[2] == (9, 1)
