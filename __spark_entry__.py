@@ -77,6 +77,8 @@ _FIRST = [
     "cluster_size_histogram",
     "events_anomaly_days",
     "dq_documents_gate",
+    "langid_confusion",
+    "jaccard_band_report",
     # touched in round 6 (brute-force cap added in similarity.py)
     "emb_cosine_topk",
     # driver row last green in r04 (the full r04 \ r05 set); a ~50

@@ -97,6 +97,12 @@ BENCH_QUERIES = [
     "token_coverage_curve",
     "events_retention_cohorts",
     "ann_recall",
+    # round-6 batch 5: weighted mixture, dedup histogram, integer-
+    # exact anomaly flags, documents quality gate
+    "mixture_plan_weighted",
+    "cluster_size_histogram",
+    "events_anomaly_days",
+    "dq_documents_gate",
 ]
 
 

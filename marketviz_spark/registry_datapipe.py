@@ -2178,3 +2178,71 @@ def q_mixture_plan_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_size_histogram(tables.load(spark, sf_dir, "documents"))
+
+
+# ----------------------------------------------------------------------
+# Audit rollups: language-ID confusion matrix + Jaccard band report
+# ----------------------------------------------------------------------
+
+from .registry import QUERIES as _Q  # noqa: E402
+
+
+@register(
+    "langid_confusion",
+    f"""
+    WITH liq AS ({_Q["text_langid"].oracle})
+    SELECT declared_lang, predicted_lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM liq GROUP BY declared_lang, predicted_lang
+    """,
+    survey="language-ID confusion matrix: heuristic prediction vs declared label (datapipe audit)",
+)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit that says whether the lang-ID heuristic can be
+    trusted for filtering: per (declared, predicted) cell counts.
+    Map-only scoring (the per-doc heuristic is all expression work)
+    + one rollup bounded by langs² — no shuffle of document text."""
+    from .datapipe.textstats import lang_id
+
+    return (
+        lang_id(tables.load(spark, sf_dir, "documents"))
+        .groupBy("declared_lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "jaccard_band_report",
+    f"""
+    WITH jpairs AS ({_Q["dedup_ngram_jaccard"].oracle})
+    SELECT CAST(floor(jaccard * 10) AS INT) AS band_lo_tenths,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(n_common) AS BIGINT) AS min_common,
+           CAST(max(n_common) AS BIGINT) AS max_common
+    FROM jpairs GROUP BY 1
+    """,
+    survey="near-dup threshold tuning curve: verified-pair counts per Jaccard decile band (datapipe audit)",
+)
+def q_jaccard_band_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where to SET the dedup threshold: verified pair counts per
+    Jaccard decile. Banding is deterministic because the verifier's
+    jaccard is already floor-rounded at 6dp identically on both
+    engines. One tiny rollup on top of the capped verifier — the
+    pair set is already DF-cap bounded."""
+    from .datapipe.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        tables.load(spark, sf_dir, "documents"), threshold=0.05
+    )
+    return (
+        pairs.groupBy(
+            F.floor(F.col("jaccard") * 10).cast("int").alias(
+                "band_lo_tenths"
+            )
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.min("n_common").cast("long").alias("min_common"),
+            F.max("n_common").cast("long").alias("max_common"),
+        )
+    )
