@@ -2246,3 +2246,45 @@ def q_jaccard_band_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_common").cast("long").alias("max_common"),
         )
     )
+
+
+# ----------------------------------------------------------------------
+# Packing efficiency report
+# ----------------------------------------------------------------------
+
+
+@register(
+    "pack_fill_report",
+    f"""
+    WITH packed AS ({_Q["pack_sequences"].oracle})
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(max(bin_last) + 1 AS BIGINT) AS n_bins,
+           CAST(floor(sum(n_tokens) * 1000000
+                      / ((max(bin_last) + 1) * {PACK_BUDGET}))
+                AS BIGINT) AS fill_ppm
+    FROM packed GROUP BY bucket
+    """,
+    survey="sequence-packing efficiency: per-stream token fill rate vs the padding budget (datapipe curation audit)",
+)
+def q_pack_fill_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What packing is FOR: the fraction of each packing stream's
+    token budget actually filled (the rest is padding waste a
+    trainer pays for). One rollup keyed by the bucket id on top of
+    pack_sequences' windowed layout; fill_ppm is integer-exact."""
+    from .datapipe.curation import PACK_BUDGET, pack_sequences
+
+    packed = pack_sequences(tables.load(spark, sf_dir, "documents"))
+    return packed.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        (F.max("bin_last") + 1).cast("long").alias("n_bins"),
+        F.floor(
+            F.sum("n_tokens")
+            * F.lit(1_000_000)
+            / ((F.max("bin_last") + 1) * F.lit(PACK_BUDGET))
+        )
+        .cast("long")
+        .alias("fill_ppm"),
+    )

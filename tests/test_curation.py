@@ -676,3 +676,26 @@ def test_mixture_plan_weighted_uniform_matches_plan(spark):
     # floor noise keeps them within 1 token of the uniform plan
     for s in uni:
         assert abs(uni[s] - wtd[s]) <= 1, (s, uni[s], wtd[s])
+
+
+def test_batch4_ops_empty_corpus_yield_empty_not_error(spark):
+    """Empty input must produce empty output (no div-by-zero, no
+    min-of-nothing crash) for the batch-4/5 curation ops — the
+    behavior an incremental pipeline hits on a quiet ingest hour."""
+    from marketviz_spark.datapipe.curation import (
+        boilerplate_chunks,
+        mixture_apply,
+        mixture_plan,
+        mixture_plan_weighted,
+        token_coverage_curve,
+    )
+
+    empty = _docs(spark, []).filter("doc_id IS NOT NULL")
+    for fn in (
+        boilerplate_chunks,
+        mixture_apply,
+        mixture_plan,
+        mixture_plan_weighted,
+        token_coverage_curve,
+    ):
+        assert fn(empty).count() == 0, fn.__name__

@@ -407,3 +407,33 @@ def test_retention_cohorts_three_keyed_shuffles(spark):
     assert plan.count("Exchange hashpartitioning") <= 3, plan
     # the distinct must be partial-aggregated (HashAggregate twice)
     assert "partial" in plan.lower() or plan.count("HashAggregate") >= 4
+
+
+def test_anomaly_days_stats_broadcast_back(spark):
+    """The per-type history stats (rows bounded by the calendar x
+    types) must broadcast into the flag join — shuffling the daily
+    table against a types-sized stats table would be a pointless
+    exchange."""
+    plan = _plan(QUERIES["events_anomaly_days"].fn(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_dq_documents_gate_single_scan_for_row_checks(spark):
+    """All five row-level expectations must compile into ONE scan of
+    documents (a single agg of conditional counts); the uniqueness
+    probe adds the only other scan. More FileScans = the naive
+    one-job-per-check shape this DSL exists to avoid."""
+    plan = _plan(QUERIES["dq_documents_gate"].fn(spark, SF_SMALL))
+    assert plan.count("Scan parquet") == 2, plan
+
+
+def test_langid_confusion_no_text_shuffle(spark):
+    """Language scoring is pure expression work; the only exchange
+    is the langs²-bounded rollup — document text must never be a
+    shuffle payload."""
+    plan = _plan(QUERIES["langid_confusion"].fn(spark, SF_SMALL))
+    exchanges = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert len(exchanges) == 1, plan
+    assert "text" not in exchanges[0], exchanges[0]
