@@ -80,6 +80,7 @@ _FIRST = [
     "langid_confusion",
     "jaccard_band_report",
     "pack_fill_report",
+    "ts_corr_pairs",
     # touched in round 6 (brute-force cap added in similarity.py)
     "emb_cosine_topk",
     # driver row last green in r04 (the full r04 \ r05 set); a ~50

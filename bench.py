@@ -103,6 +103,8 @@ BENCH_QUERIES = [
     "cluster_size_histogram",
     "events_anomaly_days",
     "dq_documents_gate",
+    # round-6 batch 6: cross-series similarity search
+    "ts_corr_pairs",
 ]
 
 

@@ -2249,6 +2249,61 @@ def q_dq_lineitem_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ts_corr_pairs",
+    tables.oracle_cte()
+    + """
+    , px AS (
+        SELECT ticker, date, CAST(share_price AS DECIMAL(18,2)) AS p
+        FROM stocks WHERE ticker < 'T00200'
+    ), pr AS (
+        SELECT a.ticker AS ticker_a, b.ticker AS ticker_b,
+               a.p AS x, b.p AS y
+        FROM px a JOIN px b
+          ON a.date = b.date AND a.ticker < b.ticker
+    ), g AS (
+        SELECT ticker_a, ticker_b,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx,
+               sum(y * y) AS syy
+        FROM pr GROUP BY ticker_a, ticker_b
+    ), scored AS (
+        SELECT ticker_a, ticker_b, n AS n_days,
+               floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                     * 1000000.0 + 0.5) / 1000000.0 AS corr
+        FROM g
+        WHERE n >= 8
+          AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+          AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+    )
+    SELECT ticker_a, ticker_b, n_days, corr, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            ORDER BY corr DESC, ticker_a, ticker_b
+        ) AS rank FROM scored
+    ) WHERE rank <= 50
+    """,
+    survey="time-series similarity search: top-k price-correlated ticker pairs, universe-bounded date-bucketed candidates, decimal-exact co-moments (cross-series extension)",
+)
+def q_ts_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See operators/timeseries.py: candidate pairs are bounded by
+    an explicit universe (never all-pairs over the full ticker
+    space), co-moment sums are DECIMAL-exact, and the Pearson ratio
+    is one fixed double expression over exact sums — rank-stable
+    across engines."""
+    from .operators.timeseries import corr_pairs
+
+    return corr_pairs(tables.stocks(spark, sf_dir))
+
+
+@register(
     "dq_documents_gate",
     """
     SELECT 'not_null(doc_id)' AS "check",

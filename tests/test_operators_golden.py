@@ -193,3 +193,33 @@ def test_funnel_requires_strict_temporal_order(spark):
             for r in QUERIES["events_funnel_conversion"].fn(spark, d).collect()
         }
     assert out == {1: 4, 2: 3, 3: 1}
+
+
+def test_corr_pairs_golden(spark):
+    """Three crafted series over 10 shared days: A and B move in
+    lockstep (corr exactly 1.0), A and C move oppositely (corr
+    -1.0), ranking puts the lockstep pair first; a 2-day series is
+    dropped by the overlap floor."""
+    from marketviz_spark.operators.timeseries import corr_pairs
+
+    rows = []
+    for d in range(10):
+        date = f"2024-01-{d + 1:02d}"
+        rows.append(("T00001", date, 10.0 + d, 1000.0, 100.0))
+        rows.append(("T00002", date, 20.0 + 2 * d, 1000.0, 100.0))
+        rows.append(("T00003", date, 30.0 - d, 1000.0, 100.0))
+    rows += [("T00004", f"2024-01-0{d}", 5.0, 1.0, 1.0) for d in (1, 2)]
+    stocks = spark.createDataFrame(
+        rows,
+        "ticker string, date string, share_price double,"
+        " market_cap double, effective_shares_outstanding double",
+    )
+    out = corr_pairs(stocks, universe_max="T99999", min_overlap=8, k=10)
+    got = {(r["ticker_a"], r["ticker_b"]): r for r in out.collect()}
+    assert got[("T00001", "T00002")]["corr"] == 1.0
+    assert got[("T00001", "T00003")]["corr"] == -1.0
+    assert got[("T00002", "T00003")]["corr"] == -1.0
+    assert got[("T00001", "T00002")]["rank"] == 1
+    assert all(r["n_days"] == 10 for r in got.values())
+    # T00004: only 2 shared days -> below the overlap floor
+    assert not any("T00004" in k for pair in got for k in pair)
