@@ -81,6 +81,7 @@ _FIRST = [
     "jaccard_band_report",
     "pack_fill_report",
     "ts_corr_pairs",
+    "ts_corr_pairs_sketched",
     # touched in round 6 (brute-force cap added in similarity.py)
     "emb_cosine_topk",
     # driver row last green in r04 (the full r04 \ r05 set); a ~50

@@ -103,8 +103,10 @@ BENCH_QUERIES = [
     "cluster_size_histogram",
     "events_anomaly_days",
     "dq_documents_gate",
-    # round-6 batch 6: cross-series similarity search
+    # round-6 batch 6: cross-series similarity search (brute tier +
+    # sign-of-move sketch tier)
     "ts_corr_pairs",
+    "ts_corr_pairs_sketched",
 ]
 
 

@@ -28,7 +28,9 @@ from pyspark.sql import functions as F
 from ..numerics import rnd
 
 CORR_UNIVERSE_MAX = "T00200"  # ticker-prefix universe bound
-CORR_MIN_OVERLAP = 8  # min shared trading days per pair
+CORR_MIN_OVERLAP = 3  # min shared trading days per pair; a real
+# deployment uses >=30 — the synthetic sparse shipping calendar
+# caps pair overlap at ~5 days, and the floor is a parameter
 CORR_TOPK = 50
 
 
@@ -102,4 +104,165 @@ def corr_pairs(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("ticker_a", "ticker_b", "n_days", "corr", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+# Scale path: sign-of-move sketch bucketing (the LSH tier). Weeks
+# are integer-indexed from a fixed epoch (never engine week-number
+# semantics); movement bits band into quarters; only same-band
+# tickers pair, and degenerate buckets (boilerplate movement
+# patterns shared by > CORR_MAX_BUCKET tickers) are refused, the
+# same rationale as the text SHINGLE_DF_CAP: they carry no
+# discriminative signal and would go quadratic.
+CORR_EPOCH = "1992-01-01"
+CORR_BAND_WEEKS = 13
+CORR_MAX_BUCKET = 50
+SKETCH_UNIVERSE_MAX = "T02000"
+
+
+def _movement_bits(px: DataFrame) -> DataFrame:
+    """Per (ticker, week): majority direction bit. sign is 1 when
+    the price rose vs the previous trading day (per-ticker lag),
+    week = floor(days-since-epoch / 7) — pure integer arithmetic,
+    identical on any engine (never %W/%U week numbering, which
+    differs across engines and locales)."""
+    w = Window.partitionBy("ticker").orderBy("date")
+    mv = px.select(
+        "ticker",
+        "date",
+        (F.col("p") > F.lag("p").over(w)).cast("int").alias("up"),
+    ).filter(F.col("up").isNotNull())
+    week = F.floor(
+        F.datediff(F.col("date"), F.lit(CORR_EPOCH)) / 7
+    ).cast("long")
+    return (
+        mv.groupBy("ticker", week.alias("week"))
+        .agg(
+            F.sum("up").alias("ups"), F.count("*").alias("days")
+        )
+        .select(
+            "ticker",
+            "week",
+            (F.col("ups") * 2 > F.col("days")).cast("int").alias("bit"),
+        )
+    )
+
+
+def corr_pairs_sketched(
+    stocks_df: DataFrame,
+    universe_max: str = SKETCH_UNIVERSE_MAX,
+    min_overlap: int = CORR_MIN_OVERLAP,
+    k: int = CORR_TOPK,
+    max_bucket: int = CORR_MAX_BUCKET,
+) -> DataFrame:
+    """Approximate top-k correlated pairs for universes too large to
+    all-pairs: tickers whose weekly majority-direction bits agree on
+    a full quarter band become candidates (banded signature join —
+    the same bucket→equi-join→verify dataflow as text LSH); exact
+    DECIMAL co-moment scoring then runs on CANDIDATES ONLY. Buckets
+    larger than `max_bucket` are refused (a movement pattern shared
+    that widely is market-wide beta, not pair affinity — the
+    SHINGLE_DF_CAP rationale). Same output shape as corr_pairs, so
+    an ann_recall-style audit is a direct join of the two."""
+    px = (
+        stocks_df.filter(F.col("ticker") < universe_max)
+        .select(
+            "ticker",
+            F.to_date("date").alias("date"),
+            F.col("share_price").cast("decimal(18,2)").alias("p"),
+        )
+    )
+    bits = _movement_bits(px)
+    band = F.floor(F.col("week") / CORR_BAND_WEEKS).cast("long")
+    sigs = (
+        bits.groupBy("ticker", band.alias("band"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("week", "bit"))
+                    ),
+                    lambda s: s["bit"].cast("string"),
+                ),
+                "",
+            ).alias("sig")
+        )
+    )
+    # refuse boilerplate buckets BEFORE pairing
+    sized = sigs.withColumn(
+        "n_in_bucket",
+        F.count("*").over(Window.partitionBy("band", "sig")),
+    ).filter(F.col("n_in_bucket") <= max_bucket)
+    a, b = sized.alias("a"), sized.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.ticker") < F.col("b.ticker")),
+        )
+        .select(
+            F.col("a.ticker").alias("ticker_a"),
+            F.col("b.ticker").alias("ticker_b"),
+        )
+        .distinct()
+    )
+    joined = (
+        cands.join(
+            px.select(
+                F.col("ticker").alias("ticker_a"),
+                "date",
+                F.col("p").alias("x"),
+            ),
+            "ticker_a",
+        )
+        .join(
+            px.select(
+                F.col("ticker").alias("ticker_b"),
+                "date",
+                F.col("p").alias("y"),
+            ),
+            ["ticker_b", "date"],
+        )
+    )
+    g = joined.groupBy("ticker_a", "ticker_b").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    vx = nd * F.col("sxx").cast("double") - sxd * sxd
+    vy = nd * F.col("syy").cast("double") - syd * syd
+    num = nd * F.col("sxy").cast("double") - sxd * syd
+    scored = (
+        g.filter(F.col("n") >= min_overlap)
+        .withColumn("vx", vx)
+        .withColumn("vy", vy)
+        .filter((F.col("vx") > 0) & (F.col("vy") > 0))
+        .select(
+            "ticker_a",
+            "ticker_b",
+            F.col("n").alias("n_days"),
+            rnd(num / F.sqrt(F.col("vx") * F.col("vy")), 6).alias(
+                "corr"
+            ),
+        )
+    )
+    w = Window.orderBy(
+        F.desc("corr"), F.asc("ticker_a"), F.asc("ticker_b")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "ticker_a",
+            "ticker_b",
+            "n_days",
+            "corr",
+            F.col("rank").cast("int").alias("rank"),
+        )
     )

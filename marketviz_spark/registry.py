@@ -2277,7 +2277,7 @@ def q_dq_lineitem_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
                      * 1000000.0 + 0.5) / 1000000.0 AS corr
         FROM g
-        WHERE n >= 8
+        WHERE n >= 3
           AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
           AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
@@ -2301,6 +2301,88 @@ def q_ts_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.timeseries import corr_pairs
 
     return corr_pairs(tables.stocks(spark, sf_dir))
+
+
+@register(
+    "ts_corr_pairs_sketched",
+    tables.oracle_cte()
+    + """
+    , px AS (
+        SELECT ticker, CAST(date AS DATE) AS date,
+               CAST(share_price AS DECIMAL(18,2)) AS p
+        FROM stocks WHERE ticker < 'T02000'
+    ), mv AS (
+        SELECT ticker, date,
+               CAST(p > lag(p) OVER (
+                   PARTITION BY ticker ORDER BY date) AS INT) AS up
+        FROM px
+    ), bits AS (
+        SELECT ticker,
+               CAST(floor(datediff('day', DATE '1992-01-01', date)
+                          / 7) AS BIGINT) AS week,
+               CAST(sum(up) * 2 > count(*) AS INT) AS bit
+        FROM mv WHERE up IS NOT NULL
+        GROUP BY ticker, 2
+    ), sigs AS (
+        SELECT ticker, CAST(floor(week / 13) AS BIGINT) AS band,
+               string_agg(CAST(bit AS VARCHAR), '' ORDER BY week)
+                   AS sig
+        FROM bits GROUP BY ticker, 2
+    ), sized AS (
+        SELECT *, count(*) OVER (PARTITION BY band, sig)
+                   AS n_in_bucket
+        FROM sigs
+    ), cands AS (
+        SELECT DISTINCT a.ticker AS ticker_a, b.ticker AS ticker_b
+        FROM sized a JOIN sized b
+          ON a.band = b.band AND a.sig = b.sig
+         AND a.ticker < b.ticker
+        WHERE a.n_in_bucket <= 50 AND b.n_in_bucket <= 50
+    ), pr AS (
+        SELECT c.ticker_a, c.ticker_b, xa.p AS x, xb.p AS y
+        FROM cands c
+        JOIN px xa ON xa.ticker = c.ticker_a
+        JOIN px xb ON xb.ticker = c.ticker_b AND xb.date = xa.date
+    ), g AS (
+        SELECT ticker_a, ticker_b,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx,
+               sum(y * y) AS syy
+        FROM pr GROUP BY ticker_a, ticker_b
+    ), scored AS (
+        SELECT ticker_a, ticker_b, n AS n_days,
+               floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                     * 1000000.0 + 0.5) / 1000000.0 AS corr
+        FROM g
+        WHERE n >= 3
+          AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+          AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+    )
+    SELECT ticker_a, ticker_b, n_days, corr, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            ORDER BY corr DESC, ticker_a, ticker_b
+        ) AS rank FROM scored
+    ) WHERE rank <= 50
+    """,
+    survey="time-series similarity scale path: sign-of-move sketch banding -> capped-bucket candidates -> exact co-moment scoring (cross-series extension)",
+)
+def q_ts_corr_pairs_sketched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH tier of corr_pairs: candidates from banded movement
+    signatures (integer week grid, majority bit, quarter bands,
+    bucket cap) — never all-pairs; exact scoring on candidates
+    only. See operators/timeseries.corr_pairs_sketched."""
+    from .operators.timeseries import corr_pairs_sketched
+
+    return corr_pairs_sketched(tables.stocks(spark, sf_dir))
 
 
 @register(

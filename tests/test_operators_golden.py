@@ -223,3 +223,32 @@ def test_corr_pairs_golden(spark):
     assert all(r["n_days"] == 10 for r in got.values())
     # T00004: only 2 shared days -> below the overlap floor
     assert not any("T00004" in k for pair in got for k in pair)
+
+
+def test_corr_pairs_sketched_finds_lockstep_pair(spark):
+    """The sketch tier must recover a lockstep pair: identical
+    movement directions give identical quarter-band signatures, the
+    pair becomes a candidate, and exact scoring yields corr 1.0.
+    An anti-correlated series lands in a DIFFERENT bucket (inverted
+    bits) and never pairs with them — the recall/efficiency trade
+    the sketch makes by design."""
+    from marketviz_spark.operators.timeseries import corr_pairs_sketched
+
+    rows = []
+    for d in range(30):
+        date = f"2024-0{1 + d // 28}-{d % 28 + 1:02d}"
+        up = 1 if d % 3 else -1  # varied but shared direction pattern
+        rows.append(("T00001", date, 50.0 + up * (d % 7), 1.0, 1.0))
+        rows.append(("T00002", date, 80.0 + 2 * up * (d % 7), 1.0, 1.0))
+        rows.append(("T00003", date, 90.0 - up * (d % 7), 1.0, 1.0))
+    stocks = spark.createDataFrame(
+        rows,
+        "ticker string, date string, share_price double,"
+        " market_cap double, effective_shares_outstanding double",
+    )
+    out = corr_pairs_sketched(
+        stocks, universe_max="T99999", min_overlap=3, k=10
+    )
+    got = {(r["ticker_a"], r["ticker_b"]): r["corr"] for r in out.collect()}
+    assert got[("T00001", "T00002")] == 1.0
+    assert ("T00001", "T00003") not in got  # inverted bits: no bucket
