@@ -82,6 +82,7 @@ _FIRST = [
     "pack_fill_report",
     "ts_corr_pairs",
     "ts_corr_pairs_sketched",
+    "ts_corr_recall",
     # touched in round 6 (brute-force cap added in similarity.py)
     "emb_cosine_topk",
     # driver row last green in r04 (the full r04 \ r05 set); a ~50

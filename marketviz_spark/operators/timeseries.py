@@ -266,3 +266,40 @@ def corr_pairs_sketched(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def corr_recall(
+    stocks_df: DataFrame,
+    universe_max: str = CORR_UNIVERSE_MAX,
+    min_overlap: int = CORR_MIN_OVERLAP,
+    k: int = CORR_TOPK,
+) -> DataFrame:
+    """Recall audit of the sketch tier against the exact tier on the
+    SAME universe (the ann_recall pattern applied to series): of the
+    exact top-k pairs, how many did the sketch's candidate+score
+    path recover? One row: (k, n_exact, n_hits, recall_ppm). Both
+    tiers rank with the identical floor-rounded corr + pair
+    tiebreak, so the hit join is exact."""
+    exact = corr_pairs(
+        stocks_df, universe_max=universe_max,
+        min_overlap=min_overlap, k=k,
+    ).select("ticker_a", "ticker_b")
+    approx = corr_pairs_sketched(
+        stocks_df, universe_max=universe_max,
+        min_overlap=min_overlap, k=k,
+    ).select("ticker_a", "ticker_b", F.lit(1).alias("hit"))
+    hits = exact.join(approx, ["ticker_a", "ticker_b"], "left")
+    return hits.agg(
+        F.lit(k).cast("int").alias("k"),
+        F.count("*").cast("long").alias("n_exact"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+        .cast("long")
+        .alias("n_hits"),
+    ).select(
+        "k",
+        "n_exact",
+        "n_hits",
+        F.floor(F.col("n_hits") * F.lit(1_000_000) / F.col("n_exact"))
+        .cast("long")
+        .alias("recall_ppm"),
+    )

@@ -2248,26 +2248,8 @@ def q_dq_lineitem_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("check", "n_violations")
 
 
-@register(
-    "ts_corr_pairs",
-    tables.oracle_cte()
-    + """
-    , px AS (
-        SELECT ticker, date, CAST(share_price AS DECIMAL(18,2)) AS p
-        FROM stocks WHERE ticker < 'T00200'
-    ), pr AS (
-        SELECT a.ticker AS ticker_a, b.ticker AS ticker_b,
-               a.p AS x, b.p AS y
-        FROM px a JOIN px b
-          ON a.date = b.date AND a.ticker < b.ticker
-    ), g AS (
-        SELECT ticker_a, ticker_b,
-               CAST(count(*) AS BIGINT) AS n,
-               sum(x) AS sx, sum(y) AS sy,
-               sum(x * y) AS sxy, sum(x * x) AS sxx,
-               sum(y * y) AS syy
-        FROM pr GROUP BY ticker_a, ticker_b
-    ), scored AS (
+
+_CORR_SCORE_SQL = """
         SELECT ticker_a, ticker_b, n AS n_days,
                floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
@@ -2282,35 +2264,52 @@ def q_dq_lineitem_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
           AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
-    )
+"""
+
+_CORR_TOPK_SQL = """
     SELECT ticker_a, ticker_b, n_days, corr, CAST(rank AS INT) AS rank
     FROM (
         SELECT *, row_number() OVER (
             ORDER BY corr DESC, ticker_a, ticker_b
         ) AS rank FROM scored
     ) WHERE rank <= 50
-    """,
-    survey="time-series similarity search: top-k price-correlated ticker pairs, universe-bounded date-bucketed candidates, decimal-exact co-moments (cross-series extension)",
-)
-def q_ts_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """See operators/timeseries.py: candidate pairs are bounded by
-    an explicit universe (never all-pairs over the full ticker
-    space), co-moment sums are DECIMAL-exact, and the Pearson ratio
-    is one fixed double expression over exact sums — rank-stable
-    across engines."""
-    from .operators.timeseries import corr_pairs
-
-    return corr_pairs(tables.stocks(spark, sf_dir))
+    """
 
 
-@register(
-    "ts_corr_pairs_sketched",
-    tables.oracle_cte()
-    + """
+def _corr_exact_sql(universe: str) -> str:
+    """Exact-tier pair-correlation SQL (without the final top-k
+    SELECT), parameterized on the universe bound so the recall
+    audit can run both tiers on the same universe."""
+    return f"""
+    , px AS (
+        SELECT ticker, date, CAST(share_price AS DECIMAL(18,2)) AS p
+        FROM stocks WHERE ticker < '{universe}'
+    ), pr AS (
+        SELECT a.ticker AS ticker_a, b.ticker AS ticker_b,
+               a.p AS x, b.p AS y
+        FROM px a JOIN px b
+          ON a.date = b.date AND a.ticker < b.ticker
+    ), g AS (
+        SELECT ticker_a, ticker_b,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx,
+               sum(y * y) AS syy
+        FROM pr GROUP BY ticker_a, ticker_b
+    ), scored AS ({_CORR_SCORE_SQL})
+    """
+
+
+def _corr_sketched_sql(universe: str) -> str:
+    """Sketch-tier SQL (movement bits -> banded signatures ->
+    capped buckets -> candidate scoring), parameterized on the
+    universe bound; exposes the same `scored` CTE name as the
+    exact tier."""
+    return f"""
     , px AS (
         SELECT ticker, CAST(date AS DATE) AS date,
                CAST(share_price AS DECIMAL(18,2)) AS p
-        FROM stocks WHERE ticker < 'T02000'
+        FROM stocks WHERE ticker < '{universe}'
     ), mv AS (
         SELECT ticker, date,
                CAST(p > lag(p) OVER (
@@ -2350,29 +2349,31 @@ def q_ts_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                sum(x * y) AS sxy, sum(x * x) AS sxx,
                sum(y * y) AS syy
         FROM pr GROUP BY ticker_a, ticker_b
-    ), scored AS (
-        SELECT ticker_a, ticker_b, n AS n_days,
-               floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                     / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-                     * 1000000.0 + 0.5) / 1000000.0 AS corr
-        FROM g
-        WHERE n >= 3
-          AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
-          AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
-    )
-    SELECT ticker_a, ticker_b, n_days, corr, CAST(rank AS INT) AS rank
-    FROM (
-        SELECT *, row_number() OVER (
-            ORDER BY corr DESC, ticker_a, ticker_b
-        ) AS rank FROM scored
-    ) WHERE rank <= 50
-    """,
+    ), scored AS ({_CORR_SCORE_SQL})
+    """
+
+
+
+
+@register(
+    "ts_corr_pairs",
+    tables.oracle_cte() + _corr_exact_sql("T00200") + _CORR_TOPK_SQL,
+    survey="time-series similarity search: top-k price-correlated ticker pairs, universe-bounded date-bucketed candidates, decimal-exact co-moments (cross-series extension)",
+)
+def q_ts_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See operators/timeseries.py: candidate pairs are bounded by
+    an explicit universe (never all-pairs over the full ticker
+    space), co-moment sums are DECIMAL-exact, and the Pearson ratio
+    is one fixed double expression over exact sums — rank-stable
+    across engines."""
+    from .operators.timeseries import corr_pairs
+
+    return corr_pairs(tables.stocks(spark, sf_dir))
+
+
+@register(
+    "ts_corr_pairs_sketched",
+    tables.oracle_cte() + _corr_sketched_sql("T02000") + _CORR_TOPK_SQL,
     survey="time-series similarity scale path: sign-of-move sketch banding -> capped-bucket candidates -> exact co-moment scoring (cross-series extension)",
 )
 def q_ts_corr_pairs_sketched(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2384,6 +2385,38 @@ def q_ts_corr_pairs_sketched(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return corr_pairs_sketched(tables.stocks(spark, sf_dir))
 
+
+@register(
+    "ts_corr_recall",
+    tables.oracle_cte()
+    + f"""
+    , e AS (
+        SELECT ticker_a, ticker_b FROM (
+            WITH {_corr_exact_sql("T00200").lstrip().removeprefix(",")}
+            {_CORR_TOPK_SQL}
+        )
+    ), a AS (
+        SELECT ticker_a, ticker_b, 1 AS hit FROM (
+            WITH {_corr_sketched_sql("T00200").lstrip().removeprefix(",")}
+            {_CORR_TOPK_SQL}
+        )
+    )
+    SELECT CAST(50 AS INT) AS k,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_hits,
+           CAST(floor(coalesce(sum(hit), 0) * 1000000 / count(*))
+                AS BIGINT) AS recall_ppm
+    FROM e LEFT JOIN a USING (ticker_a, ticker_b)
+    """,
+    survey="series-similarity recall audit: sketch tier vs exact tier on the same universe (cross-series extension)",
+)
+def q_ts_corr_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@50 of the sketch tier against the exact tier on the
+    shared universe — the number that says whether the quarter-band
+    signature is sized right (the ann_recall pattern for series)."""
+    from .operators.timeseries import corr_recall
+
+    return corr_recall(tables.stocks(spark, sf_dir))
 
 @register(
     "dq_documents_gate",
