@@ -64,6 +64,19 @@ def corr_pairs(
         F.col("a.p").alias("x"),
         F.col("b.p").alias("y"),
     )
+    return _score_and_rank(pairs, min_overlap, k)
+
+
+def _score_and_rank(
+    pairs: DataFrame, min_overlap: int, k: int
+) -> DataFrame:
+    """Shared exact-scoring tail of both tiers: DECIMAL co-moment
+    aggregation keyed by the pair, the fixed-expression Pearson
+    ratio over exact sums, overlap/variance filters, and the
+    floor-rounded 6dp rank with pair tiebreak. One implementation
+    so the exact and sketch tiers (and therefore corr_recall's hit
+    join) can never diverge in scoring semantics. `pairs` carries
+    (ticker_a, ticker_b, x, y) with x/y DECIMAL(18,2)."""
     g = pairs.groupBy("ticker_a", "ticker_b").agg(
         F.count("*").cast("long").alias("n"),
         F.sum("x").alias("sx"),
@@ -74,11 +87,9 @@ def corr_pairs(
     )
     nd = F.col("n").cast("double")
     sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
-    sxyd = F.col("sxy").cast("double")
-    sxxd, syyd = F.col("sxx").cast("double"), F.col("syy").cast("double")
-    vx = nd * sxxd - sxd * sxd
-    vy = nd * syyd - syd * syd
-    num = nd * sxyd - sxd * syd
+    vx = nd * F.col("sxx").cast("double") - sxd * sxd
+    vy = nd * F.col("syy").cast("double") - syd * syd
+    num = nd * F.col("sxy").cast("double") - sxd * syd
     scored = (
         g.filter(F.col("n") >= min_overlap)
         .withColumn("vx", vx)
@@ -88,22 +99,27 @@ def corr_pairs(
             "ticker_a",
             "ticker_b",
             F.col("n").alias("n_days"),
-            rnd(
-                num / F.sqrt(F.col("vx") * F.col("vy")), 6
-            ).alias("corr"),
+            rnd(num / F.sqrt(F.col("vx") * F.col("vy")), 6).alias(
+                "corr"
+            ),
         )
     )
     w = Window.orderBy(
         F.desc("corr"), F.asc("ticker_a"), F.asc("ticker_b")
     )
     # rank over a LIMIT-bounded set would be ideal, but the rank IS
-    # the output here; the window input is already reduced to the
-    # |universe|²/2 scored pairs — bounded by the universe contract,
-    # not by data volume
+    # the output; the window input is already reduced to the
+    # candidate-bounded scored pairs, not data volume
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("ticker_a", "ticker_b", "n_days", "corr", F.col("rank").cast("int").alias("rank"))
+        .select(
+            "ticker_a",
+            "ticker_b",
+            "n_days",
+            "corr",
+            F.col("rank").cast("int").alias("rank"),
+        )
     )
 
 
@@ -225,47 +241,8 @@ def corr_pairs_sketched(
             ["ticker_b", "date"],
         )
     )
-    g = joined.groupBy("ticker_a", "ticker_b").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-    )
-    nd = F.col("n").cast("double")
-    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
-    vx = nd * F.col("sxx").cast("double") - sxd * sxd
-    vy = nd * F.col("syy").cast("double") - syd * syd
-    num = nd * F.col("sxy").cast("double") - sxd * syd
-    scored = (
-        g.filter(F.col("n") >= min_overlap)
-        .withColumn("vx", vx)
-        .withColumn("vy", vy)
-        .filter((F.col("vx") > 0) & (F.col("vy") > 0))
-        .select(
-            "ticker_a",
-            "ticker_b",
-            F.col("n").alias("n_days"),
-            rnd(num / F.sqrt(F.col("vx") * F.col("vy")), 6).alias(
-                "corr"
-            ),
-        )
-    )
-    w = Window.orderBy(
-        F.desc("corr"), F.asc("ticker_a"), F.asc("ticker_b")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "ticker_a",
-            "ticker_b",
-            "n_days",
-            "corr",
-            F.col("rank").cast("int").alias("rank"),
-        )
-    )
+    pairs = joined.select("ticker_a", "ticker_b", "x", "y")
+    return _score_and_rank(pairs, min_overlap, k)
 
 
 def corr_recall(
@@ -278,8 +255,8 @@ def corr_recall(
     SAME universe (the ann_recall pattern applied to series): of the
     exact top-k pairs, how many did the sketch's candidate+score
     path recover? One row: (k, n_exact, n_hits, recall_ppm). Both
-    tiers rank with the identical floor-rounded corr + pair
-    tiebreak, so the hit join is exact."""
+    tiers rank through the shared _score_and_rank, so the hit join
+    compares identical scoring semantics by construction."""
     exact = corr_pairs(
         stocks_df, universe_max=universe_max,
         min_overlap=min_overlap, k=k,

@@ -1415,16 +1415,17 @@ def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY 1, 2
     ),
     stats AS (
-        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(n_events) AS BIGINT) AS s,
-               CAST(sum(n_events * n_events) AS BIGINT) AS q
+        SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(n_events) AS HUGEINT) AS s,
+               sum(CAST(n_events AS HUGEINT)
+                   * CAST(n_events AS HUGEINT)) AS q
         FROM daily GROUP BY event_type
     )
     SELECT d.event_type, d.day, d.n_events,
            CAST(CASE WHEN
-               CAST(d.n_events * n - s AS HUGEINT)
-               * CAST(d.n_events * n - s AS HUGEINT)
-               > 4 * CAST(n AS HUGEINT) * (n * q - s * s) / n
+               (CAST(d.n_events AS HUGEINT) * n - s)
+               * (CAST(d.n_events AS HUGEINT) * n - s)
+               > 4 * (n * q - s * s)
            THEN 1 ELSE 0 END AS INT) AS is_anomaly
     FROM daily d JOIN stats USING (event_type)
     """,
@@ -1446,25 +1447,27 @@ def q_events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
     ).agg(F.count("*").cast("long").alias("n_events"))
+    return anomaly_flags(daily)
+
+
+def anomaly_flags(daily: DataFrame) -> DataFrame:
+    """(event_type, day, n_events) -> the same rows + is_anomaly.
+    All arithmetic in DECIMAL(38,0) (HUGEINT on the oracle side):
+    a daily count near ~3e9 would overflow the square in int64
+    BEFORE any downstream cast could save it, so the squares are
+    accumulated wide from the start. Exposed separately from the
+    registry query so the >int64 regime is unit-testable."""
+    dec = "decimal(38,0)"
     stats = daily.groupBy("event_type").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("n_events").cast("long").alias("s"),
-        F.sum(F.col("n_events") * F.col("n_events"))
-        .cast("long")
+        F.count("*").cast(dec).alias("n"),
+        F.sum("n_events").cast(dec).alias("s"),
+        F.sum(F.col("n_events").cast(dec) * F.col("n_events").cast(dec))
+        .cast(dec)
         .alias("q"),
     )
-    dec = "decimal(38,0)"
-    dev = (F.col("n_events") * F.col("n") - F.col("s")).cast(dec)
-    # 4n(nQ - S²)/n = 4(nQ - S²); keep the /n form mirrored with the
-    # oracle so integer division truncates identically on both sides
-    rhs = (
-        F.lit(4).cast(dec)
-        * F.col("n").cast(dec)
-        * (
-            F.col("n").cast(dec) * F.col("q").cast(dec)
-            - F.col("s").cast(dec) * F.col("s").cast(dec)
-        )
-        / F.col("n").cast(dec)
+    dev = F.col("n_events").cast(dec) * F.col("n") - F.col("s")
+    rhs = F.lit(4).cast(dec) * (
+        F.col("n") * F.col("q") - F.col("s") * F.col("s")
     )
     return (
         daily.join(F.broadcast(stats), "event_type")
@@ -2249,7 +2252,20 @@ def q_dq_lineitem_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-_CORR_SCORE_SQL = """
+from .operators.timeseries import (  # noqa: E402
+    CORR_BAND_WEEKS,
+    CORR_EPOCH,
+    CORR_MAX_BUCKET,
+    CORR_MIN_OVERLAP,
+    CORR_TOPK,
+    CORR_UNIVERSE_MAX,
+    SKETCH_UNIVERSE_MAX,
+)
+
+# The CORR_* constants interpolate into the oracle text (like
+# BOILER_MIN_DOCS / PACK_BUDGET elsewhere): tuning a constant moves
+# BOTH engines, never just one.
+_CORR_SCORE_SQL = f"""
         SELECT ticker_a, ticker_b, n AS n_days,
                floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
@@ -2259,20 +2275,20 @@ _CORR_SCORE_SQL = """
                                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
                      * 1000000.0 + 0.5) / 1000000.0 AS corr
         FROM g
-        WHERE n >= 3
+        WHERE n >= {CORR_MIN_OVERLAP}
           AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
           AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
 """
 
-_CORR_TOPK_SQL = """
+_CORR_TOPK_SQL = f"""
     SELECT ticker_a, ticker_b, n_days, corr, CAST(rank AS INT) AS rank
     FROM (
         SELECT *, row_number() OVER (
             ORDER BY corr DESC, ticker_a, ticker_b
         ) AS rank FROM scored
-    ) WHERE rank <= 50
+    ) WHERE rank <= {CORR_TOPK}
     """
 
 
@@ -2317,13 +2333,13 @@ def _corr_sketched_sql(universe: str) -> str:
         FROM px
     ), bits AS (
         SELECT ticker,
-               CAST(floor(datediff('day', DATE '1992-01-01', date)
+               CAST(floor(datediff('day', DATE '{CORR_EPOCH}', date)
                           / 7) AS BIGINT) AS week,
                CAST(sum(up) * 2 > count(*) AS INT) AS bit
         FROM mv WHERE up IS NOT NULL
         GROUP BY ticker, 2
     ), sigs AS (
-        SELECT ticker, CAST(floor(week / 13) AS BIGINT) AS band,
+        SELECT ticker, CAST(floor(week / {CORR_BAND_WEEKS}) AS BIGINT) AS band,
                string_agg(CAST(bit AS VARCHAR), '' ORDER BY week)
                    AS sig
         FROM bits GROUP BY ticker, 2
@@ -2336,7 +2352,7 @@ def _corr_sketched_sql(universe: str) -> str:
         FROM sized a JOIN sized b
           ON a.band = b.band AND a.sig = b.sig
          AND a.ticker < b.ticker
-        WHERE a.n_in_bucket <= 50 AND b.n_in_bucket <= 50
+        WHERE a.n_in_bucket <= {CORR_MAX_BUCKET} AND b.n_in_bucket <= {CORR_MAX_BUCKET}
     ), pr AS (
         SELECT c.ticker_a, c.ticker_b, xa.p AS x, xb.p AS y
         FROM cands c
@@ -2357,7 +2373,7 @@ def _corr_sketched_sql(universe: str) -> str:
 
 @register(
     "ts_corr_pairs",
-    tables.oracle_cte() + _corr_exact_sql("T00200") + _CORR_TOPK_SQL,
+    tables.oracle_cte() + _corr_exact_sql(CORR_UNIVERSE_MAX) + _CORR_TOPK_SQL,
     survey="time-series similarity search: top-k price-correlated ticker pairs, universe-bounded date-bucketed candidates, decimal-exact co-moments (cross-series extension)",
 )
 def q_ts_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2373,7 +2389,7 @@ def q_ts_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ts_corr_pairs_sketched",
-    tables.oracle_cte() + _corr_sketched_sql("T02000") + _CORR_TOPK_SQL,
+    tables.oracle_cte() + _corr_sketched_sql(SKETCH_UNIVERSE_MAX) + _CORR_TOPK_SQL,
     survey="time-series similarity scale path: sign-of-move sketch banding -> capped-bucket candidates -> exact co-moment scoring (cross-series extension)",
 )
 def q_ts_corr_pairs_sketched(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2392,16 +2408,16 @@ def q_ts_corr_pairs_sketched(spark: SparkSession, sf_dir: str) -> DataFrame:
     + f"""
     , e AS (
         SELECT ticker_a, ticker_b FROM (
-            WITH {_corr_exact_sql("T00200").lstrip().removeprefix(",")}
+            WITH {_corr_exact_sql(CORR_UNIVERSE_MAX).lstrip().removeprefix(",")}
             {_CORR_TOPK_SQL}
         )
     ), a AS (
         SELECT ticker_a, ticker_b, 1 AS hit FROM (
-            WITH {_corr_sketched_sql("T00200").lstrip().removeprefix(",")}
+            WITH {_corr_sketched_sql(CORR_UNIVERSE_MAX).lstrip().removeprefix(",")}
             {_CORR_TOPK_SQL}
         )
     )
-    SELECT CAST(50 AS INT) AS k,
+    SELECT CAST({CORR_TOPK} AS INT) AS k,
            CAST(count(*) AS BIGINT) AS n_exact,
            CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_hits,
            CAST(floor(coalesce(sum(hit), 0) * 1000000 / count(*))

@@ -105,10 +105,18 @@ def _anomaly_update(
 def running_type_anomaly(events: DataFrame) -> DataFrame:
     """events stream -> per-micro-batch volume anomaly flags per
     event type. State is (n, s, q) over BATCH counts — O(types)
-    rows, the smallest state any drift detector can carry; the
-    decision is the integer-exact rule events_anomaly_days uses, so
-    a replayed stream and the batch operator agree on flags for the
-    same batch boundaries."""
+    rows, the smallest state any drift detector can carry. The
+    DECISION ARITHMETIC is the same all-integer |z|>2 rewrite as
+    events_anomaly_days, but the BASELINE deliberately differs: the
+    live detector scores each batch against PRIOR history only (a
+    spike must not dilute the baseline it is judged against),
+    while the batch operator's stats include the flagged day
+    itself. The two therefore legitimately disagree near the
+    threshold — e.g. a 3x spike after two quiet batches flags live
+    but not in a 3-day batch backfill, where the spike inflates its
+    own sigma. Validate a replay against this operator's own rule
+    (see the pure-Python mirror in test_streaming), not against
+    the batch query."""
     return events.groupBy("event_type").applyInPandasWithState(
         _anomaly_update,
         outputStructType=ANOMALY_OUTPUT_SCHEMA,

@@ -72,3 +72,28 @@ def test_anomaly_flags_match_pure_python_mirror(spark):
         for r in evs:
             expect = int((r["n_events"] * n - s) ** 2 > 4 * (n * q - s * s))
             assert r["is_anomaly"] == expect, r
+
+
+def test_anomaly_flags_survive_beyond_int64_counts(spark):
+    """Daily counts near 3.1e9 (whose squares overflow int64) must
+    still flag exactly — the DECIMAL(38,0) accumulation regime.
+    Mirrored against arbitrary-precision Python."""
+    from marketviz_spark.registry import anomaly_flags
+
+    # 10 baseline days + one 4x spike: with only ~4 days a single
+    # outlier cannot exceed 2 sigma because it inflates sigma itself
+    big = 3_100_000_000
+    counts = [big + i * 11 for i in range(10)] + [4 * big]
+    daily = spark.createDataFrame(
+        [("t", f"d{i}", c) for i, c in enumerate(counts)],
+        "event_type string, day string, n_events long",
+    )
+    got = {r["day"]: r["is_anomaly"] for r in anomaly_flags(daily).collect()}
+    n = len(counts)
+    s = sum(counts)
+    q = sum(c * c for c in counts)
+    for i, c in enumerate(counts):
+        expect = int((c * n - s) ** 2 > 4 * (n * q - s * s))
+        assert got[f"d{i}"] == expect, (i, c)
+    assert got["d10"] == 1  # the 4x spike must flag
+    assert sum(got.values()) == 1  # and nothing else does
