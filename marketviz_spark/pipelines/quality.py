@@ -152,3 +152,37 @@ def assert_table(df: DataFrame, **kwargs) -> None:
     ]
     if failed:
         raise AssertionError(f"data-quality failures: {failed}")
+
+
+def check_on_write(
+    df: DataFrame, path: str, checks: list[Check]
+) -> dict[str, int]:
+    """Gate-while-writing: materialize `df` to parquet AND collect
+    every row-level violation count in the SAME single pass via the
+    Observation API — the idiomatic Spark way to get ingest metrics
+    for free on a production write. `check_table` costs one extra
+    scan per gate; at 100 TB the write is the scan you already pay
+    for, so the observed variant halves the I/O of a gated ingest.
+
+    Returns {check_name: n_violations}. Accumulator-backed observe
+    metrics are exact for foreach-style sinks and deterministic
+    here because a parquet write runs each task once (speculative /
+    retried tasks are the caveat the Spark docs put on observe —
+    retries can double-count; on a retry-heavy cluster prefer the
+    two-pass check_table for auditable numbers, or compare counts
+    against it after the fact)."""
+    from pyspark.sql import Observation
+
+    obs = Observation("dq_gate")
+    observed = df.observe(
+        obs,
+        *[
+            F.sum(F.when(c.violation, 1).otherwise(0))
+            .cast("long")
+            .alias(c.name)
+            for c in checks
+        ],
+    )
+    observed.write.mode("overwrite").parquet(path)
+    got = obs.get
+    return {c.name: int(got[c.name]) for c in checks}

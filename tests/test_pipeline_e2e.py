@@ -369,3 +369,33 @@ def test_chart_specs_mirror_reference_figures(spark):
         ).collect()
     }
     assert dict(zip(slices["labels"], slices["values"])) == want_pie
+
+
+def test_check_on_write_single_pass_matches_two_pass(spark, tmp_path):
+    """The observed single-pass gate must produce the same violation
+    counts as the two-pass check_table, while the write itself
+    lands complete and readable."""
+    from marketviz_spark.pipelines.quality import (
+        accepted_range,
+        check_on_write,
+        check_table,
+        not_null,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 99.0), (None, 1.0)],
+        "id long, v double",
+    )
+    checks = [not_null("id"), not_null("v"), accepted_range("v", 0, 10)]
+    out = str(tmp_path / "gated")
+    got = check_on_write(df, out, checks)
+    expect = {
+        r["check"]: r["n_violations"]
+        for r in check_table(df, checks=checks).collect()
+    }
+    assert got == expect == {
+        "not_null(id)": 1,
+        "not_null(v)": 1,
+        "accepted_range(v,0,10)": 1,
+    }
+    assert spark.read.parquet(out).count() == 4
