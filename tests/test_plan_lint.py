@@ -1,0 +1,38 @@
+"""Registry-wide physical-plan lint: every query's executed plan is
+checked for the two antipatterns that are NEVER acceptable at scale,
+regardless of operator:
+
+- ``CartesianProduct`` — an unconstrained all-pairs product (a
+  broadcast nested-loop against a 1-row bound is fine and common
+  here; a true cartesian is always a bug);
+- ``BatchEvalPython`` — a row-at-a-time Python UDF in the plan (the
+  engine's contract is Arrow-vectorized Python only: mapInPandas /
+  applyInPandas / pandas UDFs).
+
+test_scale_plans pins ~40 queries' specific shapes; this sweep
+covers the whole registry so a NEW query can't ship with either
+antipattern unnoticed. Plans are built (not executed) at sf0.001 —
+planning cost only.
+"""
+
+from __future__ import annotations
+
+from marketviz_spark.registry import QUERIES
+from tests.conftest import SF_SMALL
+
+FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
+
+
+def test_no_query_plans_cartesian_or_rowwise_python(spark):
+    offenders: dict[str, list[str]] = {}
+    for name, qd in sorted(QUERIES.items()):
+        plan = (
+            qd.fn(spark, SF_SMALL)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        hits = [p for p in FORBIDDEN if p in plan]
+        if hits:
+            offenders[name] = hits
+    assert not offenders, offenders
