@@ -24,7 +24,8 @@ parity:
 	$(PY) tests/run_parity.py $(SF_PARITY)
 
 scale:
-	$(PY) -m pytest tests/test_scale_plans.py tests/test_sf_scaling.py -q
+	$(PY) -m pytest tests/test_scale_plans.py tests/test_sf_scaling.py \
+	    tests/test_plan_lint.py -q
 
 bench:
 	$(PY) bench.py

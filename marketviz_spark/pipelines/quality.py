@@ -186,3 +186,24 @@ def check_on_write(
     observed.write.mode("overwrite").parquet(path)
     got = obs.get
     return {c.name: int(got[c.name]) for c in checks}
+
+
+def observe_checks(
+    df: DataFrame, checks: list[Check], name: str = "dq_gate"
+) -> DataFrame:
+    """Attach the row-level violation counters to a dataframe
+    WITHOUT changing its rows — works on batch and STREAMING frames
+    alike. On a stream the counts surface per micro-batch in
+    StreamingQueryProgress.observedMetrics[name]: the continuous-
+    ingest health signal (null spikes, range drift) with zero extra
+    passes and zero state. Batch callers who also write should use
+    check_on_write (same counters, plus the Observation handle)."""
+    return df.observe(
+        name,
+        *[
+            F.sum(F.when(c.violation, 1).otherwise(0))
+            .cast("long")
+            .alias(c.name)
+            for c in checks
+        ],
+    )

@@ -739,3 +739,60 @@ def test_streaming_anomaly_flags_match_integer_rule(spark):
         n, s, q = n + 1, s + c, q + c * c
     # and the spike batch specifically must be flagged
     assert got[2] == (9, 1)
+
+
+def test_observed_stream_metrics_per_micro_batch(spark):
+    """observe_checks on a STREAM surfaces violation counts in each
+    micro-batch's StreamingQueryProgress.observedMetrics — two
+    staggered files, each with one null-user row, must report one
+    violation per batch and two in total."""
+    import time
+
+    import pyspark.sql.types as T
+
+    from marketviz_spark.pipelines.quality import not_null, observe_checks
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), False),
+            T.StructField("ts", T.LongType(), False),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+    ns = 10**9
+    base = 1704103200 * ns
+    batches = [
+        [(1, base + ns, 1, "click", 1.0, None),
+         (2, base + 2 * ns, None, "view", 2.0, None)],
+        [(3, base + 3 * ns, 2, "click", 3.0, None),
+         (4, base + 4 * ns, None, "view", 4.0, None)],
+    ]
+    with tempfile.TemporaryDirectory() as src:
+        now = time.time()
+        for i, rows in enumerate(batches):
+            f = os.path.join(src, f"b{i}.parquet")
+            spark.createDataFrame(rows, schema).toPandas().to_parquet(f)
+            os.utime(f, (now - 60 * (len(batches) - i),) * 2)
+        stream = read_events_stream(spark, src, max_files_per_trigger=1)
+        observed = observe_checks(stream, [not_null("user_id")])
+        q = (
+            observed.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("t_observed_gate")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            per_batch = [
+                p["observedMetrics"]["dq_gate"]["not_null(user_id)"]
+                for p in q.recentProgress
+                if p.get("observedMetrics", {}).get("dq_gate")
+            ]
+        finally:
+            q.stop()
+    assert per_batch == [1, 1], per_batch
+    # and the rows themselves passed through untouched
+    assert spark.sql("SELECT count(*) FROM t_observed_gate").first()[0] == 4
