@@ -83,6 +83,7 @@ _FIRST = [
     "ts_corr_pairs",
     "ts_corr_pairs_sketched",
     "ts_corr_recall",
+    "w_rolling_range_7d",
     # touched in round 6 (brute-force cap added in similarity.py)
     "emb_cosine_topk",
     # driver row last green in r04 (the full r04 \ r05 set); a ~50

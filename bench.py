@@ -107,6 +107,8 @@ BENCH_QUERIES = [
     # sign-of-move sketch tier)
     "ts_corr_pairs",
     "ts_corr_pairs_sketched",
+    # round-6 batch 7: calendar-aware RANGE window frame
+    "w_rolling_range_7d",
 ]
 
 

@@ -2372,6 +2372,72 @@ def _corr_sketched_sql(universe: str) -> str:
 
 
 @register(
+    "w_rolling_range_7d",
+    tables.oracle_cte()
+    + """
+    SELECT ticker, date,
+           CAST(n7 AS BIGINT) AS n_in_window,
+           CAST(c7 AS DOUBLE) / (100.0 * n7) AS avg_7d,
+           CAST(mx AS DOUBLE) / 100.0 AS max_7d
+    FROM (
+        SELECT ticker, date,
+               count(*) OVER w AS n7,
+               sum(cents) OVER w AS c7,
+               max(cents) OVER w AS mx
+        FROM (
+            SELECT ticker, date,
+                   CAST(floor(share_price * 100 + 0.5) AS BIGINT)
+                       AS cents,
+                   datediff('day', DATE '1992-01-01',
+                            CAST(date AS DATE)) AS day_num
+            FROM stocks
+        )
+        WINDOW w AS (PARTITION BY ticker ORDER BY day_num
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    """,
+    survey="calendar-aware rolling window: RANGE frame over day numbers, so gaps in trading days shrink the window instead of reaching back 7 ROWS (window-frame extension)",
+)
+def q_w_rolling_range_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frame kind the ROWS family can't express: a 7-DAY window
+    over a sparse series. `rowsBetween(-6, 0)` on thin tickers
+    reaches back months; the RANGE frame over an integer day number
+    includes exactly the rows within 6 calendar days. Cents-integer
+    sums keep the average bit-exact across engines; the window is
+    ticker-partitioned (uniform), one shuffle."""
+    s = tables.stocks(spark, sf_dir)
+    day_num = F.datediff(F.to_date("date"), F.lit("1992-01-01")).cast(
+        "long"
+    )
+    cents = F.floor(F.col("share_price") * 100 + F.lit(0.5)).cast("long")
+    w = (
+        Window.partitionBy("ticker")
+        .orderBy("day_num")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return (
+        s.select(
+            "ticker",
+            "date",
+            cents.alias("cents"),
+            day_num.alias("day_num"),
+        )
+        .select(
+            "ticker",
+            "date",
+            F.count("*").over(w).cast("long").alias("n_in_window"),
+            (
+                F.sum("cents").over(w).cast("double")
+                / (F.lit(100.0) * F.count("*").over(w))
+            ).alias("avg_7d"),
+            (F.max("cents").over(w).cast("double") / F.lit(100.0)).alias(
+                "max_7d"
+            ),
+        )
+    )
+
+
+@register(
     "ts_corr_pairs",
     tables.oracle_cte() + _corr_exact_sql(CORR_UNIVERSE_MAX) + _CORR_TOPK_SQL,
     survey="time-series similarity search: top-k price-correlated ticker pairs, universe-bounded date-bucketed candidates, decimal-exact co-moments (cross-series extension)",

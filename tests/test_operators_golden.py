@@ -252,3 +252,34 @@ def test_corr_pairs_sketched_finds_lockstep_pair(spark):
     got = {(r["ticker_a"], r["ticker_b"]): r["corr"] for r in out.collect()}
     assert got[("T00001", "T00002")] == 1.0
     assert ("T00001", "T00003") not in got  # inverted bits: no bucket
+
+
+def test_rolling_range_frame_respects_calendar_gaps(spark):
+    """A ticker trading on days 1, 2, then 10: the day-10 row's
+    7-day RANGE window contains ONLY itself (the gap excludes the
+    old rows), where a ROWS(-6,0) frame would wrongly reach back."""
+    from marketviz_spark.registry import QUERIES, tables
+
+    rows = [
+        ("TGAP", "1995-01-01", 10.0, 1.0, 1.0),
+        ("TGAP", "1995-01-02", 20.0, 1.0, 1.0),
+        ("TGAP", "1995-01-10", 40.0, 1.0, 1.0),
+    ]
+    import unittest.mock as mock
+
+    stocks = spark.createDataFrame(
+        rows,
+        "ticker string, date string, share_price double,"
+        " market_cap double, effective_shares_outstanding double",
+    )
+    with mock.patch.object(tables, "stocks", return_value=stocks):
+        out = {
+            r["date"]: r
+            for r in QUERIES["w_rolling_range_7d"].fn(spark, "ignored")
+            .collect()
+        }
+    assert out["1995-01-01"]["n_in_window"] == 1
+    assert out["1995-01-02"]["n_in_window"] == 2
+    assert out["1995-01-02"]["avg_7d"] == 15.0
+    assert out["1995-01-10"]["n_in_window"] == 1  # gap-aware
+    assert out["1995-01-10"]["avg_7d"] == 40.0
