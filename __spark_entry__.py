@@ -37,6 +37,9 @@ _FIRST = [
     # NEW in round 6 — no driver row exists yet, so these outrank
     # every refresh: a one-round-stale green row is still evidence,
     # a never-run query is invisible to the correctness record.
+    # Batch 5 (session continuation)
+    "events_asof_prev",
+    "sample_pps",
     # Batch 1 (OLAP anchors: decorrelation, HAVING semi-join,
     # nation-pair volume, returned-revenue top-k, grouping sets,
     # argmin-per-group)

@@ -479,6 +479,66 @@ def sample_stratified(docs: DataFrame) -> DataFrame:
     )
 
 
+PPS_TARGET_K = 100
+PPS_WEIGHT_SCALE = 1_000_000
+
+
+def sample_pps(docs: DataFrame, target_k: int = PPS_TARGET_K) -> DataFrame:
+    """Poisson probability-proportional-to-size sampling: each
+    document is kept independently with probability
+    p_i = min(1, k * w_i / W) where w_i = n_chars and W = sum(w) —
+    big documents (more training tokens) are proportionally more
+    likely to be audited/sampled, and the emitted Horvitz-Thompson
+    inclusion weight (ppm of 1/p_i) makes any sum over the sample an
+    unbiased estimate of the corpus total. Expected sample size is
+    ~k (exactly k in expectation when no p_i caps at 1).
+
+    Determinism/exactness: the keep decision is
+    ``lehmer_hash(lehmer_hash(doc_id)) < floor(k * w_i * LEHMER_MOD
+    DIV W)`` — pure int64 arithmetic (k*w_i*MOD fits int64 for w_i
+    up to ~4e7 chars), identical on Spark and the SQL oracle, stable
+    across re-runs; no rand(). TWO Lehmer steps, not one: the keep
+    test compares the hash against a LARGE threshold, and one step
+    of sequential ids is id*48271 — small ids land uniformly in the
+    LOW range and would all be kept (the pct-bucket ops survive one
+    step because `% 100` only reads the low digits).
+
+    Scale: map-only over the corpus plus ONE scalar aggregate for W
+    (catalog stats in production); the scalar is cross-joined as a
+    1-row broadcast, so there is no data shuffle at all.
+    """
+    total = docs.agg(
+        F.sum("n_chars").cast("long").alias("_total_chars")
+    )
+    thr_raw = F.expr(
+        f"({target_k} * n_chars * {LEHMER_MOD}) DIV _total_chars"
+    )
+    # p_i caps at 1: threshold clamps to MOD (hash is always < MOD).
+    thr = F.least(thr_raw, F.lit(LEHMER_MOD)).cast("long")
+    return (
+        docs.crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            thr.alias("_thr"),
+        )
+        .filter(
+            lehmer_hash(lehmer_hash(F.col("doc_id"))) < F.col("_thr")
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.expr(
+                f"{LEHMER_MOD * PPS_WEIGHT_SCALE}L DIV _thr"
+            )
+            .cast("long")
+            .alias("ht_weight_ppm"),
+        )
+    )
+
+
 RARITY_SCALE = 1_000_000
 
 

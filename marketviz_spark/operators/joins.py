@@ -135,3 +135,65 @@ def asof_walkback(
             "composition"
         ),
     )
+
+
+def asof_prev_event(
+    events: DataFrame,
+    left_type: str = "error",
+    right_type: str = "click",
+) -> DataFrame:
+    """Generic timestamp AS-OF join at the event grain: every
+    ``left_type`` event annotated with the most recent ``right_type``
+    event by the same user at or before it (trade/quote semantics —
+    pandas ``merge_asof`` / kdb ``aj``, unbounded lookback; the
+    bounded-interval variant is ``streaming.joins.
+    click_error_pairs_batch``).
+
+    Reference parity: the reference app has no event stream; this is
+    an engine extension (SURVEY §2.9) reusing J3's union + last(
+    ignorenulls) dataflow (``asof_walkback`` above) at data grain.
+
+    Implemented with ZERO joins: union-tag both event types, one
+    window keyed by user ordered by (ts, event_id), and
+    ``last(..., ignorenulls=True)`` carries the right side forward.
+    "Preceding" means earlier in (ts, event_id) order, so a right
+    event sharing the exact timestamp with a lower event_id counts
+    — deterministic on both engines.
+
+    Scale: a sort-merge as-of via ONE shuffle on user_id (the
+    interval-join alternative shuffles both sides AND explodes on
+    range overlap). Partitions are bounded by per-user event counts;
+    user_id is uniform in the testdata, and a skewed power-user key
+    would be salted upstream exactly like operators/skew.py does.
+    """
+    both = events.filter(
+        F.col("event_type").isin(left_type, right_type)
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    right_val = F.when(
+        F.col("event_type") == right_type, F.col("value")
+    )
+    right_ts = F.when(F.col("event_type") == right_type, F.col("ts"))
+    annotated = both.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts"),
+        F.last(right_val, ignorenulls=True).over(w).alias("prev_value"),
+        F.last(right_ts, ignorenulls=True).over(w).alias("_prev_ts"),
+    )
+    us = lambda c: (F.unix_micros(c)).cast("long")  # noqa: E731
+    return (
+        annotated.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("event_id").alias("left_id"),
+            "user_id",
+            us(F.col("ts")).alias("ts_us"),
+            F.col("prev_value"),
+            (us(F.col("ts")) - us(F.col("_prev_ts"))).alias("gap_us"),
+        )
+    )

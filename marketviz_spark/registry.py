@@ -3396,3 +3396,38 @@ def q_events_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = tables.load_events(spark, sf_dir)
     return enrich(ev, user_profile(ev))
+
+
+@register(
+    "events_asof_prev",
+    """
+    WITH u AS (
+        SELECT event_id, user_id, event_type, value,
+               epoch_us(ts) AS ts_us
+        FROM events WHERE event_type IN ('click', 'error')
+    ), lv AS (
+        SELECT *,
+            last_value(CASE WHEN event_type = 'click' THEN value END
+                       IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS prev_value,
+            last_value(CASE WHEN event_type = 'click' THEN ts_us END
+                       IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS prev_ts_us
+        FROM u
+    )
+    SELECT event_id AS left_id, user_id,
+           CAST(ts_us AS BIGINT) AS ts_us,
+           prev_value,
+           CAST(ts_us - prev_ts_us AS BIGINT) AS gap_us
+    FROM lv WHERE event_type = 'error'
+    """,
+    survey="generic timestamp AS-OF join (trade/quote semantics, unbounded lookback) — union+window sort-merge, zero joins (§2.3/§2.9 extension)",
+)
+def q_events_asof_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.joins import asof_prev_event
+
+    return asof_prev_event(tables.load_events(spark, sf_dir))

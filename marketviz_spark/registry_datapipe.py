@@ -1202,6 +1202,38 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_stratified(tables.load(spark, sf_dir, "documents"))
 
 
+from .datapipe.curation import (  # noqa: E402
+    PPS_TARGET_K,
+    PPS_WEIGHT_SCALE,
+    sample_pps,
+)
+
+
+@register(
+    "sample_pps",
+    f"""
+    WITH tot AS (
+        SELECT CAST(sum(n_chars) AS BIGINT) AS w FROM documents
+    ), t AS (
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+               least(({PPS_TARGET_K} * n_chars * {LEHMER_MOD}) // w,
+                     {LEHMER_MOD}) AS thr
+        FROM documents, tot
+    )
+    SELECT doc_id, source, n_chars,
+           CAST({LEHMER_MOD * PPS_WEIGHT_SCALE} // thr AS BIGINT)
+               AS ht_weight_ppm
+    FROM t
+    WHERE ((doc_id % {LEHMER_MOD} + {LEHMER_MOD}) % {LEHMER_MOD})
+          * {LEHMER_MUL} % {LEHMER_MOD}
+          * {LEHMER_MUL} % {LEHMER_MOD} < thr
+    """,
+    survey="Poisson PPS sampling with Horvitz-Thompson weights: size-biased corpus auditing, map-only + one scalar agg (datapipe curation)",
+)
+def q_sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_pps(tables.load(spark, sf_dir, "documents"))
+
+
 # ----------------------------------------------------------------------
 # Sequence packing, PII, vocabulary (datapipe curation)
 # ----------------------------------------------------------------------

@@ -699,3 +699,36 @@ def test_batch4_ops_empty_corpus_yield_empty_not_error(spark):
         token_coverage_curve,
     ):
         assert fn(empty).count() == 0, fn.__name__
+
+
+def test_sample_pps_size_bias_weights_determinism(spark):
+    """Poisson PPS: deterministic re-run, sample is a subset, HT
+    weight >= 1e6 ppm (p <= 1), big docs sampled at a higher rate
+    than small ones, and a doc with w_i >= W/k (p capped at 1) is
+    ALWAYS in the sample with exactly 1e6 ppm weight."""
+    from marketviz_spark.datapipe.curation import sample_pps
+
+    # 400 small docs (10 chars) + 1 mega doc (> W/k chars for k=100)
+    rows = [(i, "x" * 10, "small") for i in range(400)]
+    rows.append((9999, "y" * 2000, "mega"))
+    docs = _docs(spark, rows)
+    got1 = sorted(
+        (r["doc_id"], r["ht_weight_ppm"])
+        for r in sample_pps(docs, target_k=100).collect()
+    )
+    got2 = sorted(
+        (r["doc_id"], r["ht_weight_ppm"])
+        for r in sample_pps(docs, target_k=100).collect()
+    )
+    assert got1 == got2 and len(got1) > 0
+    ids = {d for d, _ in got1}
+    assert ids <= {i for i, _, _ in rows} | {9999}
+    assert all(w >= 1_000_000 for _, w in got1)
+    # mega doc: w_i*k = 2000*100 = 200k > W = 400*10 + 2000 = 6000
+    # -> p capped at 1, always present, weight exactly 1e6 ppm
+    mega = [w for d, w in got1 if d == 9999]
+    assert mega == [1_000_000]
+    # small docs: p = 100*10/6000 = 1/6 -> expect ~67 of 400; the
+    # Lehmer hash is uniform enough that [20, 140] is a safe band
+    n_small = len(got1) - 1
+    assert 20 <= n_small <= 140

@@ -283,3 +283,41 @@ def test_rolling_range_frame_respects_calendar_gaps(spark):
     assert out["1995-01-02"]["avg_7d"] == 15.0
     assert out["1995-01-10"]["n_in_window"] == 1  # gap-aware
     assert out["1995-01-10"]["avg_7d"] == 40.0
+
+
+def test_asof_prev_event_semantics(spark):
+    """Generic timestamp as-of join: unbounded lookback, per-user
+    isolation, NULL before the first right-side event, and the
+    (ts, event_id) tie rule — a click sharing the error's exact
+    timestamp counts as preceding iff its event_id is lower."""
+    from marketviz_spark.operators.joins import asof_prev_event
+
+    rows = [
+        # event_id, ts, user_id, event_type, value
+        (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        (2, "2024-01-01 10:05:00", 1, "error", 0.0),   # prev=1.0
+        (3, "2024-01-01 10:06:00", 1, "click", 2.0),
+        (4, "2024-01-01 11:00:00", 1, "error", 0.0),   # prev=2.0 (unbounded)
+        (5, "2024-01-01 09:00:00", 2, "error", 0.0),   # no click for u2
+        (6, "2024-01-01 12:00:00", 3, "click", 7.0),   # same-ts tie:
+        (7, "2024-01-01 12:00:00", 3, "error", 0.0),   # click id 6 < 7
+        (8, "2024-01-01 13:00:00", 3, "view", 9.9),    # ignored type
+        (9, "2024-01-01 14:00:00", 3, "error", 0.0),   # still prev=7.0
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, "
+        "event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r["left_id"]: r for r in asof_prev_event(ev).collect()
+    }
+    assert set(got) == {2, 4, 5, 7, 9}
+    assert got[2]["prev_value"] == 1.0
+    assert got[2]["gap_us"] == 300_000_000
+    assert got[4]["prev_value"] == 2.0
+    assert got[5]["prev_value"] is None
+    assert got[5]["gap_us"] is None
+    assert got[7]["prev_value"] == 7.0
+    assert got[7]["gap_us"] == 0
+    assert got[9]["prev_value"] == 7.0
