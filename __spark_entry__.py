@@ -40,6 +40,8 @@ _FIRST = [
     # Batch 5 (session continuation)
     "events_asof_prev",
     "sample_pps",
+    "bpe_merge_pairs",
+    "decontam_embedding",
     # Batch 1 (OLAP anchors: decorrelation, HAVING semi-join,
     # nation-pair volume, returned-revenue top-k, grouping sets,
     # argmin-per-group)

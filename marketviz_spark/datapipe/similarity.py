@@ -767,3 +767,61 @@ def ann_recall(emb: DataFrame, k: int = 3) -> DataFrame:
             .alias("recall_ppm"),
         )
     )
+
+
+# Embedding-space decontamination: corpus vectors too close to an
+# evaluation/benchmark vector are flagged (the semantic analogue of
+# curation.decontaminate's shingle overlap — catches paraphrased or
+# re-encoded benchmark leakage that exact n-grams miss). The eval
+# set here is the vec_id % DECONTAM_EVAL_MOD == 0 slice standing in
+# for a real benchmark embedding table; the threshold compares the
+# 6dp-ROUNDED cosine so the boundary is engine-exact.
+DECONTAM_EVAL_MOD = 50
+DECONTAM_TAU = 0.35
+
+
+def embedding_decontaminate(
+    emb: DataFrame,
+    eval_mod: int = DECONTAM_EVAL_MOD,
+    tau: float = DECONTAM_TAU,
+) -> DataFrame:
+    """Flag corpus embeddings within cosine ``tau`` of ANY eval
+    embedding; emit per-vector hit count and max eval cosine so the
+    audit is threshold-tunable downstream without recomputation.
+
+    Scale: the eval set is benchmark-sized (thousands, not corpus-
+    scale) — broadcast it and the corpus side stays a single
+    map-only pass (rows x |eval| vectorized dot products, no
+    shuffle). At very large eval sets, route through the IVF/LSH
+    candidate path exactly like dedup_embedding_pairs instead of
+    the dense broadcast.
+    """
+    n = with_norm(emb)
+    ev = n.filter(F.pmod(F.col("vec_id"), F.lit(eval_mod)) == 0).select(
+        F.col("_v").alias("_ev_v"), F.col("_norm").alias("_ev_n")
+    )
+    corp = n.filter(F.pmod(F.col("vec_id"), F.lit(eval_mod)) != 0)
+    cos = rnd(
+        _dot(F.col("_v"), F.col("_ev_v"))
+        / (F.col("_norm") * F.col("_ev_n")),
+        6,
+    )
+    pairs = corp.crossJoin(F.broadcast(ev)).select(
+        "vec_id", "label", cos.alias("_cos")
+    )
+    return (
+        pairs.groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.when(F.col("_cos") >= tau, 1).otherwise(0))
+            .cast("long")
+            .alias("n_eval_hits"),
+            F.max("_cos").alias("max_eval_cosine"),
+        )
+        .select(
+            "vec_id",
+            F.col("label").cast("int").alias("label"),
+            "n_eval_hits",
+            "max_eval_cosine",
+            (F.col("n_eval_hits") > 0).alias("contaminated"),
+        )
+    )

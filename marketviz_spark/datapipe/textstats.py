@@ -9,7 +9,7 @@ plan: no shuffle at all for per-document features.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..numerics import rnd
@@ -126,4 +126,42 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         F.md5(F.col("text")).alias("fp_md5"),
         F.md5(norm).alias("fp_norm_md5"),
         F.substring(F.md5(F.col("text")), 1, 8).alias("fp_prefix"),
+    )
+
+
+MERGE_TOPK = 50
+
+
+def merge_pair_topk(docs: DataFrame, k: int = MERGE_TOPK) -> DataFrame:
+    """Top-K adjacent-token-pair merge candidates — the counting
+    step of ONE BPE merge iteration (the pair a tokenizer trainer
+    would fuse next), over whitespace tokens. A full BPE train
+    iterates this; one distributed iteration is the engine-shaped
+    piece, and its output ranks the corpus's strongest collocations.
+
+    Scale: pair extraction is map-only (zip_with over two shifted
+    slices — no explode-then-self-join); the count is a two-phase
+    groupBy whose map-side combine absorbs hot-pair skew; top-K is
+    TakeOrdered (no global sort), and the rank window runs over the
+    K-row result only.
+    """
+    t = tokens()
+    pairs_col = F.when(
+        F.size(t) >= 2,
+        F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pr = docs.select(F.explode(pairs_col).alias("pair"))
+    counts = pr.groupBy("pair").agg(
+        F.count("*").cast("long").alias("n_occ")
+    )
+    top = counts.orderBy(F.desc("n_occ"), F.asc("pair")).limit(k)
+    w = Window.orderBy(F.desc("n_occ"), F.asc("pair"))
+    return top.select(
+        "pair",
+        "n_occ",
+        F.row_number().over(w).cast("int").alias("rank"),
     )

@@ -174,6 +174,30 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(tables.load(spark, sf_dir, "documents"))
 
 
+@register(
+    "bpe_merge_pairs",
+    f"WITH {TOKS_CTE},"
+    + """
+    pr AS (
+        SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i+1])) AS pair
+        FROM toks WHERE len(t) >= 2
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS n_occ,
+           CAST(row_number() OVER (ORDER BY count(*) DESC, pair)
+                AS INT) AS rank
+    FROM pr GROUP BY pair
+    ORDER BY n_occ DESC, pair
+    LIMIT 50
+    """,
+    survey="BPE merge-candidate mining: corpus-wide adjacent-pair counts, one distributed tokenizer-training iteration (datapipe)",
+)
+def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .datapipe.textstats import merge_pair_topk
+
+    return merge_pair_topk(tables.load(spark, sf_dir, "documents"))
+
+
 # ----------------------------------------------------------------------
 # Deduplication
 # ----------------------------------------------------------------------
@@ -517,6 +541,39 @@ v AS (
 )
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(tables.load(spark, sf_dir, "embeddings"), k=5)
+
+
+@register(
+    "decontam_embedding",
+    f"WITH {_VEC_CTE}"
+    + """
+    , ev AS (
+        SELECT vec AS ev_v, nrm AS ev_n FROM v WHERE vec_id % 50 = 0
+    ), pairs AS (
+        SELECT c.vec_id, e.label,
+               floor(list_dot_product(c.vec, ev.ev_v)
+                     / (c.nrm * ev.ev_n) * 1000000.0 + 0.5)
+                   / 1000000.0 AS cos
+        FROM v c
+        JOIN embeddings e ON e.vec_id = c.vec_id, ev
+        WHERE c.vec_id % 50 <> 0
+    )
+    SELECT vec_id, CAST(label AS INT) AS label,
+           CAST(sum(CASE WHEN cos >= 0.35 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_eval_hits,
+           max(cos) AS max_eval_cosine,
+           sum(CASE WHEN cos >= 0.35 THEN 1 ELSE 0 END) > 0
+               AS contaminated
+    FROM pairs GROUP BY vec_id, label
+    """,
+    survey="embedding-space decontamination vs a broadcast benchmark set: semantic leakage the exact-shingle decontaminate misses (datapipe curation)",
+)
+def q_decontam_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .datapipe.similarity import embedding_decontaminate
+
+    return embedding_decontaminate(
+        tables.load(spark, sf_dir, "embeddings")
+    )
 
 
 def _table_key_sql(t: int, bits: int) -> str:

@@ -790,3 +790,56 @@ def test_cluster_size_histogram_partitions_corpus(spark):
         assert r["dup_docs"] == r["n_docs"] - r["n_clusters"]
     two = [r for r in out if r["cluster_size"] == 2]
     assert len(two) == 1 and two[0]["n_clusters"] == 1
+
+
+def test_bpe_merge_pairs_counts_and_rank(spark):
+    """Adjacent-pair mining: 'a b' appears 3x (twice in doc0 via
+    overlap-free repeats, once in doc1), single-token and empty docs
+    contribute nothing, rank is (count desc, pair asc)."""
+    from marketviz_spark.datapipe.textstats import merge_pair_topk
+
+    docs = _docs(
+        spark,
+        [
+            "a b c a b",   # pairs: a b, b c, c a, a b
+            "a b",         # pair: a b
+            "solo",        # no pair
+            "",            # no pair
+        ],
+    )
+    rows = merge_pair_topk(docs, k=10).collect()
+    got = {r["pair"]: (r["n_occ"], r["rank"]) for r in rows}
+    assert got["a b"] == (3, 1)
+    assert got["b c"] == (1, 2)  # ties by pair asc: 'b c' < 'c a'
+    assert got["c a"] == (1, 3)
+    assert len(rows) == 3
+
+
+def test_embedding_decontaminate_flags_near_eval(spark):
+    """A corpus vector equal to an eval vector is contaminated
+    (cosine 1.0); an orthogonal one is not; eval vectors themselves
+    (vec_id % mod == 0) never appear in the output."""
+    from marketviz_spark.datapipe.similarity import (
+        embedding_decontaminate,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),   # eval (id % 4 == 0)
+        (1, [1.0, 0.0, 0.0, 0.0], 0),   # corpus == eval -> hit
+        (2, [0.0, 1.0, 0.0, 0.0], 1),   # orthogonal -> clean
+        (3, [0.9, 0.1, 0.0, 0.0], 0),   # cos ~0.994 -> hit
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v], l) for i, v, l in rows],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {
+        r["vec_id"]: r
+        for r in embedding_decontaminate(
+            emb, eval_mod=4, tau=0.9
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1]["contaminated"] and got[1]["max_eval_cosine"] == 1.0
+    assert not got[2]["contaminated"] and got[2]["n_eval_hits"] == 0
+    assert got[3]["contaminated"] and got[3]["n_eval_hits"] == 1
