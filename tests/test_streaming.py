@@ -796,3 +796,72 @@ def test_observed_stream_metrics_per_micro_batch(spark):
     assert per_batch == [1, 1], per_batch
     # and the rows themselves passed through untouched
     assert spark.sql("SELECT count(*) FROM t_observed_gate").first()[0] == 4
+
+
+def test_stream_upsert_sink_last_writer_wins_and_idempotent(spark):
+    """foreachBatch keyed-upsert sink: two staggered files force two
+    micro-batches with an overlapping key; the final table holds one
+    row per key with the LATEST value (within-batch dups collapse by
+    order_col first), and replaying the whole stream into the same
+    table from a fresh checkpoint converges to the identical state
+    (the at-least-once -> effectively-exactly-once argument)."""
+    import time
+
+    import pyspark.sql.types as T
+
+    from marketviz_spark.streaming.sinks import run_upsert_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), False),
+            T.StructField("ts", T.LongType(), False),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+    ns = 10**9
+    base = 1704103200 * ns
+    batch1 = [
+        (1, base + 60 * ns, 1, "click", 1.0, None),
+        (1, base + 90 * ns, 1, "click", 1.5, None),  # in-batch dup,
+        (2, base + 120 * ns, 1, "view", 2.0, None),  # later ts wins
+    ]
+    batch2 = [
+        (1, base + 240 * ns, 1, "click", 9.0, None),  # update key 1
+        (3, base + 300 * ns, 2, "view", 3.0, None),   # new key
+    ]
+
+    def final_table(src, out, ck):
+        os.makedirs(src, exist_ok=True)
+        f1 = os.path.join(src, "a.parquet")
+        f2 = os.path.join(src, "b.parquet")
+        spark.createDataFrame(batch1, schema).toPandas().to_parquet(f1)
+        spark.createDataFrame(batch2, schema).toPandas().to_parquet(f2)
+        now = time.time()
+        os.utime(f1, (now - 60, now - 60))
+        os.utime(f2, (now, now))
+        stream = read_events_stream(spark, src, max_files_per_trigger=1)
+        run_upsert_stream(
+            stream, out, ["event_id"], ck, order_col="ts"
+        )
+        return {
+            r["event_id"]: r["value"]
+            for r in spark.read.parquet(out).collect()
+        }
+
+    with tempfile.TemporaryDirectory() as d:
+        got1 = final_table(
+            os.path.join(d, "src1"),
+            os.path.join(d, "out"),
+            os.path.join(d, "ck1"),
+        )
+        assert got1 == {1: 9.0, 2: 2.0, 3: 3.0}
+        # full replay, fresh checkpoint, SAME output table
+        got2 = final_table(
+            os.path.join(d, "src2"),
+            os.path.join(d, "out"),
+            os.path.join(d, "ck2"),
+        )
+        assert got2 == got1
