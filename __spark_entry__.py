@@ -42,6 +42,8 @@ _FIRST = [
     "sample_pps",
     "bpe_merge_pairs",
     "decontam_embedding",
+    "events_bars_incremental",
+    "price_equidepth_hist",
     # Batch 1 (OLAP anchors: decorrelation, HAVING semi-join,
     # nation-pair volume, returned-revenue top-k, grouping sets,
     # argmin-per-group)

@@ -56,3 +56,73 @@ def composition_array(
     return F.transform(sorted_structs, lambda s: s.getField("t")).alias(
         "composition_arr"
     )
+
+
+def equidepth_hist(stocks_df, price_col: str = "share_price"):
+    """Equi-depth (quartile) histogram of a price column: exact
+    ``percentile_disc`` boundaries, then per-bucket count/min/max
+    and an order-free exact sum.
+
+    Boundaries are NOT computed with the buffering percentile
+    aggregate (which collects values per group — a driver/executor
+    OOM at fact scale). Prices are 2-dp, so the distinct CENTS
+    domain is bounded (~price-range x 100 values): aggregate the
+    cents histogram (tiny), cumsum it over the bounded domain, and
+    read b_q = min cents with cume_dist >= q off the cumsum with
+    integer-exact tests (4*cum >= n for q=.25 — no float q*n). Same
+    value ``percentile_disc``/DuckDB ``quantile_disc`` return,
+    linear scan + one bounded-domain window.
+    """
+    from pyspark.sql import DataFrame, Window  # local: avoid cycle
+
+    cents = F.floor(F.col(price_col) * 100 + F.lit(0.5)).cast("long")
+    hist = stocks_df.groupBy(cents.alias("_c")).agg(
+        F.count("*").alias("_k")
+    )
+    w = Window.orderBy("_c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "_c",
+        F.sum("_k").over(w).alias("_cum"),
+        F.sum("_k").over(
+            Window.orderBy("_c").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_n"),
+    )
+    bounds = cum.agg(
+        F.min(F.when(4 * F.col("_cum") >= F.col("_n"), F.col("_c")))
+        .alias("_b1"),
+        F.min(F.when(2 * F.col("_cum") >= F.col("_n"), F.col("_c")))
+        .alias("_b2"),
+        F.min(
+            F.when(4 * F.col("_cum") >= 3 * F.col("_n"), F.col("_c"))
+        ).alias("_b3"),
+    )
+    tagged = stocks_df.withColumn("_c", cents).crossJoin(
+        F.broadcast(bounds)
+    )
+    bucket = (
+        F.lit(1)
+        + (F.col("_c") > F.col("_b1")).cast("int")
+        + (F.col("_c") > F.col("_b2")).cast("int")
+        + (F.col("_c") > F.col("_b3")).cast("int")
+    )
+    return (
+        tagged.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            (F.min("_c") / 100.0).alias("min_price"),
+            (F.max("_c") / 100.0).alias("max_price"),
+            F.sum(F.col("_c").cast("decimal(28,2)"))
+            .alias("_sum_cents"),
+        )
+        .select(
+            "bucket",
+            "n_rows",
+            "min_price",
+            "max_price",
+            (F.col("_sum_cents") / 100).cast("double").alias("sum_price"),
+        )
+    )

@@ -3431,3 +3431,121 @@ def q_events_asof_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.joins import asof_prev_event
 
     return asof_prev_event(tables.load_events(spark, sf_dir))
+
+
+@register(
+    "events_bars_incremental",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+               AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    survey="incremental materialized-view maintenance: merge a new batch's partial bars into stored bars without re-scanning history; oracle is the DIRECT aggregate, so parity proves merge(old, delta) == recompute (engine extension)",
+)
+def q_events_bars_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Materialized-view maintenance for the hourly-bars table: the
+    stored view holds bars for everything BEFORE the cutoff; a new
+    batch (events at/after the cutoff) is aggregated alone and
+    MERGED into the view by bar key — every aggregate here is
+    decomposable (count/sum re-add, min/max re-min), so the merge
+    needs only a full-outer join at BAR grain, never the raw
+    history. The stored partial keeps the DECIMAL sum (what a real
+    incremental view persists) so re-merging stays order-free exact;
+    the double cast happens once, at presentation.
+
+    Scale: this is the nightly-ingest shape — history cost is the
+    view's own size (bar grain, ~keys x hours, tiny vs raw), batch
+    cost is one batch-sized aggregation + join. With the bars table
+    date-partitioned, dynamic partition overwrite rewrites only the
+    hours the batch touched. The oracle aggregates ALL raw events
+    directly: hash parity proves merge(old, delta) == recompute.
+    """
+    cutoff = "2024-01-16 00:00:00"
+    ev = tables.load_events(spark, sf_dir)
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_format(
+                F.date_trunc("hour", F.col("ts")),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("window_start"),
+            "event_type",
+        ).agg(
+            F.count("*").alias("_n"),
+            F.sum(F.col("value").cast("decimal(28,10)")).alias("_s"),
+            F.min("value").alias("_mn"),
+            F.max("value").alias("_mx"),
+        )
+
+    stored = partial(ev.filter(F.col("ts") < F.lit(cutoff)))
+    delta = partial(ev.filter(F.col("ts") >= F.lit(cutoff)))
+    o, d = stored.alias("o"), delta.alias("d")
+    merged = o.join(
+        d,
+        (F.col("o.window_start") == F.col("d.window_start"))
+        & (F.col("o.event_type") == F.col("d.event_type")),
+        "full_outer",
+    )
+    zero_l = F.lit(0).cast("long")
+    zero_d = F.lit(0).cast("decimal(28,10)")
+    return merged.select(
+        F.coalesce(F.col("o.window_start"), F.col("d.window_start"))
+        .alias("window_start"),
+        F.coalesce(F.col("o.event_type"), F.col("d.event_type"))
+        .alias("event_type"),
+        (
+            F.coalesce(F.col("o._n"), zero_l)
+            + F.coalesce(F.col("d._n"), zero_l)
+        )
+        .cast("long")
+        .alias("n_events"),
+        (
+            F.coalesce(F.col("o._s"), zero_d)
+            + F.coalesce(F.col("d._s"), zero_d)
+        )
+        .cast("double")
+        .alias("sum_value"),
+        F.least(F.col("o._mn"), F.col("d._mn")).alias("min_value"),
+        F.greatest(F.col("o._mx"), F.col("d._mx")).alias("max_value"),
+    )
+
+
+@register(
+    "price_equidepth_hist",
+    oracle_cte()
+    + """
+    , c AS (
+        SELECT CAST(floor(share_price * 100 + 0.5) AS BIGINT) AS c
+        FROM stocks
+    ), b AS (
+        SELECT quantile_disc(c, 0.25) AS b1,
+               quantile_disc(c, 0.50) AS b2,
+               quantile_disc(c, 0.75) AS b3
+        FROM c
+    )
+    SELECT CAST(1 + CAST(c > b1 AS INT) + CAST(c > b2 AS INT)
+                + CAST(c > b3 AS INT) AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(c) / 100.0 AS min_price,
+           max(c) / 100.0 AS max_price,
+           CAST(sum(CAST(c AS DECIMAL(28,2))) / 100 AS DOUBLE)
+               AS sum_price
+    FROM c, b GROUP BY 1
+    """,
+    survey="equi-depth quartile histogram with exact percentile_disc boundaries computed from the bounded cents-domain cumsum, not a buffering percentile aggregate (OLAP extension)",
+)
+def q_price_equidepth_hist(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.aggregates import equidepth_hist
+
+    return equidepth_hist(tables.stocks(spark, sf_dir))

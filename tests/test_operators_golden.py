@@ -321,3 +321,25 @@ def test_asof_prev_event_semantics(spark):
     assert got[7]["prev_value"] == 7.0
     assert got[7]["gap_us"] == 0
     assert got[9]["prev_value"] == 7.0
+
+
+def test_equidepth_hist_quartile_boundaries(spark):
+    """percentile_disc boundaries off the cents cumsum: 8 uniform
+    prices split 2/2/2/2, boundary values land in the LOWER bucket
+    (b_q = smallest value with cume_dist >= q)."""
+    from marketviz_spark.operators.aggregates import equidepth_hist
+
+    rows = [(f"T{i}", f"2024-01-0{i}", i / 100.0) for i in range(1, 9)]
+    df = spark.createDataFrame(
+        rows, "ticker string, date string, share_price double"
+    )
+    got = {
+        r["bucket"]: (r["n_rows"], r["min_price"], r["max_price"])
+        for r in equidepth_hist(df).collect()
+    }
+    assert got == {
+        1: (2, 0.01, 0.02),
+        2: (2, 0.03, 0.04),
+        3: (2, 0.05, 0.06),
+        4: (2, 0.07, 0.08),
+    }
