@@ -44,6 +44,7 @@ _FIRST = [
     "decontam_embedding",
     "events_bars_incremental",
     "price_equidepth_hist",
+    "chunk_index_dedup",
     # Batch 1 (OLAP anchors: decorrelation, HAVING semi-join,
     # nation-pair volume, returned-revenue top-k, grouping sets,
     # argmin-per-group)

@@ -1058,3 +1058,35 @@ def mixture_plan_weighted(
         .cast("long")
         .alias("keep_ppm"),
     )
+
+
+def chunk_index_dedup(docs: DataFrame) -> DataFrame:
+    """Chunk-level dedup for the retrieval index: each distinct
+    chunk fingerprint is indexed ONCE, represented by its first
+    occurrence in (doc_id, chunk_id) order, with copy/document
+    counts for storage accounting. (boilerplate_chunks flags the
+    DOCUMENTS carrying over-shared chunks; this op builds the
+    deduplicated CHUNK side — what actually gets embedded.)
+
+    Scale: one shuffle keyed by chunk_md5 (uniform by construction);
+    the representative is `min(struct(doc_id, chunk_id))` INSIDE the
+    aggregate — no window, no second pass, map-side partial combine
+    absorbs hot boilerplate chunks.
+    """
+    ch = doc_chunks(docs)
+    rep = F.min(F.struct("doc_id", "chunk_id")).alias("_rep")
+    return (
+        ch.groupBy("chunk_md5")
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            rep,
+        )
+        .select(
+            "chunk_md5",
+            F.col("_rep.doc_id").alias("rep_doc_id"),
+            F.col("_rep.chunk_id").alias("rep_chunk_id"),
+            "n_copies",
+            "n_docs",
+        )
+    )

@@ -1970,6 +1970,49 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_chunks(tables.load(spark, sf_dir, "documents"))
 
 
+@register(
+    "chunk_index_dedup",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents),
+    starts AS (
+        SELECT doc_id, t,
+               unnest(generate_series(0, len(t) - 1, {CHUNK_STRIDE}))
+                   AS start_pos
+        FROM toks WHERE len(t) > 0),
+    ch AS (
+        SELECT doc_id,
+               CAST(floor(start_pos / {CHUNK_STRIDE}) AS BIGINT)
+                   AS chunk_id,
+               md5(array_to_string(
+                   list_slice(t, start_pos + 1,
+                              start_pos + {CHUNK_TOKENS}), ' '))
+                   AS chunk_md5
+        FROM starts),
+    g AS (
+        SELECT chunk_md5,
+               CAST(count(*) AS BIGINT) AS n_copies,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               min(doc_id) AS rep_doc_id
+        FROM ch GROUP BY 1),
+    r AS (
+        SELECT ch.chunk_md5, min(chunk_id) AS rep_chunk_id
+        FROM ch JOIN g ON ch.chunk_md5 = g.chunk_md5
+                       AND ch.doc_id = g.rep_doc_id
+        GROUP BY 1)
+    SELECT g.chunk_md5, rep_doc_id, rep_chunk_id, n_copies, n_docs
+    FROM g JOIN r ON g.chunk_md5 = r.chunk_md5
+    """,
+    survey="chunk-level dedup for the retrieval index: each distinct chunk embedded once, first-occurrence representative, min(struct) inside the aggregate (datapipe curation)",
+)
+def q_chunk_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .datapipe.curation import chunk_index_dedup
+
+    return chunk_index_dedup(tables.load(spark, sf_dir, "documents"))
+
+
 # ----------------------------------------------------------------------
 # Boilerplate chunk detection, leakage-safe split, mixture execution,
 # vocabulary-coverage curve

@@ -732,3 +732,40 @@ def test_sample_pps_size_bias_weights_determinism(spark):
     # Lehmer hash is uniform enough that [20, 140] is a safe band
     n_small = len(got1) - 1
     assert 20 <= n_small <= 140
+
+
+def test_chunk_index_dedup_first_occurrence_rep(spark):
+    """Chunk dedup: a chunk repeated within one doc AND across docs
+    collapses to one index row, represented by the lowest
+    (doc_id, chunk_id), with copy/doc counts; unique chunks pass
+    through with n_copies == 1."""
+    from marketviz_spark.datapipe.curation import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        chunk_index_dedup,
+    )
+
+    # Window/stride default: make one chunk's token window identical
+    # across docs by repeating the same window-sized prefix.
+    prefix = " ".join(f"w{i}" for i in range(CHUNK_TOKENS))
+    docs = _docs(
+        spark,
+        [
+            (0, prefix + " tail0 " + "u0 " * CHUNK_STRIDE, "s"),
+            (1, prefix + " tail1", "s"),
+            (2, "totally different words here entirely", "s"),
+        ],
+    )
+    rows = chunk_index_dedup(docs).collect()
+    by_rep = {
+        (r["rep_doc_id"], r["rep_chunk_id"]): r for r in rows
+    }
+    shared = [r for r in rows if r["n_docs"] == 2]
+    assert len(shared) == 1
+    assert shared[0]["rep_doc_id"] == 0
+    assert shared[0]["rep_chunk_id"] == 0
+    assert shared[0]["n_copies"] == 2
+    # every chunk_md5 appears exactly once in the index
+    md5s = [r["chunk_md5"] for r in rows]
+    assert len(md5s) == len(set(md5s))
+    assert all(r["n_copies"] >= 1 for r in rows)
