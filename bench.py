@@ -109,6 +109,16 @@ BENCH_QUERIES = [
     "ts_corr_pairs_sketched",
     # round-6 batch 7: calendar-aware RANGE window frame
     "w_rolling_range_7d",
+    # round-6 batch 8: as-of join, PPS sampling, BPE pair mining,
+    # embedding decontamination, incremental view maintenance,
+    # equi-depth histogram
+    "events_asof_prev",
+    "sample_pps",
+    "bpe_merge_pairs",
+    "decontam_embedding",
+    "events_bars_incremental",
+    "price_equidepth_hist",
+    "chunk_index_dedup",
 ]
 
 

@@ -769,3 +769,41 @@ def test_chunk_index_dedup_first_occurrence_rep(spark):
     md5s = [r["chunk_md5"] for r in rows]
     assert len(md5s) == len(set(md5s))
     assert all(r["n_copies"] >= 1 for r in rows)
+
+
+def test_batch5_ops_empty_input_yield_empty_not_error(spark):
+    """Empty-input regression for the batch-5 ops (as-of join, PPS
+    sample, BPE pairs, chunk dedup, decontamination, equi-depth
+    hist): a quiet ingest hour must produce empty output, not a
+    null-threshold or min-of-nothing crash."""
+    from marketviz_spark.datapipe.curation import (
+        chunk_index_dedup,
+        sample_pps,
+    )
+    from marketviz_spark.datapipe.similarity import (
+        embedding_decontaminate,
+    )
+    from marketviz_spark.datapipe.textstats import merge_pair_topk
+    from marketviz_spark.operators.aggregates import equidepth_hist
+    from marketviz_spark.operators.joins import asof_prev_event
+
+    empty_docs = _docs(spark, []).filter("doc_id IS NOT NULL")
+    for fn in (sample_pps, merge_pair_topk, chunk_index_dedup):
+        assert fn(empty_docs).count() == 0, fn.__name__
+
+    empty_emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    assert embedding_decontaminate(empty_emb).count() == 0
+
+    empty_ev = spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double",
+    )
+    assert asof_prev_event(empty_ev).count() == 0
+
+    empty_px = spark.createDataFrame(
+        [], "ticker string, date string, share_price double"
+    )
+    assert equidepth_hist(empty_px).count() == 0

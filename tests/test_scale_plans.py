@@ -437,3 +437,48 @@ def test_langid_confusion_no_text_shuffle(spark):
     ]
     assert len(exchanges) == 1, plan
     assert "text" not in exchanges[0], exchanges[0]
+
+
+def test_asof_prev_event_plans_zero_joins(spark):
+    """The as-of join's whole point: union + window, not an
+    interval join — the executed plan must contain a Window over the
+    user key and NO join operator of any kind."""
+    plan = _plan(QUERIES["events_asof_prev"].fn(spark, SF_SMALL))
+    assert "Window" in plan
+    for op in ("SortMergeJoin", "BroadcastHashJoin",
+               "ShuffledHashJoin", "BroadcastNestedLoopJoin",
+               "CartesianProduct"):
+        assert op not in plan, op
+
+
+def test_sample_pps_single_scalar_broadcast(spark):
+    """PPS sampling is map-only + one 1-row scalar broadcast: the
+    corpus side must not shuffle (only the scalar aggregate
+    exchanges), and the scalar joins via broadcast."""
+    plan = _plan(QUERIES["sample_pps"].fn(spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" in plan
+    # exactly the scalar agg's single-partition exchange + its
+    # broadcast — no corpus-keyed exchange
+    assert plan.count("Exchange") <= 2
+
+
+def test_bpe_merge_pairs_takeordered_not_global_sort(spark):
+    """Top-K merge candidates via TakeOrdered (per-partition heap),
+    never a full global Sort of the pair counts."""
+    plan = _plan(QUERIES["bpe_merge_pairs"].fn(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_decontam_embedding_broadcasts_eval_side(spark):
+    """The eval set must be the broadcast side so the corpus scan
+    stays map-only — one corpus-keyed aggregate exchange at most."""
+    plan = _plan(QUERIES["decontam_embedding"].fn(spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_chunk_index_dedup_single_aggregate_no_window(spark):
+    """Representative-inside-the-aggregate: one chunk_md5 exchange,
+    no Window operator, partial aggregation present map-side."""
+    plan = _plan(QUERIES["chunk_index_dedup"].fn(spark, SF_SMALL))
+    assert "Window" not in plan
+    assert "partial" in plan.lower()
