@@ -45,6 +45,8 @@ _FIRST = [
     "events_bars_incremental",
     "price_equidepth_hist",
     "chunk_index_dedup",
+    "price_winsorize",
+    "stocks_snapshot_diff",
     # Batch 1 (OLAP anchors: decorrelation, HAVING semi-join,
     # nation-pair volume, returned-revenue top-k, grouping sets,
     # argmin-per-group)

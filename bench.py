@@ -119,6 +119,8 @@ BENCH_QUERIES = [
     "events_bars_incremental",
     "price_equidepth_hist",
     "chunk_index_dedup",
+    "price_winsorize",
+    "stocks_snapshot_diff",
 ]
 
 

@@ -126,3 +126,66 @@ def equidepth_hist(stocks_df, price_col: str = "share_price"):
             (F.col("_sum_cents") / 100).cast("double").alias("sum_price"),
         )
     )
+
+
+def winsorize_prices(
+    stocks_df,
+    price_col: str = "share_price",
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+):
+    """Winsorization: clamp a price column at exact percentile_disc
+    bounds (default p05/p95) and flag the clamped rows — the robust-
+    statistics pre-step before any mean/stddev that outliers would
+    poison.
+
+    Bounds come from the same bounded cents-domain cumsum as
+    ``equidepth_hist`` (see there: no buffering percentile
+    aggregate), with integer-exact threshold tests
+    ``100*cum >= pct*n``. Two linear passes total: one tiny
+    histogram aggregate (broadcast back as one row), one map-only
+    clamp.
+    """
+    from pyspark.sql import Window  # local: avoid module cycle
+
+    cents = F.floor(F.col(price_col) * 100 + F.lit(0.5)).cast("long")
+    hist = stocks_df.groupBy(cents.alias("_c")).agg(
+        F.count("*").alias("_k")
+    )
+    w = Window.orderBy("_c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wn = Window.orderBy("_c").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "_c",
+        F.sum("_k").over(w).alias("_cum"),
+        F.sum("_k").over(wn).alias("_n"),
+    )
+    bounds = cum.agg(
+        F.min(
+            F.when(
+                100 * F.col("_cum") >= lo_pct * F.col("_n"),
+                F.col("_c"),
+            )
+        ).alias("_lo"),
+        F.min(
+            F.when(
+                100 * F.col("_cum") >= hi_pct * F.col("_n"),
+                F.col("_c"),
+            )
+        ).alias("_hi"),
+    )
+    tagged = stocks_df.withColumn("_c", cents).crossJoin(
+        F.broadcast(bounds)
+    )
+    wc = F.least(F.greatest(F.col("_c"), F.col("_lo")), F.col("_hi"))
+    return tagged.select(
+        "ticker",
+        "date",
+        (F.col("_c") / 100.0).alias("share_price"),
+        (wc / 100.0).alias("winsorized_price"),
+        (F.col("_c") < F.col("_lo")).alias("clamped_low"),
+        (F.col("_c") > F.col("_hi")).alias("clamped_high"),
+    )

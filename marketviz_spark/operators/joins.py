@@ -197,3 +197,35 @@ def asof_prev_event(
             (us(F.col("ts")) - us(F.col("_prev_ts"))).alias("gap_us"),
         )
     )
+
+
+def table_diff(
+    v1: DataFrame,
+    v2: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Snapshot diff between two versions of a keyed table: each key
+    is classified added (v2 only), removed (v1 only), changed (both,
+    compared columns differ) or unchanged — the audit an ingestion
+    pipeline runs after an upsert/repair/retention pass to prove the
+    write did exactly what was intended.
+
+    Comparison is one null-safe struct equality over the compare
+    columns (NULL == NULL is unchanged, NULL vs value is changed).
+
+    Scale: a single full-outer sort-merge join on the primary key —
+    the same shuffle an upsert already pays; nothing is collected,
+    and the classification is a map-side expression over the joined
+    row.
+    """
+    a = v1.select(*keys, F.struct(*compare_cols).alias("_va"))
+    b = v2.select(*keys, F.struct(*compare_cols).alias("_vb"))
+    j = a.join(b, keys, "full_outer")
+    status = (
+        F.when(F.col("_va").isNull(), "added")
+        .when(F.col("_vb").isNull(), "removed")
+        .when(F.col("_va").eqNullSafe(F.col("_vb")), "unchanged")
+        .otherwise("changed")
+    )
+    return j.select(*keys, status.alias("status"))

@@ -3549,3 +3549,103 @@ def q_price_equidepth_hist(
     from .operators.aggregates import equidepth_hist
 
     return equidepth_hist(tables.stocks(spark, sf_dir))
+
+
+@register(
+    "price_winsorize",
+    oracle_cte()
+    + """
+    , c AS (
+        SELECT ticker, date,
+               CAST(floor(share_price * 100 + 0.5) AS BIGINT) AS c
+        FROM stocks
+    ), b AS (
+        SELECT quantile_disc(c, 0.05) AS lo,
+               quantile_disc(c, 0.95) AS hi
+        FROM c
+    )
+    SELECT ticker, date,
+           c / 100.0 AS share_price,
+           least(greatest(c, lo), hi) / 100.0 AS winsorized_price,
+           c < lo AS clamped_low,
+           c > hi AS clamped_high
+    FROM c, b
+    """,
+    survey="winsorization at exact p05/p95 percentile_disc bounds from the cents-domain cumsum — robust-stats pre-step, two linear passes (OLAP extension)",
+)
+def q_price_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.aggregates import winsorize_prices
+
+    return winsorize_prices(tables.stocks(spark, sf_dir))
+
+
+@register(
+    "stocks_snapshot_diff",
+    oracle_cte(raw_history=True)
+    + """
+    , d AS (SELECT min(date) AS mind, max(date) AS maxd
+            FROM raw_history),
+    v1 AS (
+        SELECT ticker, date, close, stock_splits AS split
+        FROM raw_history, d WHERE date < maxd
+    ),
+    v2 AS (
+        SELECT ticker, date, close,
+               CASE WHEN stock_splits = 0.0 THEN 1.0
+                    ELSE stock_splits END AS split
+        FROM raw_history, d WHERE date > mind
+    ),
+    j AS (
+        SELECT coalesce(v1.ticker, v2.ticker) AS ticker,
+               CASE WHEN v1.ticker IS NULL THEN 'added'
+                    WHEN v2.ticker IS NULL THEN 'removed'
+                    WHEN v1.close = v2.close
+                         AND v1.split = v2.split THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM v1 FULL OUTER JOIN v2
+          ON v1.ticker = v2.ticker AND v1.date = v2.date
+    )
+    SELECT status, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT ticker) AS BIGINT) AS n_tickers
+    FROM j GROUP BY status
+    """,
+    survey="snapshot diff audit after a repair+retention write: added/removed/changed/unchanged per key via ONE full-outer PK join, null-safe struct compare (engine extension)",
+)
+def q_stocks_snapshot_diff(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """v1 = yesterday's snapshot (original splits, no latest date);
+    v2 = today's (split 0->1 repair applied, oldest date purged by
+    retention). The diff must classify exactly: latest-date rows
+    'added', oldest-date rows 'removed', repaired rows 'changed',
+    the rest 'unchanged' — proving the write-audit wiring on a pair
+    of snapshots whose true diff is derivable."""
+    from .operators.joins import table_diff
+
+    raw = tables.raw_history(spark, sf_dir)
+    d = raw.agg(
+        F.min("date").alias("_mind"), F.max("date").alias("_maxd")
+    )
+    v1 = (
+        raw.crossJoin(F.broadcast(d))
+        .filter(F.col("date") < F.col("_maxd"))
+        .select(
+            "ticker", "date", "close",
+            F.col("stock_splits").alias("split"),
+        )
+    )
+    v2 = (
+        raw.crossJoin(F.broadcast(d))
+        .filter(F.col("date") > F.col("_mind"))
+        .select(
+            "ticker", "date", "close",
+            F.when(F.col("stock_splits") == 0.0, F.lit(1.0))
+            .otherwise(F.col("stock_splits"))
+            .alias("split"),
+        )
+    )
+    diff = table_diff(v1, v2, ["ticker", "date"], ["close", "split"])
+    return diff.groupBy("status").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct("ticker").cast("long").alias("n_tickers"),
+    )

@@ -343,3 +343,43 @@ def test_equidepth_hist_quartile_boundaries(spark):
         3: (2, 0.05, 0.06),
         4: (2, 0.07, 0.08),
     }
+
+
+def test_table_diff_classifies_all_outcomes(spark):
+    """Snapshot diff: added/removed/changed/unchanged each hit, with
+    null-safe compare (NULL == NULL is unchanged; NULL vs value is
+    changed)."""
+    from marketviz_spark.operators.joins import table_diff
+
+    v1 = spark.createDataFrame(
+        [
+            ("A", 1.0),          # unchanged
+            ("B", 2.0),          # changed (value)
+            ("C", 3.0),          # removed
+            ("D", None),         # unchanged (NULL == NULL)
+            ("E", None),         # changed (NULL -> value)
+        ],
+        "k string, v double",
+    )
+    v2 = spark.createDataFrame(
+        [
+            ("A", 1.0),
+            ("B", 9.0),
+            ("D", None),
+            ("E", 5.0),
+            ("F", 6.0),          # added
+        ],
+        "k string, v double",
+    )
+    got = {
+        r["k"]: r["status"]
+        for r in table_diff(v1, v2, ["k"], ["v"]).collect()
+    }
+    assert got == {
+        "A": "unchanged",
+        "B": "changed",
+        "C": "removed",
+        "D": "unchanged",
+        "E": "changed",
+        "F": "added",
+    }
