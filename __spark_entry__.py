@@ -47,6 +47,7 @@ _FIRST = [
     "chunk_index_dedup",
     "price_winsorize",
     "stocks_snapshot_diff",
+    "events_bars_gapfill",
     # Batch 1 (OLAP anchors: decorrelation, HAVING semi-join,
     # nation-pair volume, returned-revenue top-k, grouping sets,
     # argmin-per-group)

@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "chunk_index_dedup",
     "price_winsorize",
     "stocks_snapshot_diff",
+    "events_bars_gapfill",
 ]
 
 

@@ -3649,3 +3649,95 @@ def q_stocks_snapshot_diff(
         F.count("*").cast("long").alias("n_rows"),
         F.countDistinct("ticker").cast("long").alias("n_tickers"),
     )
+
+
+@register(
+    "events_bars_gapfill",
+    """
+    WITH bars AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(count(*) AS BIGINT) AS n_events,
+               max(value) AS max_value
+        FROM events GROUP BY 1, 2
+    ), spine AS (
+        SELECT event_type,
+               unnest(generate_series(min(h), max(h),
+                                      INTERVAL 1 HOUR)) AS h
+        FROM bars GROUP BY event_type
+    ), filled AS (
+        SELECT s.event_type, s.h,
+               coalesce(b.n_events, 0) AS n_events,
+               b.h IS NULL AS gap_filled,
+               last_value(b.max_value IGNORE NULLS) OVER (
+                   PARTITION BY s.event_type ORDER BY s.h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS locf_max_value
+        FROM spine s LEFT JOIN bars b
+          ON b.event_type = s.event_type AND b.h = s.h
+    )
+    SELECT event_type,
+           strftime(h, '%Y-%m-%d %H:%M:%S') AS window_start,
+           n_events, gap_filled, locf_max_value
+    FROM filled
+    """,
+    survey="time-bucket gap-fill with LOCF: dense hourly spine per key, zero-filled counts, last-observation-carried-forward values (timeseries extension, cf. TimescaleDB time_bucket_gapfill/locf)",
+)
+def q_events_bars_gapfill(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dense hourly series per event_type: the observed bars are
+    left-joined onto a generated per-key hour spine; missing hours
+    get n_events = 0 and carry the last seen max_value forward
+    (LOCF) — what a charting/feature layer needs where 'no rows'
+    must mean zero, not absent.
+
+    Scale: the spine is |keys| x |hours| — calendar-bounded, tiny
+    next to the events table; the join keys are (event_type, hour),
+    uniform by construction, and the LOCF window is partitioned per
+    key over the calendar axis, so nothing here grows with raw event
+    volume except the one bars aggregation that any rollup already
+    pays.
+    """
+    ev = tables.load_events(spark, sf_dir)
+    bars = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.max("value").alias("max_value"),
+    )
+    spine = bars.groupBy("event_type").agg(
+        F.min("h").alias("_h0"), F.max("h").alias("_h1")
+    ).select(
+        "event_type",
+        F.explode(
+            F.sequence(
+                F.col("_h0"), F.col("_h1"), F.expr("INTERVAL 1 HOUR")
+            )
+        ).alias("h"),
+    )
+    b = bars.alias("b")
+    s = spine.alias("s")
+    joined = s.join(
+        b,
+        (F.col("b.event_type") == F.col("s.event_type"))
+        & (F.col("b.h") == F.col("s.h")),
+        "left",
+    )
+    w = (
+        Window.partitionBy(F.col("s.event_type"))
+        .orderBy(F.col("s.h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        F.col("s.event_type").alias("event_type"),
+        F.date_format(F.col("s.h"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        F.coalesce(F.col("b.n_events"), F.lit(0).cast("long")).alias(
+            "n_events"
+        ),
+        F.col("b.h").isNull().alias("gap_filled"),
+        F.last(F.col("b.max_value"), ignorenulls=True)
+        .over(w)
+        .alias("locf_max_value"),
+    )

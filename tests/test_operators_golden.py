@@ -383,3 +383,50 @@ def test_table_diff_classifies_all_outcomes(spark):
         "E": "changed",
         "F": "added",
     }
+
+
+def test_bars_gapfill_zero_fill_and_locf(spark):
+    """Gap-fill: an absent middle hour appears with n_events = 0,
+    gap_filled = true, and carries the previous hour's max forward;
+    spines are PER KEY (a key's range doesn't leak into another's)."""
+    from marketviz_spark.registry import QUERIES  # noqa: F401
+    from marketviz_spark import tables  # noqa: F401
+
+    rows = [
+        (1, "2024-01-01 10:15:00", 1, "click", 5.0),
+        (2, "2024-01-01 12:30:00", 1, "click", 7.0),  # 11:00 missing
+        (3, "2024-01-01 11:05:00", 2, "view", 1.0),   # view: 1 hour
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long,"
+        " event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    ev.createOrReplaceTempView("_gap_ev")
+
+    import marketviz_spark.registry as reg
+
+    # drive the registered implementation directly on the tiny frame
+    bars_fn = reg.QUERIES["events_bars_gapfill"].fn
+
+    # monkey-free: reuse the same dataflow by calling the module fn
+    # with a loader shim
+    from unittest import mock
+
+    with mock.patch.object(
+        reg.tables, "load_events", lambda _s, _d: ev
+    ):
+        out = bars_fn(spark, "unused")
+        got = {
+            (r["event_type"], r["window_start"]): (
+                r["n_events"],
+                r["gap_filled"],
+                r["locf_max_value"],
+            )
+            for r in out.collect()
+        }
+    assert got[("click", "2024-01-01 10:00:00")] == (1, False, 5.0)
+    assert got[("click", "2024-01-01 11:00:00")] == (0, True, 5.0)
+    assert got[("click", "2024-01-01 12:00:00")] == (1, False, 7.0)
+    assert got[("view", "2024-01-01 11:00:00")] == (1, False, 1.0)
+    assert len(got) == 4  # view's spine is one hour, not click's 3
