@@ -48,6 +48,7 @@ _FIRST = [
     "price_winsorize",
     "stocks_snapshot_diff",
     "events_bars_gapfill",
+    "ticker_mad_outliers",
     # Batch 1 (OLAP anchors: decorrelation, HAVING semi-join,
     # nation-pair volume, returned-revenue top-k, grouping sets,
     # argmin-per-group)

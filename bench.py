@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "price_winsorize",
     "stocks_snapshot_diff",
     "events_bars_gapfill",
+    "ticker_mad_outliers",
 ]
 
 

@@ -189,3 +189,79 @@ def winsorize_prices(
         (F.col("_c") < F.col("_lo")).alias("clamped_low"),
         (F.col("_c") > F.col("_hi")).alias("clamped_high"),
     )
+
+
+def _group_median_cents(df, group_col: str, cents_col: str):
+    """Exact per-group percentile_disc(0.5) over a cents-valued
+    column WITHOUT buffering values per group: per-group cents
+    histogram (tiny: |groups| x bounded cents domain), cumsum window
+    partitioned by group over the bounded domain, then the smallest
+    value with 2*cum >= n — integer-exact, identical to DuckDB
+    quantile_disc."""
+    from pyspark.sql import Window
+
+    hist = df.groupBy(group_col, F.col(cents_col).alias("_c")).agg(
+        F.count("*").alias("_k")
+    )
+    wcum = (
+        Window.partitionBy(group_col)
+        .orderBy("_c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(group_col)
+    cum = hist.select(
+        group_col,
+        "_c",
+        F.sum("_k").over(wcum).alias("_cum"),
+        F.sum("_k").over(wall).alias("_n"),
+    )
+    return cum.groupBy(group_col).agg(
+        F.min(
+            F.when(2 * F.col("_cum") >= F.col("_n"), F.col("_c"))
+        ).alias("_med")
+    )
+
+
+def mad_outliers(
+    stocks_df, price_col: str = "share_price", k_mad: int = 5
+):
+    """Robust per-ticker outlier flags: a row is an outlier when its
+    absolute deviation from the ticker's exact MEDIAN exceeds
+    ``k_mad`` x the ticker's MAD (median absolute deviation) — the
+    estimator a fat-tailed price series needs where mean/stddev
+    would be dragged by the very outliers being hunted.
+
+    Both medians are exact per-group percentile_disc values computed
+    from bounded cents-domain histograms (see _group_median_cents) —
+    never a buffering percentile aggregate — so the whole op is two
+    histogram aggregate+window passes over tiny per-group domains
+    plus two uniform ticker-keyed joins. All comparisons are integer
+    cents; zero float boundaries.
+    """
+    cents = F.floor(F.col(price_col) * 100 + F.lit(0.5)).cast("long")
+    base = stocks_df.select(
+        "ticker", "date", cents.alias("_c")
+    )
+    med = _group_median_cents(base, "ticker", "_c")
+    with_med = base.join(med, "ticker")
+    resid = with_med.withColumn(
+        "_r", F.abs(F.col("_c") - F.col("_med"))
+    )
+    mad = (
+        _group_median_cents(
+            resid.select("ticker", F.col("_r").alias("_c")),
+            "ticker",
+            "_c",
+        )
+    ).select("ticker", F.col("_med").alias("_mad"))
+    return (
+        resid.join(mad, "ticker")
+        .select(
+            "ticker",
+            "date",
+            (F.col("_c") / 100.0).alias("share_price"),
+            (F.col("_med") / 100.0).alias("median_price"),
+            (F.col("_mad") / 100.0).alias("mad_price"),
+            (F.col("_r") > k_mad * F.col("_mad")).alias("is_outlier"),
+        )
+    )

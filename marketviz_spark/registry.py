@@ -3741,3 +3741,38 @@ def q_events_bars_gapfill(
         .over(w)
         .alias("locf_max_value"),
     )
+
+
+@register(
+    "ticker_mad_outliers",
+    oracle_cte()
+    + """
+    , c AS (
+        SELECT ticker, date,
+               CAST(floor(share_price * 100 + 0.5) AS BIGINT) AS c
+        FROM stocks
+    ), med AS (
+        SELECT ticker, quantile_disc(c, 0.5) AS m
+        FROM c GROUP BY ticker
+    ), r AS (
+        SELECT c.ticker, c.date, c.c, med.m, abs(c.c - med.m) AS r
+        FROM c JOIN med ON c.ticker = med.ticker
+    ), mad AS (
+        SELECT ticker, quantile_disc(r, 0.5) AS mad
+        FROM r GROUP BY ticker
+    )
+    SELECT r.ticker, r.date,
+           r.c / 100.0 AS share_price,
+           r.m / 100.0 AS median_price,
+           mad.mad / 100.0 AS mad_price,
+           r.r > 5 * mad.mad AS is_outlier
+    FROM r JOIN mad ON r.ticker = mad.ticker
+    """,
+    survey="robust per-ticker outlier flags: exact per-group median + MAD from bounded cents-domain histograms, no buffering percentile aggregate (OLAP/robust-stats extension)",
+)
+def q_ticker_mad_outliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.aggregates import mad_outliers
+
+    return mad_outliers(tables.stocks(spark, sf_dir))

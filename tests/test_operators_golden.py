@@ -430,3 +430,34 @@ def test_bars_gapfill_zero_fill_and_locf(spark):
     assert got[("click", "2024-01-01 12:00:00")] == (1, False, 7.0)
     assert got[("view", "2024-01-01 11:00:00")] == (1, False, 1.0)
     assert len(got) == 4  # view's spine is one hour, not click's 3
+
+
+def test_mad_outliers_flags_spike_not_constant(spark):
+    """MAD outliers: a 100x spike in an otherwise tight series is
+    flagged; the tight rows are not; a CONSTANT series (MAD = 0)
+    flags any deviating row but never the median rows themselves
+    (r = 0 is not > 0)."""
+    from marketviz_spark.operators.aggregates import mad_outliers
+
+    rows = (
+        # tight series around 10.00 with one spike
+        [("A", f"d{i}", 10.0 + (i % 3) / 100.0) for i in range(9)]
+        + [("A", "d9", 1000.0)]
+        # constant series with one wiggle
+        + [("B", f"d{i}", 5.0) for i in range(5)]
+        + [("B", "d5", 5.01)]
+    )
+    df = spark.createDataFrame(
+        rows, "ticker string, date string, share_price double"
+    )
+    got = {
+        (r["ticker"], r["date"]): r
+        for r in mad_outliers(df).collect()
+    }
+    assert got[("A", "d9")]["is_outlier"]
+    assert not any(
+        got[("A", f"d{i}")]["is_outlier"] for i in range(9)
+    )
+    assert got[("B", "d5")]["is_outlier"]  # MAD 0: any wiggle flags
+    assert not got[("B", "d0")]["is_outlier"]
+    assert got[("A", "d0")]["median_price"] == 10.01
