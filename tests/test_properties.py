@@ -360,3 +360,169 @@ def test_boilerplate_doubled_corpus_fully_flagged(spark, rows):
     assert len(out) == len(doubled)  # every doc has >=1 chunk (>=1 token)
     for r in out:
         assert r["boiler_ppm"] == 1_000_000, r
+
+
+@st.composite
+def event_rows(draw):
+    n = draw(st.integers(3, 24))
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                i + 1,
+                f"2024-01-01 {draw(st.integers(0, 23)):02d}:"
+                f"{draw(st.integers(0, 59)):02d}:00",
+                draw(st.integers(1, 4)),
+                draw(st.sampled_from(["click", "error", "view"])),
+                float(draw(st.integers(1, 100))),
+            )
+        )
+    return rows
+
+
+@given(rows=event_rows())
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_join_equals_interval_join_formulation(spark, rows):
+    """The zero-join as-of operator must equal the naive
+    join-then-argmax formulation: for each error, the click with the
+    greatest (ts, event_id) at-or-before it per user."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from marketviz_spark.operators.joins import asof_prev_event
+
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long,"
+        " event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    got = {
+        r["left_id"]: (r["prev_value"], r["gap_us"])
+        for r in asof_prev_event(ev).collect()
+    }
+
+    e = ev.filter("event_type = 'error'").select(
+        F.col("event_id").alias("eid"),
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("ets"),
+    )
+    c = ev.filter("event_type = 'click'").select(
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("cts"),
+        F.col("event_id").alias("cid"),
+        F.col("value").alias("cval"),
+    )
+    j = e.join(
+        c,
+        (e["u"] == c["u"])
+        & (
+            (c["cts"] < e["ets"])
+            | ((c["cts"] == e["ets"]) & (c["cid"] < e["eid"]))
+        ),
+        "left",
+    )
+    w = Window.partitionBy("eid").orderBy(
+        F.desc("cts"), F.desc("cid")
+    )
+    ref = {
+        r["eid"]: (
+            r["cval"],
+            None
+            if r["cts"] is None
+            else int(
+                (r["ets"] - r["cts"]).total_seconds() * 1_000_000
+            ),
+        )
+        for r in j.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    assert got == ref
+
+
+@given(rows=stock_rows())
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_winsorize_bounds_and_tail_mass(spark, rows):
+    """percentile_disc clamp invariants on arbitrary price data:
+    every winsorized value sits inside [lo, hi]; strictly-below-lo
+    mass is < 5% of rows and strictly-above-hi mass is <= 5%
+    (the discrete-percentile guarantee)."""
+    from pyspark.sql import functions as F
+
+    from marketviz_spark.operators.aggregates import winsorize_prices
+
+    df = spark.createDataFrame(
+        [(t, d, p) for (t, d, p, _, _) in rows],
+        "ticker string, date string, share_price double",
+    )
+    out = winsorize_prices(df).collect()
+    n = len(out)
+    assert n == len(rows)
+    lo_clamped = sum(1 for r in out if r["clamped_low"])
+    hi_clamped = sum(1 for r in out if r["clamped_high"])
+    assert lo_clamped < 0.05 * n + 1e-9
+    assert hi_clamped <= 0.05 * n + 1e-9
+    for r in out:
+        assert not (r["clamped_low"] and r["clamped_high"])
+        if not r["clamped_low"] and not r["clamped_high"]:
+            assert r["winsorized_price"] == r["share_price"]
+
+
+@given(rows=stock_rows(), drop=st.integers(0, 2))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_table_diff_conserves_rows(spark, rows, drop):
+    """Diff conservation on arbitrary snapshots: |v1| = removed +
+    changed + unchanged, |v2| = added + changed + unchanged; and
+    diff(v, v) is all-unchanged."""
+    from pyspark.sql import functions as F
+
+    from marketviz_spark.operators.joins import table_diff
+
+    df = spark.createDataFrame(
+        [(t, d, p) for (t, d, p, _, _) in rows],
+        "ticker string, date string, share_price double",
+    ).dropDuplicates(["ticker", "date"])
+    n = df.count()
+    same = table_diff(
+        df, df, ["ticker", "date"], ["share_price"]
+    )
+    assert (
+        same.filter("status = 'unchanged'").count() == n
+        and same.count() == n
+    )
+    v2 = df.filter(F.substring("date", 10, 1) != str(drop)).withColumn(
+        "share_price", F.col("share_price") + 1.0
+    )
+    d2 = (
+        table_diff(df, v2, ["ticker", "date"], ["share_price"])
+        .groupBy("status")
+        .count()
+        .collect()
+    )
+    counts = {r["status"]: r["count"] for r in d2}
+    n2 = v2.count()
+    assert (
+        counts.get("removed", 0)
+        + counts.get("changed", 0)
+        + counts.get("unchanged", 0)
+        == n
+    )
+    assert (
+        counts.get("added", 0)
+        + counts.get("changed", 0)
+        + counts.get("unchanged", 0)
+        == n2
+    )
