@@ -49,6 +49,7 @@ _FIRST = [
     "stocks_snapshot_diff",
     "events_bars_gapfill",
     "ticker_mad_outliers",
+    "curriculum_order",
     # Batch 1 (OLAP anchors: decorrelation, HAVING semi-join,
     # nation-pair volume, returned-revenue top-k, grouping sets,
     # argmin-per-group)

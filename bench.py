@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "stocks_snapshot_diff",
     "events_bars_gapfill",
     "ticker_mad_outliers",
+    "curriculum_order",
 ]
 
 

@@ -1090,3 +1090,57 @@ def chunk_index_dedup(docs: DataFrame) -> DataFrame:
             "n_docs",
         )
     )
+
+
+def curriculum_order(docs: DataFrame) -> DataFrame:
+    """Deterministic training-order assignment: documents are
+    round-robin interleaved across sources (no long same-source
+    runs — the data-ordering hygiene training pipelines want) in
+    rising-rarity order within each source (common/easy text first:
+    curriculum). The emitted ``global_pos`` is a CLOSED FORM
+    ``(rank_in_source - 1) * n_sources + (source_idx - 1)`` — a
+    total order with gaps where sources run short, computed with no
+    global row-number.
+
+    Scale: one per-source window (uniform partitions), one window
+    over the DISTINCT source list (bounded domain), and a closed-
+    form position — there is no global sort or single-partition
+    window anywhere; the consumer writes with
+    ``repartitionByRange(global_pos)`` to lay files out in order.
+    """
+    from pyspark.sql import Window
+
+    scored = rarity_scores(docs).select("doc_id", "rarity_ppm")
+    base = docs.select("doc_id", "source").join(scored, "doc_id")
+    w_src = Window.partitionBy("source").orderBy(
+        "rarity_ppm", "doc_id"
+    )
+    srcs = docs.select("source").distinct()
+    w_all = Window.orderBy("source").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    src_idx = srcs.select(
+        "source",
+        F.row_number()
+        .over(Window.orderBy("source"))
+        .alias("_sidx"),
+        F.count("*").over(w_all).alias("_nsrc"),
+    )
+    return (
+        base.withColumn("rank_in_source", F.row_number().over(w_src))
+        .join(F.broadcast(src_idx), "source")
+        .select(
+            "doc_id",
+            "source",
+            "rarity_ppm",
+            F.col("rank_in_source").cast("long").alias(
+                "rank_in_source"
+            ),
+            (
+                (F.col("rank_in_source") - 1) * F.col("_nsrc")
+                + (F.col("_sidx") - 1)
+            )
+            .cast("long")
+            .alias("global_pos"),
+        )
+    )

@@ -1794,6 +1794,53 @@ def q_text_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rarity_scores(tables.load(spark, sf_dir, "documents"))
 
 
+from .datapipe.curation import curriculum_order  # noqa: E402
+
+
+@register(
+    "curriculum_order",
+    f"WITH {TOKS_CTE},"
+    + f"""
+    tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+    model AS (
+        SELECT token,
+               CAST(floor({RARITY_SCALE}
+                    / (1 + (length(bin(count(*))) - 1))) AS BIGINT)
+                   AS c
+        FROM tok GROUP BY token
+    ),
+    r AS (
+        SELECT doc_id,
+               CAST(floor(sum(c) / count(*)) AS BIGINT) AS rarity_ppm
+        FROM tok JOIN model USING (token)
+        GROUP BY doc_id
+    ),
+    b AS (
+        SELECT d.doc_id, d.source, r.rarity_ppm,
+               CAST(row_number() OVER (
+                   PARTITION BY d.source
+                   ORDER BY r.rarity_ppm, d.doc_id
+               ) AS BIGINT) AS rank_in_source
+        FROM documents d JOIN r ON d.doc_id = r.doc_id
+    ),
+    s AS (
+        SELECT source,
+               CAST(row_number() OVER (ORDER BY source) AS BIGINT)
+                   AS sidx,
+               CAST(count(*) OVER () AS BIGINT) AS nsrc
+        FROM (SELECT DISTINCT source FROM documents)
+    )
+    SELECT b.doc_id, b.source, b.rarity_ppm, b.rank_in_source,
+           CAST((b.rank_in_source - 1) * s.nsrc + (s.sidx - 1)
+                AS BIGINT) AS global_pos
+    FROM b JOIN s ON b.source = s.source
+    """,
+    survey="curriculum + source interleave: rising-rarity order within source, round-robin across sources via a CLOSED-FORM global position — no global sort (datapipe curation)",
+)
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curriculum_order(tables.load(spark, sf_dir, "documents"))
+
+
 # ----------------------------------------------------------------------
 # Corpus mixture drift audit
 # ----------------------------------------------------------------------

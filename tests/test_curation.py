@@ -807,3 +807,34 @@ def test_batch5_ops_empty_input_yield_empty_not_error(spark):
         [], "ticker string, date string, share_price double"
     )
     assert equidepth_hist(empty_px).count() == 0
+
+
+def test_curriculum_order_interleaves_sources(spark):
+    """Round-robin interleave: global_pos is unique; within a
+    source positions rise with rarity rank; consecutive ranks of
+    one source are n_sources apart (no long same-source runs);
+    rank 1 docs occupy positions 0..n_sources-1."""
+    from marketviz_spark.datapipe.curation import curriculum_order
+
+    rows = [
+        (i, f"w{i % 7} common words here {i}", ["a", "b", "c"][i % 3])
+        for i in range(30)
+    ]
+    docs = _docs(spark, rows)
+    out = curriculum_order(docs).collect()
+    pos = [r["global_pos"] for r in out]
+    assert len(pos) == len(set(pos)) == 30
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(
+            (r["rank_in_source"], r["global_pos"])
+        )
+    for src, lst in by_src.items():
+        lst.sort()
+        for (r1, p1), (r2, p2) in zip(lst, lst[1:]):
+            assert r2 == r1 + 1 and p2 - p1 == 3, (src, r1, r2)
+    firsts = sorted(
+        p for r, lst in (("x", v) for x, v in by_src.items())
+        for rk, p in lst if rk == 1
+    )
+    assert firsts == [0, 1, 2]
