@@ -50,6 +50,9 @@ _FIRST = [
     "events_bars_gapfill",
     "ticker_mad_outliers",
     "curriculum_order",
+    "dq_referential_integrity",
+    "w_share_of_day",
+    "events_top_paths",
     # Batch 1 (OLAP anchors: decorrelation, HAVING semi-join,
     # nation-pair volume, returned-revenue top-k, grouping sets,
     # argmin-per-group)

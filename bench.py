@@ -124,6 +124,9 @@ BENCH_QUERIES = [
     "events_bars_gapfill",
     "ticker_mad_outliers",
     "curriculum_order",
+    "dq_referential_integrity",
+    "w_share_of_day",
+    "events_top_paths",
 ]
 
 

@@ -3776,3 +3776,209 @@ def q_ticker_mad_outliers(
     from .operators.aggregates import mad_outliers
 
     return mad_outliers(tables.stocks(spark, sf_dir))
+
+
+@register(
+    "dq_referential_integrity",
+    """
+    SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_lineitem,
+        (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey))
+            AS orphan_lineitems,
+        (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_orders,
+        (SELECT CAST(count(*) AS BIGINT) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey))
+            AS orphan_orders,
+        (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM part p
+                            WHERE p.p_partkey = l.l_partkey))
+            AS orphan_part_refs
+    """,
+    survey="cross-table referential-integrity audit: orphan FK counts via anti-joins — the DQ gate an ingest pipeline runs before publishing a snapshot (engine extension)",
+)
+def q_dq_referential_integrity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Orphan-foreign-key counts across the fact/dim graph
+    (lineitem->orders, orders->customer, lineitem->part), emitted as
+    one row with the table totals for rate computation.
+
+    Scale: each check is a LEFT ANTI join on the FK — Catalyst
+    broadcasts the dim-side key projection when it fits and falls
+    back to a shuffled anti-join when it doesn't; counts collapse
+    map-side. Nothing is collected; the five scalars cross-join into
+    one row (all 1-row broadcasts).
+    """
+    li = tables.load(spark, sf_dir, "lineitem")
+    orders = tables.load(spark, sf_dir, "orders")
+    cust = tables.load(spark, sf_dir, "customer")
+    part = tables.load(spark, sf_dir, "part")
+
+    def one(df, name):
+        return df.agg(F.count("*").cast("long").alias(name))
+
+    orphan_li = li.select("l_orderkey").join(
+        orders.select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_anti",
+    )
+    orphan_ord = orders.select("o_custkey").join(
+        cust.select("c_custkey"),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left_anti",
+    )
+    orphan_part = li.select("l_partkey").join(
+        part.select("p_partkey"),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_anti",
+    )
+    return (
+        one(li, "n_lineitem")
+        .crossJoin(F.broadcast(one(orphan_li, "orphan_lineitems")))
+        .crossJoin(F.broadcast(one(orders, "n_orders")))
+        .crossJoin(F.broadcast(one(orphan_ord, "orphan_orders")))
+        .crossJoin(F.broadcast(one(orphan_part, "orphan_part_refs")))
+    )
+
+
+@register(
+    "w_share_of_day",
+    oracle_cte()
+    + """
+    SELECT ticker, date, market_cap,
+           floor(market_cap
+                 / (sum(CAST(market_cap AS DECIMAL(28,4)))
+                    OVER (PARTITION BY date))
+                 * 1000000.0 + 0.5) / 1000000.0 AS cap_share
+    FROM stocks
+    """,
+    survey="ratio-to-report window: each ticker's share of its date's total market cap — decimal-exact partition denominator, 6dp-rounded ratio (OLAP analytic extension)",
+)
+def q_w_share_of_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RATIO_TO_REPORT: per-row share of the partition total. The
+    denominator is a DECIMAL window sum (order-free exact, so any
+    partitioning yields the identical double after one cast); the
+    ratio is a single fixed-tree division rounded at 6dp, making the
+    Spark and oracle values bit-equal.
+
+    Scale: one hash shuffle on date, full-partition window sum with
+    no ordering (no sort — Spark plans an unordered window
+    aggregate), map-side division. The date key is the calendar —
+    uniform and bounded."""
+    s = tables.stocks(spark, sf_dir)
+    w = Window.partitionBy("date")
+    total = F.sum(F.col("market_cap").cast("decimal(28,4)")).over(w)
+    return s.select(
+        "ticker",
+        "date",
+        "market_cap",
+        rnd(F.col("market_cap") / total, 6).alias("cap_share"),
+    )
+
+
+@register(
+    "events_top_paths",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        FROM events
+    ), lagged AS (
+        SELECT *,
+               CASE WHEN ts_us - lag(ts_us) OVER (
+                        PARTITION BY user_id
+                        ORDER BY ts_us, event_id
+                    ) > 600000000 OR lag(ts_us) OVER (
+                        PARTITION BY user_id
+                        ORDER BY ts_us, event_id
+                    ) IS NULL THEN 1 ELSE 0 END AS new_sess
+        FROM e
+    ), sess AS (
+        SELECT *, sum(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sess_id
+        FROM lagged
+    ), paths AS (
+        SELECT user_id, sess_id,
+               array_to_string(
+                   list(event_type ORDER BY ts_us, event_id)[1:3],
+                   '>') AS path
+        FROM sess GROUP BY user_id, sess_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(row_number() OVER (ORDER BY count(*) DESC, path)
+                AS INT) AS rank
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 20
+    """,
+    survey="clickstream path analysis: batch sessionization (lag-gap + cumsum) and top session-opening event-type trigrams (engine extension)",
+)
+def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session-opening paths: sessions cut at >10-minute gaps
+    per user (the batch twin of the streaming session window:
+    lag-gap flag, then a running sum as session id), each session
+    reduced to its first three event types, ranked by frequency.
+
+    Scale: one user-keyed shuffle for the lag/cumsum windows, one
+    (user, session) aggregation whose per-group state is the
+    bounded 3-slot path prefix (the collect_list is sliced after
+    sort — sessions are gap-bounded so lists stay session-sized),
+    TakeOrdered for the top-K, rank over K rows.
+    """
+    ev = tables.load_events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts")).cast("long")
+    e = ev.select(
+        "user_id", "event_id", "event_type", us.alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    lagged = e.withColumn(
+        "new_sess",
+        F.when(
+            F.col("ts_us") - F.lag("ts_us").over(w) > 600_000_000,
+            1,
+        )
+        .when(F.lag("ts_us").over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    sess = lagged.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    paths = (
+        sess.groupBy("user_id", "sess_id")
+        .agg(
+            F.array_join(
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    "ts_us", "event_id", "event_type"
+                                )
+                            )
+                        ),
+                        lambda s: s.getField("event_type"),
+                    ),
+                    1,
+                    3,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    counts = paths.groupBy("path").agg(
+        F.count("*").cast("long").alias("n_sessions")
+    )
+    top = counts.orderBy(F.desc("n_sessions"), F.asc("path")).limit(20)
+    wr = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return top.select(
+        "path",
+        "n_sessions",
+        F.row_number().over(wr).cast("int").alias("rank"),
+    )

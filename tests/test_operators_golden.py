@@ -461,3 +461,34 @@ def test_mad_outliers_flags_spike_not_constant(spark):
     assert got[("B", "d5")]["is_outlier"]  # MAD 0: any wiggle flags
     assert not got[("B", "d0")]["is_outlier"]
     assert got[("A", "d0")]["median_price"] == 10.01
+
+
+def test_top_paths_sessionization_gap_rule(spark):
+    """Batch sessionization: a gap of exactly 10 minutes does NOT
+    cut a session (strict >); 10m01s does; paths truncate to the
+    first three event types in (ts, event_id) order."""
+    from unittest import mock
+
+    import marketviz_spark.registry as reg
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view", 0.0),
+        (2, "2024-01-01 10:10:00", 1, "click", 0.0),  # gap == 10m
+        (3, "2024-01-01 10:20:01", 1, "error", 0.0),  # gap 10m01s
+        (4, "2024-01-01 10:20:02", 1, "view", 0.0),
+        (5, "2024-01-01 10:20:03", 1, "click", 0.0),
+        (6, "2024-01-01 10:20:04", 1, "view", 0.0),   # 4th: dropped
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long,"
+        " event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    with mock.patch.object(
+        reg.tables, "load_events", lambda _s, _d: ev
+    ):
+        out = reg.QUERIES["events_top_paths"].fn(spark, "unused")
+        got = {
+            r["path"]: r["n_sessions"] for r in out.collect()
+        }
+    assert got == {"view>click": 1, "error>view>click": 1}
