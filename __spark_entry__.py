@@ -53,6 +53,8 @@ _FIRST = [
     "dq_referential_integrity",
     "w_share_of_day",
     "events_top_paths",
+    "w_max_drawdown",
+    "w_longest_up_streak",
     # Batch 1 (OLAP anchors: decorrelation, HAVING semi-join,
     # nation-pair volume, returned-revenue top-k, grouping sets,
     # argmin-per-group)

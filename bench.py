@@ -127,6 +127,8 @@ BENCH_QUERIES = [
     "dq_referential_integrity",
     "w_share_of_day",
     "events_top_paths",
+    "w_max_drawdown",
+    "w_longest_up_streak",
 ]
 
 

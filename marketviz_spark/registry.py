@@ -3982,3 +3982,158 @@ def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sessions",
         F.row_number().over(wr).cast("int").alias("rank"),
     )
+
+
+@register(
+    "w_max_drawdown",
+    oracle_cte()
+    + """
+    , c AS (
+        SELECT ticker, date,
+               CAST(floor(share_price * 100 + 0.5) AS BIGINT) AS c
+        FROM stocks
+    ), dd AS (
+        SELECT ticker, date, c,
+               max(c) OVER (PARTITION BY ticker ORDER BY date
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS peak
+        FROM c
+    ), scored AS (
+        SELECT ticker, date,
+               CAST((peak - c) * 1000000 // peak AS BIGINT) AS dd_ppm
+        FROM dd
+    )
+    SELECT ticker,
+           CAST(max(dd_ppm) AS BIGINT) AS max_drawdown_ppm,
+           min(CASE WHEN dd_ppm = (SELECT max(s2.dd_ppm)
+                                   FROM scored s2
+                                   WHERE s2.ticker = scored.ticker)
+                    THEN date END) AS trough_date
+    FROM scored GROUP BY ticker
+    """,
+    survey="max drawdown per ticker: running-peak window + integer ppm ratio, argmin-date tiebreak (financial analytic extension)",
+)
+def q_w_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum peak-to-trough drawdown per ticker with the trough
+    date (earliest date attaining it). All arithmetic is integer
+    cents/ppm — `(peak - c) * 1e6 DIV peak` — so the ranking has no
+    float boundary. One ticker-keyed shuffle: running-peak window,
+    then a per-ticker aggregate that computes the max and its
+    earliest date in a single pass (min-when over the max via a
+    second window, not a correlated subquery)."""
+    s = tables.stocks(spark, sf_dir)
+    cents = F.floor(F.col("share_price") * 100 + F.lit(0.5)).cast(
+        "long"
+    )
+    base = s.select("ticker", "date", cents.alias("_c"))
+    wpeak = (
+        Window.partitionBy("ticker")
+        .orderBy("date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = (
+        base.withColumn("_peak", F.max("_c").over(wpeak))
+        .select(
+            "ticker",
+            "date",
+            F.expr("(_peak - _c) * 1000000 DIV _peak")
+            .cast("long")
+            .alias("dd_ppm"),
+        )
+    )
+    wmax = Window.partitionBy("ticker")
+    return (
+        scored.withColumn("_mx", F.max("dd_ppm").over(wmax))
+        .groupBy("ticker")
+        .agg(
+            F.max("dd_ppm").cast("long").alias("max_drawdown_ppm"),
+            F.min(
+                F.when(F.col("dd_ppm") == F.col("_mx"), F.col("date"))
+            ).alias("trough_date"),
+        )
+    )
+
+
+@register(
+    "w_longest_up_streak",
+    oracle_cte()
+    + """
+    , c AS (
+        SELECT ticker, date,
+               CAST(floor(share_price * 100 + 0.5) AS BIGINT) AS c
+        FROM stocks
+    ), flags AS (
+        SELECT ticker, date,
+               CASE WHEN c > lag(c) OVER (PARTITION BY ticker
+                                          ORDER BY date)
+                    THEN 1 ELSE 0 END AS up
+        FROM c
+    ), grouped AS (
+        SELECT ticker, date, up,
+               sum(CASE WHEN up = 0 THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY ticker ORDER BY date
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS streak_id
+        FROM flags
+    ), lengths AS (
+        SELECT ticker, streak_id,
+               CAST(sum(up) AS BIGINT) AS len,
+               max(date) AS end_date
+        FROM grouped GROUP BY ticker, streak_id
+    ), ranked AS (
+        SELECT ticker, len, end_date,
+               row_number() OVER (PARTITION BY ticker
+                                  ORDER BY len DESC, end_date)
+                   AS rn
+        FROM lengths
+    )
+    SELECT ticker, len AS longest_up_streak, end_date
+    FROM ranked WHERE rn = 1
+    """,
+    survey="gaps-and-islands: longest consecutive up-day streak per ticker via boundary-cumsum grouping (window analytic extension)",
+)
+def q_w_longest_up_streak(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Longest run of consecutive up-days per ticker (the classic
+    gaps-and-islands shape): an up flag from lag comparison, a
+    boundary cumsum as the island id (increments at every non-up
+    row, so each island holds one run), per-island up-count, then
+    argmax per ticker (length desc, earliest end date tiebreak).
+    Integer cents comparisons throughout; a single ticker-keyed
+    shuffle feeds every window and the island aggregation."""
+    s = tables.stocks(spark, sf_dir)
+    cents = F.floor(F.col("share_price") * 100 + F.lit(0.5)).cast(
+        "long"
+    )
+    base = s.select("ticker", "date", cents.alias("_c"))
+    wo = Window.partitionBy("ticker").orderBy("date")
+    flags = base.select(
+        "ticker",
+        "date",
+        F.when(F.col("_c") > F.lag("_c").over(wo), 1)
+        .otherwise(0)
+        .alias("up"),
+    )
+    grouped = flags.withColumn(
+        "streak_id",
+        F.sum(F.when(F.col("up") == 0, 1).otherwise(0)).over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    lengths = grouped.groupBy("ticker", "streak_id").agg(
+        F.sum("up").cast("long").alias("len"),
+        F.max("date").alias("end_date"),
+    )
+    wr = Window.partitionBy("ticker").orderBy(
+        F.desc("len"), F.asc("end_date")
+    )
+    return (
+        lengths.withColumn("rn", F.row_number().over(wr))
+        .filter("rn = 1")
+        .select(
+            "ticker",
+            F.col("len").alias("longest_up_streak"),
+            "end_date",
+        )
+    )

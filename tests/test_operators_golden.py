@@ -492,3 +492,32 @@ def test_top_paths_sessionization_gap_rule(spark):
             r["path"]: r["n_sessions"] for r in out.collect()
         }
     assert got == {"view>click": 1, "error>view>click": 1}
+
+
+def test_drawdown_and_streak_hand_computed(spark):
+    """Hand-computed drawdown and streak on one series:
+    prices 10, 12, 9, 11, 12, 13, 8 ->
+    max drawdown = (13-8)/13 = 384615 ppm at the last date;
+    longest up streak = 3 (9->11->12->13 is 11,12,13 = 3 up days)."""
+    from unittest import mock
+
+    import marketviz_spark.registry as reg
+
+    rows = [
+        ("A", f"2024-01-0{i+1}", p)
+        for i, p in enumerate([10.0, 12.0, 9.0, 11.0, 12.0, 13.0, 8.0])
+    ]
+    df = spark.createDataFrame(
+        rows, "ticker string, date string, share_price double"
+    )
+    with mock.patch.object(reg.tables, "stocks", lambda _s, _d: df):
+        dd = reg.QUERIES["w_max_drawdown"].fn(spark, "x").collect()
+        st = (
+            reg.QUERIES["w_longest_up_streak"].fn(spark, "x").collect()
+        )
+    assert len(dd) == 1
+    assert dd[0]["max_drawdown_ppm"] == 384615  # (1300-800)*1e6//1300
+    assert dd[0]["trough_date"] == "2024-01-07"
+    assert len(st) == 1
+    assert st[0]["longest_up_streak"] == 3
+    assert st[0]["end_date"] == "2024-01-06"
