@@ -482,3 +482,35 @@ def test_chunk_index_dedup_single_aggregate_no_window(spark):
     plan = _plan(QUERIES["chunk_index_dedup"].fn(spark, SF_SMALL))
     assert "Window" not in plan
     assert "partial" in plan.lower()
+
+
+def test_drawdown_and_streak_single_ticker_shuffle(spark):
+    """Both analytics claim ONE ticker-keyed shuffle feeding every
+    window/aggregate: at most 2 exchanges (scan-side + final rank/
+    agg reuse the same hash partitioning) and no join operator."""
+    for q in ("w_max_drawdown", "w_longest_up_streak"):
+        plan = _plan(QUERIES[q].fn(spark, SF_SMALL))
+        for op in ("SortMergeJoin", "BroadcastHashJoin",
+                   "ShuffledHashJoin", "CartesianProduct"):
+            assert op not in plan, (q, op)
+        assert plan.count("Exchange") <= 2, q
+
+
+def test_share_of_day_unordered_window_no_sort_by_value(spark):
+    """RATIO_TO_REPORT plans an unordered full-partition window —
+    one date-keyed exchange, no join."""
+    plan = _plan(QUERIES["w_share_of_day"].fn(spark, SF_SMALL))
+    assert "Window" in plan
+    assert plan.count("Exchange") <= 2
+    for op in ("SortMergeJoin", "BroadcastHashJoin"):
+        assert op not in plan, op
+
+
+def test_referential_integrity_uses_anti_joins(spark):
+    """The orphan checks must plan as anti-joins (broadcast or
+    shuffled), never as a full outer join or cartesian."""
+    plan = _plan(
+        QUERIES["dq_referential_integrity"].fn(spark, SF_SMALL)
+    )
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
