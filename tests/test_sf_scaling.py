@@ -36,6 +36,12 @@ JOIN_HEAVY = [
     # the cluster-hash split riding on the capped-bucket components
     "boilerplate_chunks",
     "cluster_split",
+    # round-6 batch 5: the chunk-md5 aggregate (hot boilerplate keys
+    # must stay map-side-combined) and the broadcast-eval cosine
+    # scan (would go quadratic if the eval side ever stopped being
+    # the broadcast side)
+    "chunk_index_dedup",
+    "decontam_embedding",
 ]
 
 MAX_RATIO = 25.0
