@@ -95,3 +95,81 @@ class UniverseDataSource(DataSource):
 
 def register(spark) -> None:
     spark.dataSource.register(UniverseDataSource)
+
+
+# ----------------------------------------------------------------------
+# Streaming flavor: the same feed as a Structured Streaming SOURCE
+# (Spark 4 SimpleDataSourceStreamReader) — a live quote tick stream
+# with deterministic, offset-addressed content.
+# ----------------------------------------------------------------------
+
+from pyspark.sql.datasource import (  # noqa: E402
+    SimpleDataSourceStreamReader,
+)
+
+TICK_BATCH = 10
+TICK_TOTAL = 50
+TICK_SYMBOLS = 7
+
+
+def _tick(seq: int) -> tuple[int, str, float]:
+    h = (seq * 48271 + 7) % 2147483647
+    return (
+        seq,
+        f"T{seq % TICK_SYMBOLS:04d}",
+        float(5 + (h % 49500) / 100.0),
+    )
+
+
+class QuoteStreamReader(SimpleDataSourceStreamReader):
+    """Offset-based tick feed. The offset is the absolute sequence
+    number, so (a) progress is a plain dict the checkpoint persists,
+    (b) `readBetweenOffsets` regenerates EXACTLY the rows of any
+    replayed range (deterministic content -> exactly-once on
+    recovery), and (c) a drained feed returns an empty batch with an
+    unchanged offset — triggers past the end are no-ops. (Note:
+    availableNow snapshots only the simple reader's first prefetched
+    batch, so a finite feed drains under a processing-time trigger,
+    not availableNow — the test stops the query once the feed is
+    exhausted.)
+
+    A live implementation would page a quotes API from `start` and
+    persist fetched pages for replay; the offset/replay contract —
+    the part Spark cares about — is identical.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.total = int(options.get("total", TICK_TOTAL))
+        self.batch = max(1, int(options.get("batch", TICK_BATCH)))
+
+    def initialOffset(self) -> dict:
+        return {"seq": 0}
+
+    def read(self, start: dict):
+        lo = int(start["seq"])
+        hi = min(lo + self.batch, self.total)
+        return iter([_tick(i) for i in range(lo, hi)]), {"seq": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            [_tick(i) for i in range(int(start["seq"]), int(end["seq"]))]
+        )
+
+
+class QuoteStreamDataSource(DataSource):
+    """`spark.readStream.format("marketviz_quotes")
+    .option("total", 50).option("batch", 10).load()`"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "marketviz_quotes"
+
+    def schema(self) -> str:
+        return "seq long, symbol string, price double"
+
+    def simpleStreamReader(self, schema) -> QuoteStreamReader:
+        return QuoteStreamReader(self.options)
+
+
+def register_stream(spark) -> None:
+    spark.dataSource.register(QuoteStreamDataSource)
