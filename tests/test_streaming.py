@@ -865,3 +865,59 @@ def test_stream_upsert_sink_last_writer_wins_and_idempotent(spark):
             os.path.join(d, "ck2"),
         )
         assert got2 == got1
+
+
+def test_quote_stream_into_upsert_sink_latest_per_symbol(spark):
+    """End-to-end: the Python streaming quote source drains through
+    the foreachBatch keyed-upsert sink into a per-symbol latest-tick
+    table — last writer (highest seq) wins across micro-batches."""
+    import time
+
+    from marketviz_spark import pysource
+    from marketviz_spark.streaming.sinks import upsert_batch_fn
+
+    pysource.register_stream(spark)
+    with tempfile.TemporaryDirectory() as d:
+        out, ck = os.path.join(d, "latest"), os.path.join(d, "ck")
+        stream = (
+            spark.readStream.format("marketviz_quotes")
+            .option("total", 25)
+            .option("batch", 10)
+            .load()
+        )
+        sink = upsert_batch_fn(out, ["symbol"], "seq")
+        sizes = []
+
+        def apply_and_track(bdf, bid):
+            n = bdf.count()
+            if n:
+                sink(bdf, bid)
+            sizes.append(n)
+
+        q = (
+            stream.writeStream.foreachBatch(apply_and_track)
+            .option("checkpointLocation", ck)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        # drained = the feed's rows all arrived AND an empty batch
+        # followed (no polling of the output table mid-rewrite)
+        deadline = time.time() + 60
+        while time.time() < deadline and not (
+            sum(sizes) == 25 and sizes and sizes[-1] == 0
+        ):
+            time.sleep(0.3)
+        q.stop()
+        q.awaitTermination()
+        assert sum(sizes) == 25, sizes
+        assert [n for n in sizes if n] == [10, 10, 5]
+        got = {
+            r["symbol"]: r["seq"]
+            for r in spark.read.parquet(out).collect()
+        }
+        # symbol of tick i is T{i % 7}: latest seq per symbol is the
+        # largest i < 25 with i % 7 == s
+        expect = {}
+        for i in range(25):
+            expect[f"T{i % 7:04d}"] = i
+        assert got == expect
