@@ -399,3 +399,67 @@ def test_check_on_write_single_pass_matches_two_pass(spark, tmp_path):
         "accepted_range(v,0,10)": 1,
     }
     assert spark.read.parquet(out).count() == 4
+
+
+def test_datapipe_composition_end_to_end(spark):
+    """Capstone: the training-data ops COMPOSE — documents are
+    deduped to representatives, curated (filters + PII redaction),
+    split leak-safely, and packed into training bins, with
+    conservation holding at every stage boundary:
+    reps ⊆ corpus (unique), curated ⊆ corpus, splits partition the
+    curated set, and packing conserves every curated token."""
+    from pyspark.sql import functions as F
+
+    from marketviz_spark import tables
+    from marketviz_spark.datapipe.curation import (
+        curation_apply,
+        pack_sequences,
+        split_assign,
+    )
+    from marketviz_spark.datapipe.dedup import dedup_apply
+    from tests.conftest import SF_SMALL
+
+    docs = tables.load(spark, SF_SMALL, "documents")
+    n_docs = docs.count()
+
+    reps = dedup_apply(docs)
+    rep_ids = [r["doc_id"] for r in reps.select("doc_id").collect()]
+    assert len(rep_ids) == len(set(rep_ids)) <= n_docs
+
+    deduped = docs.join(
+        reps.select("doc_id"), "doc_id", "left_semi"
+    )
+    curated = curation_apply(deduped)
+    cur_ids = {r["doc_id"] for r in curated.select("doc_id").collect()}
+    assert cur_ids <= set(rep_ids)
+
+    # splits partition the curated set
+    splits = split_assign(
+        docs.join(curated.select("doc_id"), "doc_id", "left_semi")
+    )
+    by_split = {
+        r["doc_id"]: r["split"] for r in splits.collect()
+    }
+    assert set(by_split) == cur_ids
+    assert set(by_split.values()) <= {"train", "val", "test"}
+
+    # packing conserves every curated token exactly once
+    curated_docs = docs.join(
+        curated.select("doc_id"), "doc_id", "left_semi"
+    )
+    total_tokens = (
+        curated_docs.select(
+            F.size(
+                F.filter(
+                    F.split(F.col("text"), " "), lambda t: t != ""
+                )
+            ).alias("n")
+        )
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    packed = pack_sequences(curated_docs)
+    packed_tokens = (
+        packed.agg(F.sum("n_tokens")).collect()[0][0]
+    )
+    assert packed_tokens == total_tokens
