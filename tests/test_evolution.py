@@ -1,0 +1,71 @@
+"""Schema evolution: mixed-schema parquet directories must read as
+one stable schema with declared defaults backfilled, without losing
+column pruning on the scan."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from marketviz_spark.pipelines.evolution import (
+    evolution_report,
+    read_evolved,
+)
+
+
+def _write_two_generations(spark, path):
+    v1 = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)],
+        "id long, sym string, px double",
+    )
+    v1.write.mode("overwrite").parquet(path)
+    v2 = spark.createDataFrame(
+        [(3, "c", 3.0, "XNYS"), (4, "d", 4.0, "XNAS")],
+        "id long, sym string, px double, venue string",
+    )
+    v2.write.mode("append").parquet(path)
+
+
+def test_read_evolved_backfills_defaults(spark):
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t")
+        _write_two_generations(spark, path)
+        df = read_evolved(spark, path, {"venue": "UNKNOWN"})
+        got = {
+            r["id"]: r["venue"] for r in df.collect()
+        }
+        assert got == {1: "UNKNOWN", 2: "UNKNOWN", 3: "XNYS", 4: "XNAS"}
+        # old-file rows keep NULL without a declared default
+        raw = read_evolved(spark, path)
+        assert (
+            raw.filter("venue IS NULL").count() == 2
+            and raw.count() == 4
+        )
+
+
+def test_read_evolved_keeps_column_pruning(spark):
+    """The defaults projection must not defeat pruning: selecting
+    (id, venue) reads only those columns from the scan."""
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t")
+        _write_two_generations(spark, path)
+        df = read_evolved(spark, path, {"venue": "UNKNOWN"}).select(
+            "id", "venue"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        scan = next(
+            l for l in plan.splitlines() if "Scan parquet" in l
+        )
+        assert "px" not in scan and "sym" not in scan
+        assert df.count() == 4
+
+
+def test_evolution_report_classifies_columns(spark):
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t")
+        _write_two_generations(spark, path)
+        rep = dict(evolution_report(spark, path))
+        assert rep["id"] == "base" and rep["px"] == "base"
+        assert rep.get("venue") in ("base", "evolved")
