@@ -55,6 +55,7 @@ _FIRST = [
     "events_top_paths",
     "w_max_drawdown",
     "w_longest_up_streak",
+    "events_hll_intersection",
     # Batch 1 (OLAP anchors: decorrelation, HAVING semi-join,
     # nation-pair volume, returned-revenue top-k, grouping sets,
     # argmin-per-group)

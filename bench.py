@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "events_top_paths",
     "w_max_drawdown",
     "w_longest_up_streak",
+    "events_hll_intersection",
 ]
 
 

@@ -4137,3 +4137,95 @@ def q_w_longest_up_streak(
             "end_date",
         )
     )
+
+
+@register(
+    "events_hll_intersection",
+    """
+    WITH a AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'click'),
+    b AS (SELECT DISTINCT user_id FROM events
+          WHERE event_type = 'error'),
+    u AS (SELECT user_id FROM a UNION SELECT user_id FROM b),
+    i AS (SELECT user_id FROM a INTERSECT SELECT user_id FROM b)
+    SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_click_users,
+        (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_error_users,
+        (SELECT CAST(count(*) AS BIGINT) FROM u) AS n_union_exact,
+        (SELECT CAST(count(*) AS BIGINT) FROM i)
+            AS n_intersect_exact,
+        TRUE AS est_ok
+    """,
+    survey="sketch set algebra: HLL inclusion-exclusion intersection estimate, union-relative tolerance vs exact (approx extension)",
+)
+def q_events_hll_intersection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Approximate audience overlap (|click users ∩ error users|)
+    from three HLL sketches via inclusion-exclusion:
+    est∩ = est(A) + est(B) - est(A∪B), where the union sketch is
+    `hll_union_agg` over the two side sketches — the set-algebra
+    trick that answers overlap questions from PERSISTED per-segment
+    sketches without re-scanning raw data.
+
+    Tolerance contract (cf. events_hll_cascade): the estimate's
+    error is a sum of three union-scale HLL errors, so est_ok
+    asserts |est∩ - exact∩| <= 5% of the EXACT UNION size (the
+    honest bound — intersection-relative error is unbounded when
+    the overlap is small), and the exact counts hash-match.
+    """
+    ev = tables.load_events(spark, sf_dir)
+    sides = (
+        ev.filter(F.col("event_type").isin("click", "error"))
+        .groupBy("event_type")
+        .agg(
+            F.hll_sketch_agg("user_id").alias("sk"),
+            F.countDistinct("user_id").alias("n_exact"),
+        )
+    )
+    a = sides.filter("event_type = 'click'").select(
+        F.col("sk").alias("sk_a"),
+        F.hll_sketch_estimate("sk").alias("est_a"),
+        F.col("n_exact").alias("n_click_users"),
+    )
+    b = sides.filter("event_type = 'error'").select(
+        F.col("sk").alias("sk_b"),
+        F.hll_sketch_estimate("sk").alias("est_b"),
+        F.col("n_exact").alias("n_error_users"),
+    )
+    un = (
+        ev.filter(F.col("event_type").isin("click", "error"))
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id")
+            ).alias("est_u"),
+            F.countDistinct("user_id").alias("n_union_exact"),
+        )
+    )
+    inter = (
+        ev.filter("event_type = 'click'")
+        .select("user_id")
+        .distinct()
+        .intersect(
+            ev.filter("event_type = 'error'")
+            .select("user_id")
+            .distinct()
+        )
+        .agg(F.count("*").cast("long").alias("n_intersect_exact"))
+    )
+    est_i = F.col("est_a") + F.col("est_b") - F.col("est_u")
+    return (
+        a.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(un))
+        .crossJoin(F.broadcast(inter))
+        .select(
+            "n_click_users",
+            "n_error_users",
+            "n_union_exact",
+            "n_intersect_exact",
+            (
+                F.abs(est_i - F.col("n_intersect_exact"))
+                <= 0.05 * F.col("n_union_exact")
+            ).alias("est_ok"),
+        )
+    )
