@@ -124,3 +124,67 @@ def running_type_anomaly(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Idle-session flush: processing-time TIMEOUT state eviction — the
+# GroupState feature the other two operators don't exercise. A user's
+# running session (count, sum) is flushed as a FINAL row when no new
+# events arrive within the timeout, and the state is removed — the
+# live counterpart of session finalization, and the mechanism that
+# BOUNDS state for abandoned keys (without it, every user ever seen
+# stays in the store forever).
+# ---------------------------------------------------------------------------
+
+IDLE_OUTPUT_SCHEMA = (
+    "user_id long, n_events long, value_sum double, final int"
+)
+IDLE_STATE_SCHEMA = "n long, s double"
+
+
+def _idle_update(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        # no data for this key within the timeout: emit the final
+        # session row and DROP the state
+        n, s = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "value_sum": [s],
+                "final": [1],
+            }
+        )
+        return
+    n, s = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+    state.update((n, s))
+    state.setTimeoutDuration(1000)  # 1s idle -> flush
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "value_sum": [s],
+            "final": [0],
+        }
+    )
+
+
+def idle_session_flush(events: DataFrame) -> DataFrame:
+    """events stream -> running per-user totals with a FINAL row
+    (and state eviction) once the user goes idle past the
+    processing-time timeout."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _idle_update,
+        outputStructType=IDLE_OUTPUT_SCHEMA,
+        stateStructType=IDLE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -843,3 +843,27 @@ def test_embedding_decontaminate_flags_near_eval(spark):
     assert got[1]["contaminated"] and got[1]["max_eval_cosine"] == 1.0
     assert not got[2]["contaminated"] and got[2]["n_eval_hits"] == 0
     assert got[3]["contaminated"] and got[3]["n_eval_hits"] == 1
+
+
+def test_dedup_clusters_reliable_checkpoint_path(spark, tmp_path):
+    """The fault-tolerant branch (DataFrame.checkpoint to a real
+    checkpoint dir, the cluster deployment mode) must produce labels
+    identical to the localCheckpoint default."""
+    from marketviz_spark.datapipe.dedup import dedup_clusters
+
+    docs = _docs(
+        spark,
+        [BASE, BASE + " x", BASE + " y", "something entirely else ok"],
+    )
+    local = sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup_clusters(docs).collect()
+    )
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    reliable = sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup_clusters(
+            docs, reliable_checkpoint=True
+        ).collect()
+    )
+    assert reliable == local and len(local) == 4

@@ -921,3 +921,73 @@ def test_quote_stream_into_upsert_sink_latest_per_symbol(spark):
         for i in range(25):
             expect[f"T{i % 7:04d}"] = i
         assert got == expect
+
+
+def test_idle_session_flush_timeout_evicts_state(spark):
+    """Processing-time timeout: an idle user's session is flushed as
+    a final row and the state REMOVED — proven by the user's next
+    event starting a fresh count (n resets), not continuing the old
+    one."""
+    import time
+
+    import pyspark.sql.types as T
+
+    from marketviz_spark.streaming.stateful import idle_session_flush
+    from marketviz_spark.streaming.windows import read_events_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), False),
+            T.StructField("ts", T.LongType(), False),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+    ns = 10**9
+    base = 1704103200 * ns
+    with tempfile.TemporaryDirectory() as src:
+        f1 = os.path.join(src, "a.parquet")
+        spark.createDataFrame(
+            [(1, base, 1, "click", 2.0, None),
+             (2, base + ns, 1, "view", 3.0, None)],
+            schema,
+        ).toPandas().to_parquet(f1)
+        stream = read_events_stream(spark, src, max_files_per_trigger=1)
+        q = (
+            idle_session_flush(stream)
+            .writeStream.format("memory")
+            .queryName("t_idle")
+            .outputMode("update")
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+
+        def rows():
+            return [
+                (r["n_events"], r["value_sum"], r["final"])
+                for r in spark.sql(
+                    "SELECT * FROM t_idle WHERE user_id = 1"
+                ).collect()
+            ]
+
+        deadline = time.time() + 60
+        # phase 1: running row, then the timeout flush
+        while (2, 5.0, 1) not in rows() and time.time() < deadline:
+            time.sleep(0.3)
+        assert (2, 5.0, 0) in rows(), rows()   # running emission
+        assert (2, 5.0, 1) in rows(), rows()   # final flush fired
+        # phase 2: next event starts a FRESH session (state removed)
+        f2 = os.path.join(src, "b.parquet")
+        spark.createDataFrame(
+            [(3, base + 2 * ns, 1, "click", 7.0, None)], schema
+        ).toPandas().to_parquet(f2)
+        os.utime(f2, None)
+        while (1, 7.0, 0) not in rows() and time.time() < deadline:
+            time.sleep(0.3)
+        q.stop()
+        q.awaitTermination()
+        got = rows()
+        assert (1, 7.0, 0) in got, got       # fresh count proves reset
+        assert (3, 12.0, 0) not in got, got  # old state did NOT leak
