@@ -58,47 +58,66 @@ def composition_array(
     )
 
 
+def cents_quantile_bounds(df, cents_col, thresholds, group_cols=None):
+    """Exact percentile_disc values over a cents-valued column,
+    WITHOUT a buffering percentile aggregate — the shared machinery
+    behind equidepth_hist / winsorize_prices / mad_outliers.
+
+    `thresholds` maps output alias -> (num, den) for quantile
+    q = num/den: the returned value is the smallest c with
+    den*cum >= num*n — an integer-exact test (no float q*n),
+    identical to Spark percentile_disc and DuckDB quantile_disc.
+
+    Dataflow: per-(group, cents) histogram (tiny — the cents domain
+    is bounded), a cumsum window over the bounded domain, then one
+    min-when aggregate per threshold. With `group_cols=None` the
+    result is a single row (broadcast it); with groups it is one row
+    per group (join it back on the group key).
+    """
+    from pyspark.sql import Window  # local: avoid cycle
+
+    gb = list(group_cols or [])
+    hist = df.groupBy(*gb, F.col(cents_col).alias("_c")).agg(
+        F.count("*").alias("_k")
+    )
+    wcum = (
+        Window.partitionBy(*gb)
+        .orderBy("_c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*gb)
+    cum = hist.select(
+        *gb,
+        "_c",
+        F.sum("_k").over(wcum).alias("_cum"),
+        F.sum("_k").over(wall).alias("_n"),
+    )
+    aggs = [
+        F.min(
+            F.when(
+                den * F.col("_cum") >= num * F.col("_n"), F.col("_c")
+            )
+        ).alias(alias)
+        for alias, (num, den) in thresholds.items()
+    ]
+    return cum.groupBy(*gb).agg(*aggs)
+
+
 def equidepth_hist(stocks_df, price_col: str = "share_price"):
     """Equi-depth (quartile) histogram of a price column: exact
     ``percentile_disc`` boundaries, then per-bucket count/min/max
     and an order-free exact sum.
 
-    Boundaries are NOT computed with the buffering percentile
-    aggregate (which collects values per group — a driver/executor
-    OOM at fact scale). Prices are 2-dp, so the distinct CENTS
-    domain is bounded (~price-range x 100 values): aggregate the
-    cents histogram (tiny), cumsum it over the bounded domain, and
-    read b_q = min cents with cume_dist >= q off the cumsum with
-    integer-exact tests (4*cum >= n for q=.25 — no float q*n). Same
-    value ``percentile_disc``/DuckDB ``quantile_disc`` return,
-    linear scan + one bounded-domain window.
+    Boundaries come from ``cents_quantile_bounds`` (see there: the
+    bounded cents-domain cumsum, never a buffering percentile
+    aggregate); the bucket pass is map-only over the broadcast
+    1-row bounds.
     """
-    from pyspark.sql import DataFrame, Window  # local: avoid cycle
-
     cents = F.floor(F.col(price_col) * 100 + F.lit(0.5)).cast("long")
-    hist = stocks_df.groupBy(cents.alias("_c")).agg(
-        F.count("*").alias("_k")
-    )
-    w = Window.orderBy("_c").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = hist.select(
+    bounds = cents_quantile_bounds(
+        stocks_df.select(cents.alias("_c")),
         "_c",
-        F.sum("_k").over(w).alias("_cum"),
-        F.sum("_k").over(
-            Window.orderBy("_c").rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("_n"),
-    )
-    bounds = cum.agg(
-        F.min(F.when(4 * F.col("_cum") >= F.col("_n"), F.col("_c")))
-        .alias("_b1"),
-        F.min(F.when(2 * F.col("_cum") >= F.col("_n"), F.col("_c")))
-        .alias("_b2"),
-        F.min(
-            F.when(4 * F.col("_cum") >= 3 * F.col("_n"), F.col("_c"))
-        ).alias("_b3"),
+        {"_b1": (1, 4), "_b2": (1, 2), "_b3": (3, 4)},
     )
     tagged = stocks_df.withColumn("_c", cents).crossJoin(
         F.broadcast(bounds)
@@ -137,45 +156,14 @@ def winsorize_prices(
     """Winsorization: clamp a price column at exact percentile_disc
     bounds (default p05/p95) and flag the clamped rows — the robust-
     statistics pre-step before any mean/stddev that outliers would
-    poison.
-
-    Bounds come from the same bounded cents-domain cumsum as
-    ``equidepth_hist`` (see there: no buffering percentile
-    aggregate), with integer-exact threshold tests
-    ``100*cum >= pct*n``. Two linear passes total: one tiny
-    histogram aggregate (broadcast back as one row), one map-only
-    clamp.
+    poison. Bounds from ``cents_quantile_bounds``; the clamp is one
+    map-only pass over the broadcast 1-row bounds.
     """
-    from pyspark.sql import Window  # local: avoid module cycle
-
     cents = F.floor(F.col(price_col) * 100 + F.lit(0.5)).cast("long")
-    hist = stocks_df.groupBy(cents.alias("_c")).agg(
-        F.count("*").alias("_k")
-    )
-    w = Window.orderBy("_c").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wn = Window.orderBy("_c").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    cum = hist.select(
+    bounds = cents_quantile_bounds(
+        stocks_df.select(cents.alias("_c")),
         "_c",
-        F.sum("_k").over(w).alias("_cum"),
-        F.sum("_k").over(wn).alias("_n"),
-    )
-    bounds = cum.agg(
-        F.min(
-            F.when(
-                100 * F.col("_cum") >= lo_pct * F.col("_n"),
-                F.col("_c"),
-            )
-        ).alias("_lo"),
-        F.min(
-            F.when(
-                100 * F.col("_cum") >= hi_pct * F.col("_n"),
-                F.col("_c"),
-            )
-        ).alias("_hi"),
+        {"_lo": (lo_pct, 100), "_hi": (hi_pct, 100)},
     )
     tagged = stocks_df.withColumn("_c", cents).crossJoin(
         F.broadcast(bounds)
@@ -192,33 +180,10 @@ def winsorize_prices(
 
 
 def _group_median_cents(df, group_col: str, cents_col: str):
-    """Exact per-group percentile_disc(0.5) over a cents-valued
-    column WITHOUT buffering values per group: per-group cents
-    histogram (tiny: |groups| x bounded cents domain), cumsum window
-    partitioned by group over the bounded domain, then the smallest
-    value with 2*cum >= n — integer-exact, identical to DuckDB
-    quantile_disc."""
-    from pyspark.sql import Window
-
-    hist = df.groupBy(group_col, F.col(cents_col).alias("_c")).agg(
-        F.count("*").alias("_k")
-    )
-    wcum = (
-        Window.partitionBy(group_col)
-        .orderBy("_c")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wall = Window.partitionBy(group_col)
-    cum = hist.select(
-        group_col,
-        "_c",
-        F.sum("_k").over(wcum).alias("_cum"),
-        F.sum("_k").over(wall).alias("_n"),
-    )
-    return cum.groupBy(group_col).agg(
-        F.min(
-            F.when(2 * F.col("_cum") >= F.col("_n"), F.col("_c"))
-        ).alias("_med")
+    """Exact per-group percentile_disc(0.5): one-threshold call into
+    the shared ``cents_quantile_bounds`` machinery."""
+    return cents_quantile_bounds(
+        df, cents_col, {"_med": (1, 2)}, group_cols=[group_col]
     )
 
 

@@ -7,8 +7,19 @@ Why this shape: a 100 TB table is never rewritten to add a column.
 metadata only — no data scan), rows from pre-evolution files surface
 NULL for the new columns, and the declared defaults turn those NULLs
 into the values the column would have had. Readers keep full column
-pruning and predicate pushdown — the coalesce is a projection over
+pruning and predicate pushdown — the default is a projection over
 the scan, not a rewrite.
+
+Default semantics (strict mode, the default): a declared default
+applies ONLY to rows from files that physically lack the column —
+an explicitly-written NULL in a post-evolution file means "value
+unknown" and is preserved, exactly like a SQL column DEFAULT. The
+file set lacking each column comes from a footer scan (driver-side
+metadata; a production deployment reads the same fact from its
+catalog/manifest instead of listing footers), and rows are routed by
+`input_file_name()` — a map-side expression, no extra data pass.
+`strict=False` degrades to a plain coalesce (ALL NULLs filled,
+including written ones) for when footers are unavailable.
 
 The reference app has no schema evolution (its sqlite tables are
 CREATE'd once, database_manager.py); this is an engine extension for
@@ -17,26 +28,59 @@ the deployment target, where ingestion schemas drift monthly.
 
 from __future__ import annotations
 
+import glob
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _files_lacking_column(path: str, col: str) -> list[str]:
+    """Basenames of parquet files under `path` whose footer schema
+    has no column `col` (footer-only, no data read)."""
+    import pyarrow.parquet as pq
+
+    lacking = []
+    for f in glob.glob(
+        os.path.join(path, "**", "*.parquet"), recursive=True
+    ):
+        if col not in pq.read_schema(f).names:
+            lacking.append(os.path.basename(f))
+    return lacking
 
 
 def read_evolved(
     spark: SparkSession,
     path: str,
     defaults: dict[str, object] | None = None,
+    strict: bool = True,
 ) -> DataFrame:
     """Read a parquet table whose files were written under multiple
-    schema versions. `defaults` maps column name -> value used where
-    pre-evolution files have no such column (NULL otherwise). A
-    default for a column every file lacks raises in `select` —
-    misspelled names fail loudly rather than silently adding a
-    constant column.
+    schema versions, backfilling `defaults` for columns absent from
+    pre-evolution files.
+
+    strict=True (default): the default fills only rows from files
+    that LACK the column; NULLs explicitly written by files that
+    have it are preserved (SQL column-DEFAULT semantics).
+    strict=False: plain coalesce — every NULL in the column is
+    filled, including intentionally-written ones.
     """
     df = spark.read.option("mergeSchema", "true").parquet(path)
-    for col, val in (defaults or {}).items():
+    if not defaults:
+        return df
+    fname = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    for col, val in defaults.items():
+        if not strict:
+            df = df.withColumn(
+                col, F.coalesce(F.col(col), F.lit(val))
+            )
+            continue
+        lacking = _files_lacking_column(path, col)
         df = df.withColumn(
-            col, F.coalesce(F.col(col), F.lit(val))
+            col,
+            F.when(fname.isin(lacking), F.lit(val)).otherwise(
+                F.col(col)
+            ),
         )
     return df
 

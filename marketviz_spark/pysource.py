@@ -147,7 +147,11 @@ class QuoteStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict):
         lo = int(start["seq"])
-        hi = min(lo + self.batch, self.total)
+        # max(lo, ...): offsets must never move backward — a restart
+        # from a checkpoint whose offset exceeds a RECONFIGURED
+        # smaller `total` must hold position (empty batches), not
+        # violate the monotonic-offset contract.
+        hi = max(lo, min(lo + self.batch, self.total))
         return iter([_tick(i) for i in range(lo, hi)]), {"seq": hi}
 
     def readBetweenOffsets(self, start: dict, end: dict):

@@ -12,9 +12,11 @@ Delivery semantics: foreachBatch is at-least-once — on recovery a
 micro-batch can be REPLAYED with the same batch_id. The sink stays
 effectively exactly-once because the write is idempotent BY KEY:
 replaying a batch re-upserts the same (key -> row) mapping, and
-within-batch duplicates collapse to one row per key first (latest
-by `order_col` when given, arbitrary-but-deterministic otherwise),
-so a replay converges to the identical table state.
+within-batch duplicates collapse to one row per key first — latest
+by `order_col`, with ties (and the no-order_col case) broken by the
+FULL remaining row ordered by column name, so the winner is a pure
+function of the batch's contents and a replay converges to the
+identical table state.
 
 Scale: per micro-batch the cost is the batch-sized dedupe shuffle
 plus the upsert itself; with the delta backend only files touched
@@ -37,17 +39,27 @@ def upsert_batch_fn(path: str, keys: list[str], order_col: str | None):
     per key, then keyed-upsert into `path`."""
 
     def _apply(bdf: DataFrame, batch_id: int) -> None:
-        if order_col is not None:
-            w = Window.partitionBy(*keys).orderBy(
-                F.desc(order_col), *[F.asc(k) for k in keys]
-            )
-            deduped = (
-                bdf.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn")
-            )
-        else:
-            deduped = bdf.dropDuplicates(keys)
+        # Deterministic winner per key: order_col desc first (when
+        # given), then EVERY remaining column ascending by name. The
+        # full-row tiebreak is what makes a replayed batch pick the
+        # SAME winner — ordering by the (constant-within-partition)
+        # keys, or dropDuplicates, would leave ties to partition
+        # order and break replay convergence. Requires orderable
+        # column types (true for every schema this engine writes).
+        rest = sorted(
+            c
+            for c in bdf.columns
+            if c not in keys and c != order_col
+        )
+        order = (
+            [F.desc(order_col)] if order_col is not None else []
+        ) + [F.asc(c) for c in rest]
+        w = Window.partitionBy(*keys).orderBy(*order)
+        deduped = (
+            bdf.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
         upsert_keyed(bdf.sparkSession, deduped, path, keys)
 
     return _apply

@@ -24,9 +24,18 @@ def test_first_list_names_are_registry_queries():
     assert dupes == [], f"_FIRST has duplicates: {dupes}"
 
 
+# Queries intentionally shipped WITHOUT an oracle (rows-only driver
+# check); empty today — adding a name here must be a deliberate call.
+ORACLE_LESS: set[str] = set()
+
+
 def test_every_query_has_matching_oracle_key():
     mod = importlib.import_module("__spark_entry__")
     qs, osql = mod.queries(), mod.oracle_sql()
+    # both directions: every oracle names a query AND every query
+    # has an oracle unless explicitly allowlisted as rows-only
     assert set(osql) <= set(qs)
+    missing = set(qs) - set(osql) - ORACLE_LESS
+    assert missing == set(), f"queries without an oracle: {missing}"
     # ordering helper returns every registry query exactly once
     assert sorted(qs) == sorted(set(qs))

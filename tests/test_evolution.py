@@ -22,7 +22,8 @@ def _write_two_generations(spark, path):
     )
     v1.write.mode("overwrite").parquet(path)
     v2 = spark.createDataFrame(
-        [(3, "c", 3.0, "XNYS"), (4, "d", 4.0, "XNAS")],
+        [(3, "c", 3.0, "XNYS"), (4, "d", 4.0, "XNAS"),
+         (5, "e", 5.0, None)],  # venue explicitly unknown
         "id long, sym string, px double, venue string",
     )
     v2.write.mode("append").parquet(path)
@@ -36,12 +37,24 @@ def test_read_evolved_backfills_defaults(spark):
         got = {
             r["id"]: r["venue"] for r in df.collect()
         }
-        assert got == {1: "UNKNOWN", 2: "UNKNOWN", 3: "XNYS", 4: "XNAS"}
+        # strict: pre-evolution rows backfill; the explicitly-
+        # written NULL (id 5) is PRESERVED, not overwritten
+        assert got == {
+            1: "UNKNOWN", 2: "UNKNOWN",
+            3: "XNYS", 4: "XNAS", 5: None,
+        }
+        # non-strict coalesce fills every NULL, including id 5
+        loose = read_evolved(
+            spark, path, {"venue": "UNKNOWN"}, strict=False
+        )
+        assert {
+            r["id"]: r["venue"] for r in loose.collect()
+        }[5] == "UNKNOWN"
         # old-file rows keep NULL without a declared default
         raw = read_evolved(spark, path)
         assert (
-            raw.filter("venue IS NULL").count() == 2
-            and raw.count() == 4
+            raw.filter("venue IS NULL").count() == 3
+            and raw.count() == 5
         )
 
 
@@ -59,7 +72,7 @@ def test_read_evolved_keeps_column_pruning(spark):
             l for l in plan.splitlines() if "Scan parquet" in l
         )
         assert "px" not in scan and "sym" not in scan
-        assert df.count() == 4
+        assert df.count() == 5
 
 
 def test_evolution_report_classifies_columns(spark):
