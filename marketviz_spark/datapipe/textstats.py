@@ -69,26 +69,45 @@ def _hits(toks: Column, words: list[str]) -> Column:
 
 
 def text_stats(docs: DataFrame) -> DataFrame:
-    """Token count, char stats, stopword ratio, quality score."""
+    """Token count, char stats, stopword ratio, quality score.
+
+    Degenerate rows every crawl corpus contains have DEFINED,
+    engine-identical semantics: NULL text propagates NULL metrics;
+    zero-token text (empty/whitespace-only) gets NULL for the
+    per-token ratios (no tokens to average) and quality 0.0 — and
+    never a divide-by-zero under ANSI mode (the bug this guard
+    fixed, caught by the null-parity test)."""
     t = tokens()
     n_tok = F.size(t).cast("long")
+    has_tok = F.col("n_tokens") > 0
     sum_len = F.aggregate(
         F.transform(t, lambda x: F.length(x).cast("long")),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    stop_ratio = _hits(t, STOPWORDS_EN) / n_tok
+    stop_ratio = F.col("_stop_hits") / F.col("n_tokens")
     quality = rnd(
-        F.least(F.lit(1.0), n_tok / 100.0) * (1.0 - stop_ratio), 6
+        F.least(F.lit(1.0), F.col("n_tokens") / 100.0)
+        * (1.0 - stop_ratio),
+        6,
     )
     return docs.select(
         "doc_id",
         n_tok.alias("n_tokens"),
         F.length("text").cast("long").alias("n_chars_computed"),
         sum_len.alias("sum_token_chars"),
-        (sum_len / n_tok).alias("avg_token_len"),
-        stop_ratio.alias("stopword_ratio"),
-        quality.alias("quality_score"),
+        _hits(t, STOPWORDS_EN).alias("_stop_hits"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_chars_computed",
+        "sum_token_chars",
+        F.when(has_tok, F.col("sum_token_chars") / F.col("n_tokens"))
+        .alias("avg_token_len"),
+        F.when(has_tok, stop_ratio).alias("stopword_ratio"),
+        F.when(has_tok, quality)
+        .when(F.col("n_tokens") == 0, F.lit(0.0))
+        .alias("quality_score"),
     )
 
 

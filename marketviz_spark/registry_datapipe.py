@@ -80,17 +80,26 @@ def _sql_list(words: list[str]) -> str:
     SELECT doc_id,
            CAST(len(t) AS BIGINT) AS n_tokens,
            CAST(length(text) AS BIGINT) AS n_chars_computed,
-           CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT)
+           CASE WHEN t IS NULL THEN NULL
+                ELSE CAST(coalesce(
+                    list_sum(list_transform(t, x -> length(x))), 0)
+                    AS BIGINT) END
                AS sum_token_chars,
-           CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT)
-               / CAST(len(t) AS BIGINT) AS avg_token_len,
-           len(list_filter(t, x -> list_contains(
-               {_sql_list(STOPWORDS_EN)}, x))) / len(t) AS stopword_ratio,
-           floor(least(1.0, len(t) / 100.0)
-                 * (1.0 - len(list_filter(t, x -> list_contains(
-                       {_sql_list(STOPWORDS_EN)}, x))) / len(t))
-                 * 1000000.0 + 0.5) / 1000000.0
-               AS quality_score
+           CASE WHEN len(t) > 0 THEN
+               CAST(list_sum(list_transform(t, x -> length(x)))
+                    AS BIGINT) / CAST(len(t) AS BIGINT)
+           END AS avg_token_len,
+           CASE WHEN len(t) > 0 THEN
+               len(list_filter(t, x -> list_contains(
+                   {_sql_list(STOPWORDS_EN)}, x))) / len(t)
+           END AS stopword_ratio,
+           CASE WHEN len(t) > 0 THEN
+               floor(least(1.0, len(t) / 100.0)
+                     * (1.0 - len(list_filter(t, x -> list_contains(
+                           {_sql_list(STOPWORDS_EN)}, x))) / len(t))
+                     * 1000000.0 + 0.5) / 1000000.0
+           WHEN len(t) = 0 THEN 0.0
+           END AS quality_score
     FROM toks
     """,
     survey="text quality scoring + token counting (datapipe)",

@@ -68,3 +68,49 @@ def test_unicode_parity(spark, uni_dir, name):
         qd.fn(spark, uni_dir), con, qd.oracle, name
     )
     assert problems == [], problems
+
+
+NULL_DOCS = [
+    (1, None, "en", "src0"),           # NULL text
+    (2, "", "en", "src0"),             # empty text
+    (3, "   ", "en", "src1"),          # whitespace only
+    (4, "real words here", "en", "src1"),
+]
+
+
+@pytest.fixture(scope="module")
+def null_dir(spark):
+    with tempfile.TemporaryDirectory() as d:
+        df = spark.createDataFrame(
+            [
+                (i, t, l, s, len(t) if t is not None else 0)
+                for i, t, l, s in NULL_DOCS
+            ],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )
+        df.toPandas().to_parquet(os.path.join(d, "documents.parquet"))
+        yield d
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["text_stats", "text_token_bpe", "dedup_exact", "vocab_topk"],
+)
+def test_null_and_empty_text_parity(spark, null_dir, name):
+    """NULL / empty / whitespace-only text must flow through the
+    text stack with DEFINED, engine-identical behavior (dropped or
+    zeroed the same way on both engines) — the rows a real crawl
+    corpus always contains."""
+    from tests.oracle_check import compare
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{null_dir}/documents.parquet'"
+    )
+    qd = QUERIES[name]
+    problems = compare(
+        qd.fn(spark, null_dir), con, qd.oracle, name
+    )
+    assert problems == [], problems
