@@ -114,3 +114,40 @@ def test_null_and_empty_text_parity(spark, null_dir, name):
         qd.fn(spark, null_dir), con, qd.oracle, name
     )
     assert problems == [], problems
+
+
+def test_degenerate_corpus_crashes_nothing(spark, null_dir):
+    """Regression sweep: EVERY documents-family registry query must
+    execute (possibly to an empty result) on a corpus of
+    NULL/empty/whitespace-only documents — the ANSI divide-by-zero
+    class of bug text_stats had. Embeddings-dependent queries get a
+    tiny embeddings table alongside."""
+    import numpy as np
+    import pandas as pd
+
+    emb = pd.DataFrame(
+        {
+            "vec_id": [1, 2],
+            "embedding": [
+                np.array([1.0, 0.0], dtype="float32"),
+                np.array([0.0, 1.0], dtype="float32"),
+            ],
+            "label": np.array([0, 1], dtype="int32"),
+        }
+    )
+    emb.to_parquet(os.path.join(null_dir, "embeddings.parquet"))
+    prefixes = (
+        "text_", "dedup_", "curation", "sample_", "split_",
+        "vocab", "pii_", "pack_", "corpus_", "mixture", "oov",
+        "doc_", "boilerplate", "token_", "langid", "jaccard",
+        "bpe_", "chunk_", "curriculum",
+    )
+    failures = []
+    for name, qd in QUERIES.items():
+        if not name.startswith(prefixes):
+            continue
+        try:
+            qd.fn(spark, null_dir).count()
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, str(e).splitlines()[0][:100]))
+    assert failures == [], failures
