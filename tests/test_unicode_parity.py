@@ -151,3 +151,59 @@ def test_degenerate_corpus_crashes_nothing(spark, null_dir):
         except Exception as e:  # noqa: BLE001
             failures.append((name, str(e).splitlines()[0][:100]))
     assert failures == [], failures
+
+
+def test_events_family_survives_empty_and_single_event(spark):
+    """Quiet-hour regression: every events-family query must execute
+    on (a) a properly-typed EMPTY events table and (b) a single-
+    event table — the window/lag/ratio edge cases a fresh deployment
+    hits on day one."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    single = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "ts": pa.array([1704103200000000], pa.timestamp("us")),
+            "user_id": pa.array([1], pa.int64()),
+            "event_type": pa.array(["click"], pa.string()),
+            "value": pa.array([1.0], pa.float64()),
+            "props": pa.array([None], pa.string()),
+        },
+        schema=schema,
+    )
+    for label, table in (
+        (
+            "empty",
+            pa.table(
+                {f.name: pa.array([], f.type) for f in schema},
+                schema=schema,
+            ),
+        ),
+        ("single", single),
+    ):
+        with tempfile.TemporaryDirectory() as d:
+            pq.write_table(
+                table, os.path.join(d, "events.parquet")
+            )
+            failures = []
+            for name, qd in QUERIES.items():
+                if not name.startswith("events_"):
+                    continue
+                try:
+                    qd.fn(spark, d).count()
+                except Exception as e:  # noqa: BLE001
+                    failures.append(
+                        (label, name, str(e).splitlines()[0][:100])
+                    )
+            assert failures == [], failures
