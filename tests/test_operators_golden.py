@@ -521,3 +521,37 @@ def test_drawdown_and_streak_hand_computed(spark):
     assert len(st) == 1
     assert st[0]["longest_up_streak"] == 3
     assert st[0]["end_date"] == "2024-01-06"
+
+
+def test_window_family_single_row_series(spark):
+    """One ticker, one date: every window analytic must return a
+    defined row (lag-null returns, zero drawdown, streak 0, 100%
+    share) rather than crashing or dropping the row."""
+    from unittest import mock
+
+    import marketviz_spark.registry as reg
+
+    df = spark.createDataFrame(
+        [("A", "2024-01-01", 10.0, 1000.0, 10000.0)],
+        "ticker string, date string, share_price double,"
+        " effective_shares_outstanding double, market_cap double",
+    )
+    with mock.patch.object(reg.tables, "stocks", lambda _s, _d: df):
+        dd = reg.QUERIES["w_max_drawdown"].fn(spark, "x").collect()
+        assert len(dd) == 1 and dd[0]["max_drawdown_ppm"] == 0
+        st = reg.QUERIES["w_longest_up_streak"].fn(
+            spark, "x"
+        ).collect()
+        assert len(st) == 1 and st[0]["longest_up_streak"] == 0
+        sh = reg.QUERIES["w_share_of_day"].fn(spark, "x").collect()
+        assert len(sh) == 1 and sh[0]["cap_share"] == 1.0
+        mad = reg.QUERIES["ticker_mad_outliers"].fn(
+            spark, "x"
+        ).collect()
+        assert len(mad) == 1 and not mad[0]["is_outlier"]
+        hist = reg.QUERIES["price_equidepth_hist"].fn(
+            spark, "x"
+        ).collect()
+        assert len(hist) == 1 and hist[0]["n_rows"] == 1
+        win = reg.QUERIES["price_winsorize"].fn(spark, "x").collect()
+        assert len(win) == 1 and not win[0]["clamped_low"]
