@@ -991,3 +991,59 @@ def test_idle_session_flush_timeout_evicts_state(spark):
         got = rows()
         assert (1, 7.0, 0) in got, got       # fresh count proves reset
         assert (3, 12.0, 0) not in got, got  # old state did NOT leak
+
+
+def test_progress_recorder_sees_every_micro_batch(spark):
+    """The ops listener records one progress event per micro-batch
+    with the input-row counts, start/termination lifecycle, and the
+    bounded-memory contract."""
+    import time
+
+    from marketviz_spark import pysource
+    from marketviz_spark.streaming import monitor
+
+    pysource.register_stream(spark)
+    rec = monitor.attach(spark, max_events=100)
+    try:
+        with tempfile.TemporaryDirectory() as d:
+            q = (
+                spark.readStream.format("marketviz_quotes")
+                .option("total", 25)
+                .option("batch", 10)
+                .load()
+                .writeStream.format("memory")
+                .queryName("t_mon")
+                .option(
+                    "checkpointLocation", os.path.join(d, "ck")
+                )
+                .trigger(processingTime="0 seconds")
+                .start()
+            )
+            deadline = time.time() + 60
+            while (
+                spark.sql("SELECT count(*) FROM t_mon").collect()[0][0]
+                < 25
+                and time.time() < deadline
+            ):
+                time.sleep(0.3)
+            qid = str(q.id)
+            q.stop()
+            q.awaitTermination()
+        # listener events are delivered asynchronously
+        deadline = time.time() + 30
+        while (
+            qid not in rec.terminated and time.time() < deadline
+        ):
+            time.sleep(0.3)
+        assert qid in rec.started and qid in rec.terminated
+        batches = rec.batches_for(qid)
+        sizes = [
+            b["num_input_rows"] for b in batches
+            if b["num_input_rows"] > 0
+        ]
+        assert sizes == [10, 10, 5], batches
+        assert all(
+            b["batch_duration_ms"] is not None for b in batches
+        )
+    finally:
+        spark.streams.removeListener(rec)
