@@ -640,13 +640,17 @@ def corpus_drift(docs: DataFrame) -> DataFrame:
         F.col("n_src").alias("n_tokens"),
         "n_vocab",
         drift_num.cast("long").alias("drift_num"),
-        (
+        # a source holding the ENTIRE corpus (gtot == n_src, e.g. a
+        # single-source corpus) has no "rest" cohort to drift from:
+        # tv_dist is NULL by definition, never a divide-by-zero
+        F.when(
+            F.col("gtot") > F.col("n_src"),
             drift_num.cast("double")
             / (
                 F.lit(2.0)
                 * F.col("n_src")
                 * (F.col("gtot") - F.col("n_src"))
-            )
+            ),
         ).alias("tv_dist"),
     )
 

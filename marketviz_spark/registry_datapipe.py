@@ -1889,8 +1889,10 @@ from .datapipe.curation import corpus_drift  # noqa: E402
            n_src AS n_tokens,
            n_vocab,
            CAST(num_in + (gtot - sg) * n_src AS BIGINT) AS drift_num,
-           CAST(num_in + (gtot - sg) * n_src AS DOUBLE)
-               / (2.0 * n_src * (gtot - n_src)) AS tv_dist
+           CASE WHEN gtot > n_src THEN
+               CAST(num_in + (gtot - sg) * n_src AS DOUBLE)
+                   / (2.0 * n_src * (gtot - n_src))
+           END AS tv_dist
     FROM agg
     """,
     survey="per-source token-distribution TV-distance drift audit, exact-integer numerator (datapipe curation)",

@@ -24,8 +24,10 @@ class ProgressRecorder(StreamingQueryListener):
 
     def __init__(self, max_events: int = 1000) -> None:
         self.events: deque = deque(maxlen=max_events)
-        self.started: list[str] = []
-        self.terminated: list[str] = []
+        # lifecycle logs share the bound — a session cycling many
+        # short-lived queries must not grow these either
+        self.started: deque = deque(maxlen=max_events)
+        self.terminated: deque = deque(maxlen=max_events)
 
     # -- listener callbacks (driver thread) -------------------------
     def onQueryStarted(self, event) -> None:

@@ -49,8 +49,6 @@ def uni_dir(spark):
         # single file so DuckDB's view glob matches the layout the
         # oracle CTEs expect
         df.toPandas().to_parquet(os.path.join(d, "documents.parquet"))
-        # satisfy duck_con's full view list with empty shells where
-        # the query under test only reads documents
         yield d
 
 
@@ -147,7 +145,12 @@ def test_degenerate_corpus_crashes_nothing(spark, null_dir):
         if not name.startswith(prefixes):
             continue
         try:
-            qd.fn(spark, null_dir).count()
+            # noop write, NOT .count(): count lets Catalyst prune
+            # the projection, hiding exactly the ANSI
+            # divide-by-zero class this sweep exists to catch
+            qd.fn(spark, null_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
         except Exception as e:  # noqa: BLE001
             failures.append((name, str(e).splitlines()[0][:100]))
     assert failures == [], failures
@@ -201,7 +204,9 @@ def test_events_family_survives_empty_and_single_event(spark):
                 if not name.startswith("events_"):
                     continue
                 try:
-                    qd.fn(spark, d).count()
+                    qd.fn(spark, d).write.mode(
+                        "overwrite"
+                    ).format("noop").save()
                 except Exception as e:  # noqa: BLE001
                     failures.append(
                         (label, name, str(e).splitlines()[0][:100])
