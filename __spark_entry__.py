@@ -28,73 +28,17 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["index_daily"].fn(spark, "/root/testdata/sf0.001")
 
 
-# The driver checks queries in dict insertion order and may stop at
-# a count/time budget (50 of ~90 in recent rounds). Front-load the
-# entries whose last driver row is stale (green in r04 but not re-run
-# in r05 because of the budget) plus everything round 6 touches, so a
-# budget cutoff can only ever skip queries with a fresh green row.
+# The driver checks queries in dict insertion order and stops at a
+# ~50-query budget. Round-7 rotation (registry FROZEN at 148 this
+# round): the 8 queries that have never had a driver row come first,
+# then the 40 whose latest green row is r04 (two rounds stale), then
+# the queries round 7's ADVICE fixes touch. 8 + 40 = 48 ≤ budget, so
+# after the r7 run zero never-checked queries remain and no green row
+# is older than r05.
 _FIRST = [
-    # NEW in round 6 — no driver row exists yet, so these outrank
-    # every refresh: a one-round-stale green row is still evidence,
-    # a never-run query is invisible to the correctness record.
-    # Batch 5 (session continuation)
-    "events_asof_prev",
-    "sample_pps",
-    "bpe_merge_pairs",
-    "decontam_embedding",
-    "events_bars_incremental",
-    "price_equidepth_hist",
-    "chunk_index_dedup",
-    "price_winsorize",
-    "stocks_snapshot_diff",
-    "events_bars_gapfill",
-    "ticker_mad_outliers",
-    "curriculum_order",
-    "dq_referential_integrity",
-    "w_share_of_day",
-    "events_top_paths",
-    "w_max_drawdown",
-    "w_longest_up_streak",
-    "events_hll_intersection",
-    # Batch 1 (OLAP anchors: decorrelation, HAVING semi-join,
-    # nation-pair volume, returned-revenue top-k, grouping sets,
-    # argmin-per-group)
-    "q17_small_qty_revenue",
-    "q18_large_order_customers",
-    "q7_nation_volume",
-    "q10_returned_revenue",
-    "grouping_sets_revenue",
-    "q2_min_cost_supplier",
-    # Batch 2 (remaining TPC-H hard shapes)
-    "q8_market_share",
-    "q11_part_value_share",
-    "q14_promo_revenue_pct",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q19_bracket_disjunction",
-    "q21_sole_late_supplier",
-    "q22_idle_customer_balance",
-    "q9_nation_profit",
-    "q12_priority_by_delay",
-    "q20_promo_volume_suppliers",
-    # Batch 3 (datapipe + streaming extensions)
-    "corpus_drift",
-    "semdedup_prune",
-    "events_enrich_static",
-    "mixture_plan",
-    "oov_rates",
-    "doc_chunks",
-    # Batch 4 (boilerplate detection, leakage-safe split, mixture
-    # execution, vocab-coverage curve, cohort retention)
-    "boilerplate_chunks",
-    "cluster_split",
-    "mixture_apply",
-    "token_coverage_curve",
-    "events_retention_cohorts",
-    "ann_recall",
-    "mixture_plan_weighted",
-    "cluster_size_histogram",
-    "events_anomaly_days",
+    # Never driver-checked (past position 50 in the r6 order); they
+    # are locally parity-green at sf0.001/sf0.01 but have no hard
+    # driver signal yet — nothing outranks them.
     "dq_documents_gate",
     "langid_confusion",
     "jaccard_band_report",
@@ -103,11 +47,9 @@ _FIRST = [
     "ts_corr_pairs_sketched",
     "ts_corr_recall",
     "w_rolling_range_7d",
-    # touched in round 6 (brute-force cap added in similarity.py)
-    "emb_cosine_topk",
-    # driver row last green in r04 (the full r04 \ r05 set); a ~50
-    # budget covers all of the above plus the front of this list —
-    # any cutoff lands on rows that already have a green r04 row.
+    # Latest green driver row is r04 (the r04 \ (r05 ∪ r06) set,
+    # computed from CORRECTNESS_r0{1..6}.json by
+    # tools/gen_coverage.py).
     "a4_a5_summary_metrics",
     "agg_distinct_percentile",
     "curation_funnel",
@@ -148,6 +90,14 @@ _FIRST = [
     "w9_topk_per_date",
     "w_beta_corr",
     "w_moving_stats",
+    # Touched by round-7 ADVICE fixes (all have fresh r06 green rows;
+    # re-verify the changed code paths with the 2 spare budget slots,
+    # overflow is harmless).
+    "decontam_embedding",
+    "stocks_snapshot_diff",
+    "price_equidepth_hist",
+    "price_winsorize",
+    "ticker_mad_outliers",
 ]
 
 
