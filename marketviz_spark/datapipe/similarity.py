@@ -806,7 +806,11 @@ def embedding_decontaminate(
         / (F.col("_norm") * F.col("_ev_n")),
         6,
     )
-    pairs = corp.crossJoin(F.broadcast(ev)).select(
+    # LEFT join, not cross: with an empty eval slice every corpus
+    # row must still appear (n_eval_hits=0, contaminated=false) —
+    # an empty benchmark set is "all clean", not "empty audit".
+    # Still a map-only broadcast nested-loop pass.
+    pairs = corp.join(F.broadcast(ev), F.lit(True), "left").select(
         "vec_id", "label", cos.alias("_cos")
     )
     return (

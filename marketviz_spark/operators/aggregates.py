@@ -77,8 +77,14 @@ def cents_quantile_bounds(df, cents_col, thresholds, group_cols=None):
     from pyspark.sql import Window  # local: avoid cycle
 
     gb = list(group_cols or [])
-    hist = df.groupBy(*gb, F.col(cents_col).alias("_c")).agg(
-        F.count("*").alias("_k")
+    # NULL cents must not enter _n or the cumsum: percentile_disc
+    # (Spark) and quantile_disc (DuckDB) both ignore NULLs, and
+    # NULLs sort first in the ascending window, which would shift
+    # every boundary.
+    hist = (
+        df.filter(F.col(cents_col).isNotNull())
+        .groupBy(*gb, F.col(cents_col).alias("_c"))
+        .agg(F.count("*").alias("_k"))
     )
     wcum = (
         Window.partitionBy(*gb)

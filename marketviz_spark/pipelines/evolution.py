@@ -36,8 +36,10 @@ from pyspark.sql import functions as F
 
 
 def _files_lacking_column(path: str, col: str) -> list[str]:
-    """Basenames of parquet files under `path` whose footer schema
-    has no column `col` (footer-only, no data read)."""
+    """Absolute paths of parquet files under `path` whose footer
+    schema has no column `col` (footer-only, no data read). Full
+    paths, not basenames: two partition subdirectories can both
+    contain a `part-00000-….parquet`."""
     import pyarrow.parquet as pq
 
     lacking = []
@@ -45,7 +47,7 @@ def _files_lacking_column(path: str, col: str) -> list[str]:
         os.path.join(path, "**", "*.parquet"), recursive=True
     ):
         if col not in pq.read_schema(f).names:
-            lacking.append(os.path.basename(f))
+            lacking.append(os.path.abspath(f))
     return lacking
 
 
@@ -68,8 +70,19 @@ def read_evolved(
     df = spark.read.option("mergeSchema", "true").parquet(path)
     if not defaults:
         return df
-    fname = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    # input_file_name() yields a URI (file:///abs/path); strip the
+    # scheme so it compares equal to the glob's absolute paths.
+    # Spark part-file names contain no URI-escaped characters.
+    fpath = F.regexp_replace(
+        F.input_file_name(), r"^[a-zA-Z][a-zA-Z0-9+.-]*:(//)?", ""
+    )
     for col, val in defaults.items():
+        if col not in df.columns:
+            # A default declared for a column no file carries:
+            # F.col(col) would be unresolvable, and mergeSchema
+            # never adds it — materialize the constant directly.
+            df = df.withColumn(col, F.lit(val))
+            continue
         if not strict:
             df = df.withColumn(
                 col, F.coalesce(F.col(col), F.lit(val))
@@ -78,7 +91,7 @@ def read_evolved(
         lacking = _files_lacking_column(path, col)
         df = df.withColumn(
             col,
-            F.when(fname.isin(lacking), F.lit(val)).otherwise(
+            F.when(fpath.isin(lacking), F.lit(val)).otherwise(
                 F.col(col)
             ),
         )

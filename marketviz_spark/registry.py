@@ -3597,10 +3597,14 @@ def q_price_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     j AS (
         SELECT coalesce(v1.ticker, v2.ticker) AS ticker,
+               -- IS NOT DISTINCT FROM mirrors table_diff's
+               -- eqNullSafe struct compare: NULL==NULL counts as
+               -- unchanged, not changed.
                CASE WHEN v1.ticker IS NULL THEN 'added'
                     WHEN v2.ticker IS NULL THEN 'removed'
-                    WHEN v1.close = v2.close
-                         AND v1.split = v2.split THEN 'unchanged'
+                    WHEN v1.close IS NOT DISTINCT FROM v2.close
+                         AND v1.split IS NOT DISTINCT FROM v2.split
+                         THEN 'unchanged'
                     ELSE 'changed' END AS status
         FROM v1 FULL OUTER JOIN v2
           ON v1.ticker = v2.ticker AND v1.date = v2.date

@@ -559,12 +559,16 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     , ev AS (
         SELECT vec AS ev_v, nrm AS ev_n FROM v WHERE vec_id % 50 = 0
     ), pairs AS (
+        -- LEFT JOIN ON TRUE, not a cross join: an empty eval slice
+        -- must yield every corpus row all-clean, mirroring the
+        -- engine's broadcast left join.
         SELECT c.vec_id, e.label,
                floor(list_dot_product(c.vec, ev.ev_v)
                      / (c.nrm * ev.ev_n) * 1000000.0 + 0.5)
                    / 1000000.0 AS cos
         FROM v c
-        JOIN embeddings e ON e.vec_id = c.vec_id, ev
+        JOIN embeddings e ON e.vec_id = c.vec_id
+        LEFT JOIN ev ON TRUE
         WHERE c.vec_id % 50 <> 0
     )
     SELECT vec_id, CAST(label AS INT) AS label,

@@ -845,6 +845,29 @@ def test_embedding_decontaminate_flags_near_eval(spark):
     assert got[3]["contaminated"] and got[3]["n_eval_hits"] == 1
 
 
+def test_embedding_decontaminate_empty_eval_all_clean(spark):
+    """An empty eval slice (no vec_id hits the modulus) must report
+    EVERY corpus row clean with n_eval_hits=0 — not silently return
+    an empty audit (ADVICE r6: the cross join dropped all rows)."""
+    from marketviz_spark.datapipe.similarity import (
+        embedding_decontaminate,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (i, [float(i), 1.0, 0.0, 0.0], i % 2)
+            for i in (1, 2, 3, 5, 7)  # none divisible by 50
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = embedding_decontaminate(emb).collect()
+    assert {r["vec_id"] for r in rows} == {1, 2, 3, 5, 7}
+    for r in rows:
+        assert r["n_eval_hits"] == 0
+        assert not r["contaminated"]
+        assert r["max_eval_cosine"] is None
+
+
 def test_dedup_clusters_reliable_checkpoint_path(spark, tmp_path):
     """The fault-tolerant branch (DataFrame.checkpoint to a real
     checkpoint dir, the cluster deployment mode) must produce labels

@@ -75,6 +75,52 @@ def test_read_evolved_keeps_column_pruning(spark):
         assert df.count() == 5
 
 
+def test_read_evolved_default_for_column_absent_everywhere(spark):
+    """A default declared for a column NO file carries must add the
+    constant column, not die on an unresolved F.col (ADVICE r6) —
+    the ingest-config-ahead-of-first-write case."""
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t")
+        _write_two_generations(spark, path)
+        for strict in (True, False):
+            df = read_evolved(
+                spark, path, {"region": "GLOBAL"}, strict=strict
+            )
+            assert df.filter(F.col("region") == "GLOBAL").count() == 5
+
+
+def test_read_evolved_strict_survives_basename_collision(spark):
+    """Two partition subdirectories each holding a part file with
+    the SAME basename, only one lacking the column: strict routing
+    must backfill only the rows from the lacking FILE, so it has to
+    key on full paths, not basenames (ADVICE r6)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t")
+        old_dir = os.path.join(path, "gen=old")
+        new_dir = os.path.join(path, "gen=new")
+        os.makedirs(old_dir)
+        os.makedirs(new_dir)
+        pq.write_table(
+            pa.table({"id": [1, 2]}),
+            os.path.join(old_dir, "part-00000.parquet"),
+        )
+        pq.write_table(
+            pa.table({"id": [3, 4], "venue": ["XNYS", None]}),
+            os.path.join(new_dir, "part-00000.parquet"),
+        )
+        df = read_evolved(spark, path, {"venue": "UNKNOWN"})
+        got = {r["id"]: r["venue"] for r in df.collect()}
+        assert got == {
+            1: "UNKNOWN",
+            2: "UNKNOWN",
+            3: "XNYS",
+            4: None,  # explicit NULL in the column-bearing file
+        }
+
+
 def test_evolution_report_classifies_columns(spark):
     with tempfile.TemporaryDirectory() as d:
         path = os.path.join(d, "t")

@@ -345,6 +345,51 @@ def test_equidepth_hist_quartile_boundaries(spark):
     }
 
 
+def test_cents_quantile_bounds_ignore_nulls(spark):
+    """NULL prices must not enter the quantile histogram: Spark
+    percentile_disc and DuckDB quantile_disc both ignore NULLs, and
+    NULLs sort first in the cumsum window, so counting them would
+    shift every boundary down (ADVICE r6)."""
+    from marketviz_spark.operators.aggregates import (
+        cents_quantile_bounds,
+    )
+
+    vals = [10, 20, 30, 40, 50, 60, 70, 80]
+    with_nulls = spark.createDataFrame(
+        [(v,) for v in vals] + [(None,)] * 5, "c long"
+    )
+    clean = spark.createDataFrame([(v,) for v in vals], "c long")
+    thresholds = {"q25": (1, 4), "q50": (1, 2), "q75": (3, 4)}
+    got = cents_quantile_bounds(with_nulls, "c", thresholds).first()
+    want = cents_quantile_bounds(clean, "c", thresholds).first()
+    assert (got["q25"], got["q50"], got["q75"]) == (
+        want["q25"],
+        want["q50"],
+        want["q75"],
+    ) == (20, 40, 60)
+    # grouped form: the NULL-carrying group matches its clean twin,
+    # and the engine value equals Spark's own percentile_disc
+    grouped = spark.createDataFrame(
+        [("a", v) for v in vals]
+        + [("a", None)] * 3
+        + [("b", 5), ("b", None), ("b", 15)],
+        "g string, c long",
+    )
+    med = {
+        r["g"]: r["m"]
+        for r in cents_quantile_bounds(
+            grouped, "c", {"m": (1, 2)}, group_cols=["g"]
+        ).collect()
+    }
+    ref = {
+        r["g"]: r["m"]
+        for r in grouped.groupBy("g")
+        .agg(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c)").alias("m"))
+        .collect()
+    }
+    assert med == ref == {"a": 40, "b": 5}
+
+
 def test_table_diff_classifies_all_outcomes(spark):
     """Snapshot diff: added/removed/changed/unchanged each hit, with
     null-safe compare (NULL == NULL is unchanged; NULL vs value is
