@@ -457,10 +457,39 @@ def _assign_to(
     return best.select(*cols)
 
 
+# Trained-centroid memo: (cache_key, n_cells, n_iters) -> the K·d
+# float model. Opt-in via ivf_train(cache_key=...): callers that can
+# vouch the keyed corpus is immutable (the registry keys by sf_dir —
+# a read-only parquet dir) amortize ONE training across every IVF
+# consumer in the session, the same build-once/serve-many shape a
+# persisted ANN index has in production. Deterministic Lloyd means
+# the cached model is bit-identical to a fresh train, so DuckDB
+# oracles that unroll training stay exact.
+_IVF_MODEL_CACHE: dict[tuple, list] = {}
+
+
+def centroid_df_for(emb: DataFrame, rows: list) -> DataFrame:
+    """(cell, vector) model rows -> broadcastable centroid
+    DataFrame, norms folded in the same left-to-right order as
+    _dot's fold."""
+    import math
+
+    data = []
+    for cell, vec in rows:
+        s = 0.0
+        for x in vec:
+            s = s + x * x
+        data.append((cell, vec, math.sqrt(s)))
+    return emb.sparkSession.createDataFrame(
+        data, "cell long, c_v array<double>, c_norm double"
+    )
+
+
 def ivf_train(
     emb: DataFrame,
     n_cells: int = N_IVF_CELLS,
     n_iters: int = N_IVF_ITERS,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Trained IVF centroids: deterministic Lloyd k-means.
 
@@ -481,16 +510,15 @@ def ivf_train(
     import math
 
     def centroid_df(rows):
-        # Norm in the same left-to-right order as _dot's fold.
-        data = []
-        for cell, vec in rows:
-            s = 0.0
-            for x in vec:
-                s = s + x * x
-            data.append((cell, vec, math.sqrt(s)))
-        return emb.sparkSession.createDataFrame(
-            data, "cell long, c_v array<double>, c_norm double"
-        )
+        return centroid_df_for(emb, rows)
+
+    memo = (
+        (cache_key, n_cells, n_iters)
+        if cache_key is not None
+        else None
+    )
+    if memo is not None and memo in _IVF_MODEL_CACHE:
+        return centroid_df_for(emb, _IVF_MODEL_CACHE[memo])
 
     n = with_norm(emb).select("vec_id", "_v", "_norm")
     seed = n.orderBy("vec_id").limit(n_cells).select("vec_id", "_v")
@@ -528,22 +556,29 @@ def ivf_train(
             (cell, [dims[d] for d in range(EMB_DIM)])
             for cell, dims in sorted(by_cell.items())
         ]
+    if memo is not None:
+        _IVF_MODEL_CACHE[memo] = cents
     return centroid_df(cents)
 
 
-def ivf_assign(emb: DataFrame) -> DataFrame:
+def ivf_assign(
+    emb: DataFrame, cache_key: str | None = None
+) -> DataFrame:
     """IVF coarse quantization against the trained centroids: each
     vector goes to the centroid with the highest rounded cosine
     (cell tiebreak)."""
     n = with_norm(emb).select("vec_id", "_v", "_norm")
-    return _assign_to(n, ivf_train(emb))
+    return _assign_to(n, ivf_train(emb, cache_key=cache_key))
 
 
 N_IVF_PROBE = 2
 
 
 def ivf_topk(
-    emb: DataFrame, k: int = 3, nprobe: int = N_IVF_PROBE
+    emb: DataFrame,
+    k: int = 3,
+    nprobe: int = N_IVF_PROBE,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """IVF search: each query probes its `nprobe` nearest cells
     (candidates are indexed by home cell only, standard IVF). The
@@ -552,7 +587,9 @@ def ivf_topk(
     out `nprobe` probe rows per query — recall across cell
     boundaries without rescoring the whole index."""
     n = with_norm(emb).select("vec_id", "_v", "_norm")
-    assigned = _assign_to(n, ivf_train(emb), nprobe=nprobe)
+    assigned = _assign_to(
+        n, ivf_train(emb, cache_key=cache_key), nprobe=nprobe
+    )
     cand = assigned.select("vec_id", "_v", "_norm", "cell")
     qry = assigned.select(
         "vec_id",
@@ -653,7 +690,9 @@ SEMDEDUP_TAU = NEAR_DUP_COSINE
 
 
 def semdedup(
-    emb: DataFrame, tau: float = SEMDEDUP_TAU
+    emb: DataFrame,
+    tau: float = SEMDEDUP_TAU,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
     2303.09540): cluster embeddings with the trained IVF centroids,
@@ -677,7 +716,8 @@ def semdedup(
     exact duplication through dedup_exact first.
     """
     base = _assign_to(
-        with_norm(emb).select("vec_id", "_v", "_norm"), ivf_train(emb)
+        with_norm(emb).select("vec_id", "_v", "_norm"),
+        ivf_train(emb, cache_key=cache_key),
     )
     a = base.select(
         F.col("cell"),

