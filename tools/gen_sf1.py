@@ -1,0 +1,117 @@
+"""Generate a seeded sf1-equivalent documents/embeddings pair for
+the 10x cap spot-run (round-7 verdict item: the dedup/ANN caps are
+adversarially tested at small scale but had never seen a 10x data
+step). Shapes mirror the driver's sf0.1 tables (5k docs / 2k
+vectors -> 50k / 20k): vocabulary word-salad text with exact +
+near duplicates, 64-dim label-clustered embeddings with planted
+near-dup vectors.
+
+Writes to <repo>/.sf1data/ (testdata is read-only). Deterministic:
+numpy PCG64 seed 427. Usage: python tools/gen_sf1.py [outdir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+N_DOCS = 50_000
+N_VECS = 20_000
+EMB_DIM = 64
+N_LABELS = 10
+VOCAB = (
+    "spark line column order small sort fast value scan hash batch "
+    "part query agg table stream filter big merge group row key the "
+    "a join vector customer slow".split()
+)
+LANGS = ["en", "en", "en", "es", "fr", "zh", "de"]  # en-heavy like sf0.1
+
+
+def gen_documents(rng: np.random.Generator):
+    doc_ids, texts, langs, sources, n_chars = [], [], [], [], []
+    base_texts: list[str] = []
+    for i in range(N_DOCS):
+        r = rng.random()
+        if i > 100 and r < 0.01:
+            # exact duplicate of an earlier doc (sf0.1 has ~0.2%;
+            # be a bit meaner at 10x)
+            t = base_texts[int(rng.integers(0, len(base_texts)))]
+        elif i > 100 and r < 0.03:
+            # near duplicate: copy + mutate a few words
+            words = base_texts[
+                int(rng.integers(0, len(base_texts)))
+            ].split()
+            for _ in range(max(1, len(words) // 20)):
+                words[int(rng.integers(0, len(words)))] = VOCAB[
+                    int(rng.integers(0, len(VOCAB)))
+                ]
+            t = " ".join(words)
+        else:
+            n_words = int(rng.integers(8, 110))
+            t = " ".join(
+                VOCAB[int(k)]
+                for k in rng.integers(0, len(VOCAB), n_words)
+            )
+            base_texts.append(t)
+        doc_ids.append(i)
+        texts.append(t)
+        langs.append(LANGS[int(rng.integers(0, len(LANGS)))])
+        sources.append(f"src{int(rng.integers(0, 20))}")
+        n_chars.append(len(t))
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(sources, pa.string()),
+            "n_chars": pa.array(n_chars, pa.int64()),
+        }
+    )
+
+
+def gen_embeddings(rng: np.random.Generator):
+    centroids = rng.normal(0, 1, (N_LABELS, EMB_DIM))
+    labels = rng.integers(0, N_LABELS, N_VECS)
+    vecs = centroids[labels] + rng.normal(0, 0.35, (N_VECS, EMB_DIM))
+    # plant ~1% near-duplicate vectors (tiny perturbations of an
+    # earlier vector) so the near-dup path has real work
+    n_planted = N_VECS // 100
+    src = rng.integers(0, N_VECS // 2, n_planted)
+    dst = rng.integers(N_VECS // 2, N_VECS, n_planted)
+    vecs[dst] = vecs[src] + rng.normal(0, 0.01, (n_planted, EMB_DIM))
+    return pa.table(
+        {
+            "vec_id": pa.array(range(N_VECS), pa.int64()),
+            "embedding": pa.array(
+                [v.astype(np.float32) for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array(labels.astype(np.int32), pa.int32()),
+        }
+    )
+
+
+def main() -> None:
+    out = (
+        sys.argv[1]
+        if len(sys.argv) > 1
+        else os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".sf1data",
+        )
+    )
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.default_rng(427)
+    pq.write_table(gen_documents(rng), os.path.join(out, "documents.parquet"))
+    pq.write_table(
+        gen_embeddings(rng), os.path.join(out, "embeddings.parquet")
+    )
+    print(f"wrote {out}: documents {N_DOCS}, embeddings {N_VECS}")
+
+
+if __name__ == "__main__":
+    main()
