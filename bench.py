@@ -132,6 +132,12 @@ BENCH_QUERIES = [
     "events_hll_intersection",
 ]
 
+# Round 7: the bench covers the ENTIRE registry — the curated list
+# above keeps its order (stable cross-round comparisons), and every
+# remaining registry query is appended in registry order so nothing
+# can regress unbenched. BASELINE.md carries a row for each.
+BENCH_QUERIES += [n for n in QUERIES if n not in BENCH_QUERIES]
+
 
 def materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
@@ -140,7 +146,19 @@ def materialize(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # A ~450-job single-JVM suite accumulates broadcast/shuffle
+    # state the ContextCleaner only frees on driver GC; the default
+    # periodicGC interval (30min) never fires inside one bench run,
+    # which measurably degrades late-order queries (observed ~1.3x
+    # drift by position 111+ without it). An explicit collection
+    # between passes (and before the timed pass) drains that state
+    # OUTSIDE the measured windows. Deliberately NOT a short
+    # periodicGC interval: forced full GCs landing inside measured
+    # queries made everything uniformly ~1.5x slower when tried.
     spark = get_spark("marketviz_bench")
+
+    def _drain_jvm() -> None:
+        spark.sparkContext._jvm.System.gc()
 
     # Warmup: JVM, parquet reader, and the exact codegen shapes of the
     # benched plans — run the same queries at the tiny sf first so the
@@ -162,6 +180,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for _pass in range(2):
+        _drain_jvm()
         for name in BENCH_QUERIES:
             if name not in QUERIES:
                 continue

@@ -86,9 +86,24 @@ def cosine_topk(
     n = with_norm(emb).select(
         F.col("vec_id"), F.col("_v"), F.col("_norm")
     )
-    a = n.alias("a")
+    # The scored-pair work is (streamed partitions) wide: a corpus
+    # small enough to pass the cap often arrives as ONE file split,
+    # which would run the whole O(n²·d) scoring in a single task.
+    # Fan the streamed side out to cluster parallelism first (cheap:
+    # ≤N_BRUTE_CAP rows), and broadcast the build side explicitly so
+    # the non-equi join is a broadcast NLJ over the widened stream.
+    sc = emb.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    stream = (
+        n.repartition(target)
+        if n.rdd.getNumPartitions() < target
+        else n
+    )
+    a = stream.alias("a")
     b = n.alias("b")
-    pairs = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
+    pairs = a.join(
+        F.broadcast(b), F.col("a.vec_id") != F.col("b.vec_id")
+    ).select(
         F.col("a.vec_id").alias("vec_id"),
         F.col("b.vec_id").alias("neighbor_id"),
         rnd(

@@ -180,6 +180,119 @@ def test_dashboard_data_facade(spark):
         dd.unpersist()
 
 
+def test_dashboard_facade_golden_all_accessors(spark):
+    """All eight DashboardData accessors on one FIXTURES.md-style
+    synthetic (K=3, a weekend gap, a reorder-only date, two real
+    composition changes, a stale stocks row), every output asserted
+    against hand-computed golden values — the end-to-end read-path
+    contract in ONE test (reference dashboard.py:266-408)."""
+    import pytest
+
+    from marketviz_spark.pipelines.dashboard_data import DashboardData
+
+    index_df = spark.createDataFrame(
+        [
+            ("2024-01-01", 10.0, "A,B,C"),
+            ("2024-01-02", 11.0, "A,B,C"),
+            ("2024-01-03", 12.1, "A,B,D"),   # +D , -C
+            ("2024-01-05", 11.0, "B,A,D"),   # reorder only: no change
+            ("2024-01-08", 12.0, "B,D,E"),   # +E , -A
+        ],
+        "date string, index_value double, composition string",
+    )
+    stocks_df = spark.createDataFrame(
+        [
+            ("B", "2024-01-08", 20.0, 2.0e9),
+            ("B", "2024-01-05", 990.0, 99.0e9),  # stale: must lose
+            ("D", "2024-01-08", 15.0, 1.5e9),
+            ("E", "2024-01-08", 5.0, 0.5e9),
+            ("A", "2024-01-08", 90.0, 9.0e9),    # not in latest comp
+            ("C", "2024-01-03", 10.0, 1.0e9),    # not in latest comp
+        ],
+        "ticker string, date string, share_price double,"
+        " market_cap double",
+    )
+    dd = DashboardData(index_df, stocks_df)
+    try:
+        # 1. headline_stats (W7)
+        s = dd.headline_stats().collect()
+        assert len(s) == 1
+        assert s[0]["latest_date"] == "2024-01-08"
+        assert s[0]["current_value"] == 12.0
+        assert s[0]["daily_change"] == 1.0
+        assert s[0]["daily_change_pct"] == pytest.approx(100.0 / 11.0)
+
+        # 2. metrics (A4+A5): 3 constituents, 2 change dates (the
+        # first row and the reorder-only date are NOT changes)
+        m = dd.metrics().collect()
+        assert len(m) == 1
+        assert m[0]["constituent_count"] == 3
+        assert m[0]["change_date_count"] == 2
+
+        # 3. performance (W3-W6) keyed by date
+        p = {r["date"]: r for r in dd.performance().collect()}
+        assert p["2024-01-01"]["daily_return"] is None
+        assert p["2024-01-02"]["daily_return"] == pytest.approx(10.0)
+        assert p["2024-01-03"]["daily_return"] == pytest.approx(
+            (12.1 - 11.0) / 11.0 * 100.0
+        )
+        assert p["2024-01-05"]["cumulative_return"] == pytest.approx(10.0)
+        assert p["2024-01-08"]["cumulative_return"] == pytest.approx(20.0)
+        assert p["2024-01-03"]["change_label"] == "+(D) , -(C)"
+        assert p["2024-01-05"]["change_label"] == "-"
+        assert p["2024-01-08"]["change_label"] == "+(E) , -(A)"
+
+        # 4. market_cap_pie (J1+A3+O6): latest comp is B,D,E; top 2
+        # by composition position stay named, E folds to OTHERS; B's
+        # stale 99e9 row must lose to its latest 2e9 row; A and C are
+        # not in the latest composition at all
+        pie = {
+            r["name"]: r["market_cap_billions"]
+            for r in dd.market_cap_pie(top_n=2).collect()
+        }
+        assert pie == {"B": 2.0, "D": 1.5, "OTHERS": 0.5}
+
+        # 5. composition_at (J3 walk-back): exact date, a 2-day
+        # walk-back across the weekend gap, and a >5-day miss
+        exact = dd.composition_at("2024-01-05").collect()[0]
+        assert exact["matched_date"] == "2024-01-05"
+        assert exact["composition"] == "B,A,D"
+        back = dd.composition_at("2024-01-07").collect()[0]
+        assert back["matched_date"] == "2024-01-05"
+        assert back["index_value"] == 11.0
+        miss = dd.composition_at("2024-01-20").collect()[0]
+        assert miss["matched_date"] is None
+        assert miss["index_value"] is None
+
+        # 6. change_dates (W5+O4): newest first, labels exact
+        cd = [
+            (r["date"], r["change_label"])
+            for r in dd.change_dates().collect()
+        ]
+        assert cd == [
+            ("2024-01-08", "+(E) , -(A)"),
+            ("2024-01-03", "+(D) , -(C)"),
+        ]
+
+        # 7. summary_30 (O5+O4+W6): all 5 rows, newest first
+        t = dd.summary_30().collect()
+        assert [r["date"] for r in t] == [
+            "2024-01-08",
+            "2024-01-05",
+            "2024-01-03",
+            "2024-01-02",
+            "2024-01-01",
+        ]
+        assert t[0]["index_value"] == 12.0
+        assert t[0]["change_label"] == "+(E) , -(A)"
+        assert t[-1]["daily_return"] is None
+        assert t[-1]["cumulative_return"] == 0.0
+    finally:
+        # 8. unpersist: the cached index frame releases cleanly
+        dd.unpersist()
+        assert not index_df.is_cached
+
+
 def test_multi_format_round_trip(spark):
     import tempfile
 
