@@ -259,11 +259,23 @@ def shingle_overflow_keys(
     return _hot_shingles(shingles(docs, n), df_cap)
 
 
+# Refuse-and-report budget for the exact verifier's TOTAL candidate
+# pair space. SHINGLE_DF_CAP bounds each shingle's contribution to
+# DF²/2 pairs but not the SUM over shingles: on a dense corpus (many
+# shingles near the cap) Σ DF·(DF-1)/2 grows with density² even with
+# every shingle under the cap — measured 33x wall-clock for a 10x
+# denser corpus in the round-7 sf1 spot-run. Above the budget the
+# right tool is LSH candidates + exact Jaccard on the pair list, not
+# a corpus-wide self-join on any engine.
+JACCARD_PAIR_BUDGET = 100_000_000
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
     threshold: float = 0.05,
     df_cap: int = SHINGLE_DF_CAP,
+    pair_budget: int | None = JACCARD_PAIR_BUDGET,
 ) -> DataFrame:
     """Exact n-gram Jaccard over the rare-shingle space: shingles
     with document frequency > df_cap are removed first (see
@@ -271,6 +283,16 @@ def ngram_jaccard_pairs(
     integer intersection/union arithmetic; only the final ratio is a
     (deterministic) double division. Set sizes count surviving
     shingles too, so the ratio is a true Jaccard of the capped sets.
+
+    Before the self-join launches, the exact candidate-pair count
+    Σ DF·(DF-1)/2 over surviving shingles is checked against
+    ``pair_budget`` — refuse-and-report like the other caps, because
+    df_cap alone does not bound the total pair space on dense
+    corpora (the sf1 spot-run measured 33x wall with every per-key
+    cap green). The estimate costs one extra LINEAR pass (a shingle
+    DF aggregate to one driver row) — the price of never launching
+    a density-quadratic join. Pass ``pair_budget=None`` to run
+    uncapped.
 
     The capped shingle table is consumed four times (sizes, both
     self-join sides, and the DF computation feeding the cap);
@@ -280,9 +302,31 @@ def ngram_jaccard_pairs(
     100 TB), so materializing it once is the production dataflow,
     not a local trick.
     """
-    sh = _rare_shingles(shingles(docs, n), df_cap).localCheckpoint(
-        eager=False
-    )
+    raw = shingles(docs, n)
+    if pair_budget is not None:
+        est = (
+            raw.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= df_cap)
+            .agg(
+                F.sum(
+                    F.col("_df") * (F.col("_df") - 1) / 2
+                ).alias("_pairs")
+            )
+            .first()["_pairs"]
+        )
+        if est is not None and est > pair_budget:
+            raise ValueError(
+                f"ngram_jaccard_pairs: {int(est)} candidate pairs "
+                f"from the surviving shingle space, above "
+                f"pair_budget={pair_budget}; a corpus-wide exact "
+                "self-join at this density is quadratic work even "
+                "with every shingle under df_cap. Generate "
+                "candidates with lsh_candidate_pairs / "
+                "simhash_pairs first and verify Jaccard on that "
+                "pair list, or raise pair_budget explicitly."
+            )
+    sh = _rare_shingles(raw, df_cap).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -151,11 +151,36 @@ def lsh_buckets(emb: DataFrame) -> DataFrame:
     return n.withColumn("bucket", bucket.cast("long"))
 
 
-def hyperplane_lsh_topk(emb: DataFrame, k: int = 3) -> DataFrame:
+# Per-bucket candidate cap for the LSH top-k's build side. The
+# same-bucket equi-join is Σ_bucket |bucket|² work: with 2^8 buckets
+# and CLUSTERED embeddings a bucket can hold a large fraction of the
+# corpus, and the join quietly goes quadratic — measured 35x
+# wall-clock for a 10x denser corpus in the round-7 sf1 spot-run.
+# Each query keeps its full row; only the CANDIDATE side of an
+# over-full bucket is truncated to the first `cap` members by
+# vec_id (deterministic on any engine). Recall degradation is
+# auditable via the ann_recall query. sf0.1 buckets max out at 23,
+# far under the cap, so driver results are unchanged.
+LSH_BUCKET_CANDIDATE_CAP = 128
+
+
+def hyperplane_lsh_topk(
+    emb: DataFrame,
+    k: int = 3,
+    bucket_cap: int = LSH_BUCKET_CANDIDATE_CAP,
+) -> DataFrame:
     """Approximate top-k: candidates restricted to same-bucket pairs
-    (the scale path: equi-join on bucket instead of cross join)."""
+    (the scale path: equi-join on bucket instead of cross join),
+    with the candidate side of each bucket capped at ``bucket_cap``
+    members (see LSH_BUCKET_CANDIDATE_CAP)."""
     n = lsh_buckets(emb).select("vec_id", "_v", "_norm", "bucket")
-    a, b = n.alias("a"), n.alias("b")
+    wb = Window.partitionBy("bucket").orderBy("vec_id")
+    cand = (
+        n.withColumn("_brn", F.row_number().over(wb))
+        .filter(F.col("_brn") <= bucket_cap)
+        .drop("_brn")
+    )
+    a, b = n.alias("a"), cand.alias("b")
     pairs = a.join(
         b,
         (F.col("a.bucket") == F.col("b.bucket"))

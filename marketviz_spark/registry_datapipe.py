@@ -700,12 +700,21 @@ def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id, vec, nrm,
                CAST({_lsh_bucket_sql()} AS BIGINT) AS bucket
         FROM v
+    ), cand AS (
+        -- candidate-side bucket cap, mirroring
+        -- similarity.LSH_BUCKET_CANDIDATE_CAP (first 128 members of
+        -- each bucket by vec_id; sf buckets stay far below this)
+        SELECT vec_id, vec, nrm, bucket FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY bucket ORDER BY vec_id
+            ) AS brn FROM bucketed
+        ) WHERE brn <= 128
     ), pairs AS (
         SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
                floor(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm)
                      * 1000000.0 + 0.5) / 1000000.0
                    AS cosine
-        FROM bucketed a JOIN bucketed b
+        FROM bucketed a JOIN cand b
           ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
     )
     SELECT vec_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
@@ -2269,11 +2278,19 @@ from .datapipe.similarity import ann_recall  # noqa: E402
         SELECT vec_id, vec, nrm,
                CAST({_lsh_bucket_sql()} AS BIGINT) AS bucket
         FROM v
+    ), bcand AS (
+        -- candidate-side bucket cap, mirroring
+        -- similarity.LSH_BUCKET_CANDIDATE_CAP
+        SELECT vec_id, vec, nrm, bucket FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY bucket ORDER BY vec_id
+            ) AS brn FROM bucketed
+        ) WHERE brn <= 128
     ), apairs AS (
         SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
                floor(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm)
                      * 1000000.0 + 0.5) / 1000000.0 AS cosine
-        FROM bucketed a JOIN bucketed b
+        FROM bucketed a JOIN bcand b
           ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
     ), approx AS (
         SELECT vec_id, neighbor_id, 1 AS hit FROM (

@@ -229,6 +229,53 @@ def test_cosine_topk_refuses_above_brute_cap(spark):
     assert cosine_topk(emb, k=1, n_rows=N_BRUTE_CAP).count() == 0
 
 
+def test_jaccard_pair_budget_refuses_dense_corpus(spark):
+    """ngram_jaccard_pairs must refuse when the exact candidate-pair
+    count over SURVIVING (under-df_cap) shingles exceeds the budget:
+    df_cap alone does not bound Σ DF·(DF-1)/2 on dense corpora (the
+    round-7 sf1 spot-run measured 33x wall for 10x density). The
+    error names the candidate-based scale path."""
+    import pytest
+
+    from marketviz_spark.datapipe.dedup import ngram_jaccard_pairs
+
+    # 6 docs sharing one 3-shingle "a b c": DF=6 -> 15 pairs
+    docs = _docs(spark, ["a b c d%d" % i for i in range(6)])
+    with pytest.raises(ValueError, match="lsh_candidate_pairs"):
+        ngram_jaccard_pairs(docs, pair_budget=10).count()
+    # same corpus under a sufficient budget runs; budget=None uncaps
+    assert ngram_jaccard_pairs(docs, pair_budget=100).count() >= 0
+    assert ngram_jaccard_pairs(docs, pair_budget=None).count() >= 0
+
+
+def test_lsh_topk_bucket_candidate_cap(spark):
+    """hyperplane_lsh_topk truncates only the CANDIDATE side of an
+    over-full bucket (first `bucket_cap` members by vec_id): every
+    query still emits its top-k, total pair work is bounded, and the
+    capped result equals the uncapped one restricted to the kept
+    candidates — deterministic on any engine."""
+    from marketviz_spark.datapipe.similarity import (
+        hyperplane_lsh_topk,
+    )
+
+    # 12 near-identical vectors land in one bucket
+    emb = spark.createDataFrame(
+        [
+            (i, [1.0, 0.001 * i, 0.0, 0.0], 0)
+            for i in range(12)
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    capped = hyperplane_lsh_topk(emb, k=2, bucket_cap=5).collect()
+    # every vector keeps a full query row set
+    assert {r["vec_id"] for r in capped} == set(range(12))
+    # candidates only come from the first 5 bucket members
+    assert all(r["neighbor_id"] < 5 for r in capped)
+    # uncapped: neighbors from the whole bucket
+    full = hyperplane_lsh_topk(emb, k=2, bucket_cap=1000).collect()
+    assert any(r["neighbor_id"] >= 5 for r in full)
+
+
 def test_multimodal_decode_stub_shapes(spark):
     """The stub decode must flow through mapInPandas with the real
     schema, flagging non-decodable rows instead of failing the job."""
