@@ -304,13 +304,21 @@ def ngram_jaccard_pairs(
     """
     raw = shingles(docs, n)
     if pair_budget is not None:
-        est = (
+        # One DF aggregation serves BOTH the budget estimate and the
+        # hot-shingle cap: checkpoint the (shingle, n_docs) table —
+        # far smaller than the doc_id x shingle table the pipeline
+        # already checkpoints below — so the eager .first() that
+        # materializes it leaves the hot-list scan free.
+        dfs = (
             raw.groupBy("shingle")
-            .agg(F.count("*").alias("_df"))
-            .filter(F.col("_df") <= df_cap)
+            .agg(F.count("*").alias("n_docs"))
+            .localCheckpoint(eager=False)
+        )
+        est = (
+            dfs.filter(F.col("n_docs") <= df_cap)
             .agg(
                 F.sum(
-                    F.col("_df") * (F.col("_df") - 1) / 2
+                    F.col("n_docs") * (F.col("n_docs") - 1) / 2
                 ).alias("_pairs")
             )
             .first()["_pairs"]
@@ -326,7 +334,12 @@ def ngram_jaccard_pairs(
                 "simhash_pairs first and verify Jaccard on that "
                 "pair list, or raise pair_budget explicitly."
             )
-    sh = _rare_shingles(raw, df_cap).localCheckpoint(eager=False)
+        hot = dfs.filter(F.col("n_docs") > df_cap).select("shingle")
+        sh = raw.join(
+            F.broadcast(hot), "shingle", "left_anti"
+        ).localCheckpoint(eager=False)
+    else:
+        sh = _rare_shingles(raw, df_cap).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

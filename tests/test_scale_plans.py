@@ -514,3 +514,17 @@ def test_referential_integrity_uses_anti_joins(spark):
     )
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_lsh_topk_candidate_cap_compiles_to_group_limit(spark):
+    """The LSH bucket-candidate cap (round-7 sf1 guard) must compile
+    to WindowGroupLimit — the cap is applied map-side BEFORE the
+    bucket exchange, so an over-full bucket never ships more than
+    `cap` candidate rows. With the candidate side bounded at
+    cap x 2^NUM_HYPERPLANES rows regardless of corpus size, the
+    bucket join's build side stays broadcastable at any scale."""
+    plan = _plan(QUERIES["emb_lsh_topk"].fn(spark, SF_SMALL))
+    # one Partial (map-side) + one Final per windowed limit; the
+    # candidate cap and the final top-k each contribute a pair
+    assert plan.count("WindowGroupLimit") >= 3
+    assert "CartesianProduct" not in plan
