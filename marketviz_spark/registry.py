@@ -1213,40 +1213,89 @@ def q_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="range/interval join via bucketed equi-join (engine extension)",
 )
 def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range COUNT decomposed into pre-aggregated second cells plus
+    exact boundary seconds — never a raw error x click pairing.
+
+    The round-6 shape (5-min-bucket equi-join against RAW clicks)
+    was still Σ per-bucket |errors|x|clicks|: linear on uniform
+    traffic but density-squared in a burst — the round-7 sf1
+    spot-run's incident minute measured 19.9x wall for 10x data.
+    Counting needs no pairing: clicks pre-aggregate to 1-second
+    cells (one linear pass), each error sums the cells FULLY inside
+    (a-5m, a) via the same 2-bucket equi-join (<= 600 cell rows per
+    error at ANY click density), and the <= 2 boundary seconds —
+    the only cells a micros-precision window can cut — join raw
+    clicks by second equality (per-error work = clicks in 2
+    seconds). Both contribution streams union into one count
+    aggregate; the cell join stays LEFT so an error with no nearby
+    clicks keeps its zero row. Same answer, but the burst regime
+    degrades to per-second aggregation instead of pair explosion."""
     ev = tables.load_events(spark, sf_dir).select(
         "event_id", "event_type", F.unix_micros("ts").alias("us")
     )
     gap = 300_000_000  # 5 minutes in micros
+    sec_us = 1_000_000
     errors = ev.filter(F.col("event_type") == "error").select(
         F.col("event_id").alias("event_id"), F.col("us").alias("a_us")
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("b_id"), F.col("us").alias("b_us")
+        F.col("us").alias("b_us"),
+        (F.col("us") / sec_us).cast("long").alias("sec"),
     )
-    # Bucketize to 5-min cells: a click within (a-5m, a) lives in the
-    # error's bucket or the one before — equi-join on bucket instead
-    # of a full theta join (the O(n·m) plan a naive range join gets).
+    cells = clicks.groupBy("sec").agg(F.count("*").alias("cnt"))
+    # a second cell [sec, sec+1) is fully inside (a-gap, a) iff
+    cell_full = (
+        F.col("sec") * sec_us >= F.col("a_us") - gap
+    ) & ((F.col("sec") + 1) * sec_us <= F.col("a_us"))
+    # full cells: equi-join on the 5-min bucket (a fully-inside cell
+    # lives in the error's bucket or the one before)
     errors_b = errors.withColumn(
-        "bucket", F.explode(
+        "bucket",
+        F.explode(
             F.array(
                 (F.col("a_us") / gap).cast("long"),
                 (F.col("a_us") / gap).cast("long") - 1,
             )
+        ),
+    )
+    cells_b = cells.withColumn(
+        "bucket", (F.col("sec") * sec_us / gap).cast("long")
+    )
+    contrib_full = (
+        errors_b.join(cells_b, "bucket", "left")
+        .select(
+            "event_id",
+            F.when(cell_full, F.col("cnt")).alias("c"),
         )
     )
-    clicks_b = clicks.withColumn(
-        "bucket", (F.col("b_us") / gap).cast("long")
-    )
-    # Filter inside the aggregate, not on rows: dropping out-of-range
-    # rows before the groupBy would lose errors whose candidate
-    # clicks all miss the range (left-join row count must not gate
-    # group existence).
+    # boundary seconds: the window endpoints' cells, counted exactly
+    # against raw clicks (excluding fully-inside cells so an aligned
+    # endpoint can't double-count)
     in_range = (F.col("b_us") >= F.col("a_us") - gap) & (
         F.col("b_us") < F.col("a_us")
     )
-    joined = errors_b.join(clicks_b, "bucket", "left")
-    return joined.groupBy("event_id").agg(
-        F.count(F.when(in_range, 1)).alias("n_clicks_5m_before")
+    errors_s = errors.withColumn(
+        "sec",
+        F.explode(
+            F.array(
+                ((F.col("a_us") - gap) / sec_us).cast("long"),
+                (F.col("a_us") / sec_us).cast("long"),
+            )
+        ),
+    )
+    contrib_bnd = (
+        errors_s.join(clicks, "sec")
+        .filter(in_range & ~cell_full)
+        .select("event_id", F.lit(1).alias("c"))
+    )
+    return (
+        contrib_full.unionByName(contrib_bnd)
+        .groupBy("event_id")
+        .agg(
+            F.coalesce(F.sum("c"), F.lit(0))
+            .cast("long")
+            .alias("n_clicks_5m_before")
+        )
     )
 
 

@@ -528,3 +528,39 @@ def test_lsh_topk_candidate_cap_compiles_to_group_limit(spark):
     # candidate cap and the final top-k each contribute a pair
     assert plan.count("WindowGroupLimit") >= 3
     assert "CartesianProduct" not in plan
+
+
+def test_click_error_pairs_join_carries_time_bucket(spark):
+    """The same-user attribution join must be keyed on (user_id,
+    bucket), never user_id alone — the round-7 sf1 hot-user regime
+    measured 17.2x wall when a skewed user could cross-multiply a
+    month of clicks against a month of errors."""
+    plan = _plan(
+        QUERIES["events_click_error_pairs"].fn(spark, SF_SMALL)
+    )
+    import re
+
+    join_lines = [
+        l for l in plan.splitlines()
+        if re.search(r"(SortMergeJoin|ShuffledHashJoin|"
+                     r"BroadcastHashJoin)", l)
+    ]
+    assert join_lines, plan
+    assert all("bucket" in l for l in join_lines), join_lines
+
+
+def test_range_join_aggregates_cells_before_pairing(spark):
+    """The range COUNT must pre-aggregate clicks to second cells and
+    union the full-cell and boundary contributions — never pair raw
+    errors x raw clicks (19.9x in the sf1 burst regime). Shape: a
+    Union of the two contribution streams, exactly two joins, and a
+    partial aggregate feeding the cell side."""
+    plan = _plan(QUERIES["events_range_join"].fn(spark, SF_SMALL))
+    assert "Union" in plan
+    assert "CartesianProduct" not in plan
+    njoins = sum(
+        plan.count(op)
+        for op in ("SortMergeJoin", "ShuffledHashJoin join",
+                   "BroadcastHashJoin")
+    )
+    assert njoins == 2, plan

@@ -95,6 +95,70 @@ def gen_embeddings(rng: np.random.Generator):
     )
 
 
+N_EVENTS = 1_000_000
+N_USERS = 15_000
+HOT_USER_SHARE = 0.05  # one user owns 5% of all events
+BURST_SHARE = 0.03     # 3% of events land in one 10-minute incident
+EVENT_TYPES = ["view", "click", "signup", "purchase", "error"]
+
+
+def gen_events(rng: np.random.Generator):
+    """10x the sf0.1 events table, made ADVERSARIAL on the two axes
+    the events family shuffles on: one hot user (user_id 0, ~5% of
+    rows — stresses per-user sessionization/sequence/pair shapes)
+    and one 10-minute burst incident of interleaved click/error
+    traffic (~3% of rows — stresses time-bucketed range joins whose
+    cost is per-bucket |a|x|b|). Uniform 10x would only prove
+    linearity; these regimes probe the density-squared paths."""
+    start_us = np.datetime64("2024-01-01", "us").astype(np.int64)
+    month_us = 30 * 24 * 3600 * 1_000_000
+    n_burst = int(N_EVENTS * BURST_SHARE)
+    n_norm = N_EVENTS - n_burst
+
+    ts = np.sort(
+        rng.integers(0, month_us, n_norm, dtype=np.int64)
+    )
+    # the incident: 10 minutes on Jan 15, click/error heavy
+    burst_t0 = 14 * 24 * 3600 * 1_000_000
+    burst_ts = np.sort(
+        rng.integers(
+            burst_t0, burst_t0 + 600 * 1_000_000, n_burst,
+            dtype=np.int64,
+        )
+    )
+    users = rng.integers(1, N_USERS, n_norm, dtype=np.int64)
+    hot = rng.random(n_norm) < HOT_USER_SHARE
+    users[hot] = 0
+    types = rng.integers(0, len(EVENT_TYPES), n_norm)
+
+    burst_users = rng.integers(1, N_USERS, n_burst, dtype=np.int64)
+    burst_users[rng.random(n_burst) < HOT_USER_SHARE] = 0
+    # incident traffic alternates click/error (range-join fuel)
+    burst_types = np.where(rng.random(n_burst) < 0.5, 1, 4)
+
+    all_ts = np.concatenate([ts, burst_ts])
+    order = np.argsort(all_ts, kind="stable")
+    all_ts = all_ts[order] + start_us
+    all_users = np.concatenate([users, burst_users])[order]
+    all_types = np.concatenate([types, burst_types])[order]
+    value = np.round(rng.random(N_EVENTS) * 560.0, 2)
+    props = [
+        '{"k": %d}' % k for k in rng.integers(0, 100, N_EVENTS)
+    ]
+    return pa.table(
+        {
+            "event_id": pa.array(range(N_EVENTS), pa.int64()),
+            "ts": pa.array(all_ts, pa.timestamp("us")),
+            "user_id": pa.array(all_users, pa.int64()),
+            "event_type": pa.array(
+                [EVENT_TYPES[t] for t in all_types], pa.string()
+            ),
+            "value": pa.array(value, pa.float64()),
+            "props": pa.array(props, pa.string()),
+        }
+    )
+
+
 def main() -> None:
     out = (
         sys.argv[1]
@@ -110,7 +174,11 @@ def main() -> None:
     pq.write_table(
         gen_embeddings(rng), os.path.join(out, "embeddings.parquet")
     )
-    print(f"wrote {out}: documents {N_DOCS}, embeddings {N_VECS}")
+    pq.write_table(gen_events(rng), os.path.join(out, "events.parquet"))
+    print(
+        f"wrote {out}: documents {N_DOCS}, embeddings {N_VECS}, "
+        f"events {N_EVENTS}"
+    )
 
 
 if __name__ == "__main__":
