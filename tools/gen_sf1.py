@@ -1,13 +1,16 @@
-"""Generate a seeded sf1-equivalent documents/embeddings pair for
-the 10x cap spot-run (round-7 verdict item: the dedup/ANN caps are
-adversarially tested at small scale but had never seen a 10x data
-step). Shapes mirror the driver's sf0.1 tables (5k docs / 2k
-vectors -> 50k / 20k): vocabulary word-salad text with exact +
-near duplicates, 64-dim label-clustered embeddings with planted
-near-dup vectors.
+"""Generate seeded sf1-equivalent documents/embeddings/events for
+the 10x spot-runs (round-7: the dedup/ANN caps and the events-family
+joins are adversarially tested at small scale but had never seen a
+10x data step). Shapes mirror the driver's sf0.1 tables (5k docs /
+2k vectors / 100k events -> 50k / 20k / 1M): vocabulary word-salad
+text with exact + near duplicates, 64-dim label-clustered embeddings
+with planted near-dup vectors, and an events month skewed by one hot
+user (5% of rows) plus a 10-minute click/error burst incident (3%).
 
 Writes to <repo>/.sf1data/ (testdata is read-only). Deterministic:
-numpy PCG64 seed 427. Usage: python tools/gen_sf1.py [outdir]
+numpy PCG64 seed 427. Usage: python tools/gen_sf1.py [outdir].
+Consumers: tools/spot_sf1_events.py and the measured tables in
+ARCHITECTURE.md ("10x spot-run" sections).
 """
 
 from __future__ import annotations
