@@ -980,3 +980,26 @@ def test_dedup_clusters_reliable_checkpoint_path(spark, tmp_path):
         ).collect()
     )
     assert reliable == local and len(local) == 4
+
+
+def test_embedding_decontaminate_refuses_oversized_eval(spark):
+    """The collected eval matrix is driver-held (model-sized); an
+    eval slice over eval_cap must refuse loudly, naming the
+    candidate path, instead of densifying a corpus-sized audit."""
+    import pytest
+
+    from marketviz_spark.datapipe.similarity import (
+        embedding_decontaminate,
+    )
+
+    emb = spark.createDataFrame(
+        [(i * 4, [1.0, 0.0], 0) for i in range(6)]  # all eval
+        + [(1, [1.0, 0.0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    with pytest.raises(ValueError, match="dedup_embedding_pairs"):
+        embedding_decontaminate(emb, eval_mod=4, eval_cap=5).count()
+    assert (
+        embedding_decontaminate(emb, eval_mod=4, eval_cap=6).count()
+        == 1
+    )

@@ -469,11 +469,16 @@ def test_bpe_merge_pairs_takeordered_not_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_decontam_embedding_broadcasts_eval_side(spark):
-    """The eval set must be the broadcast side so the corpus scan
-    stays map-only — one corpus-keyed aggregate exchange at most."""
+def test_decontam_embedding_is_one_map_only_arrow_pass(spark):
+    """The eval matrix rides inside the mapInPandas closure (model-
+    sized, like IVF centroids), so the corpus side must plan as a
+    single Arrow pass: no join operator, no exchange at all. (The
+    round-6 broadcast-nested-loop form computed the same dots via
+    interpreted lambdas — 56x wall in the r7 sf1 spot-run.)"""
     plan = _plan(QUERIES["decontam_embedding"].fn(spark, SF_SMALL))
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "MapInPandas" in plan
+    for op in ("Join", "Exchange"):
+        assert op not in plan, op
 
 
 def test_chunk_index_dedup_single_aggregate_no_window(spark):

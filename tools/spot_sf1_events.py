@@ -45,7 +45,16 @@ def main() -> None:
         _materialize(QUERIES[n].fn(spark, SF01))
         t_small = time.time() - t0
         t0 = time.time()
-        _materialize(QUERIES[n].fn(spark, SF1))
+        try:
+            _materialize(QUERIES[n].fn(spark, SF1))
+        except Exception as e:  # noqa: BLE001 — refusal guards raise
+            msg = str(e).splitlines()[0][:120]
+            print(
+                f"{n}: sf0.1 {t_small:.2f}s  sf1 REFUSED/ERROR "
+                f"after {time.time() - t0:.1f}s: {msg}",
+                flush=True,
+            )
+            continue
         t_big = time.time() - t0
         print(
             f"{n}: sf0.1 {t_small:.2f}s  sf1 {t_big:.2f}s  "
