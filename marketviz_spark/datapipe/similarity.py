@@ -188,10 +188,10 @@ def hyperplane_lsh_topk(
     ).select(
         F.col("a.vec_id").alias("vec_id"),
         F.col("b.vec_id").alias("neighbor_id"),
-        rnd(
-            _dot(F.col("a._v"), F.col("b._v"))
-            / (F.col("a._norm") * F.col("b._norm")),
-            6,
+        _arrow_cosine()(
+            F.col("a._v"),
+            F.col("b._v"),
+            F.col("a._norm") * F.col("b._norm"),
         ).alias("cosine"),
     )
     w = Window.partitionBy("vec_id").orderBy(
@@ -357,6 +357,31 @@ EMB_TABLE_BITS = 6
 NEAR_DUP_COSINE = 0.35
 
 
+def _arrow_cosine():
+    """Arrow-vectorized floor-6dp cosine over (vec_a, vec_b,
+    norm_a*norm_b) columns — the pair-scoring hot loop shared by the
+    candidate-verification paths (near_pairs, LSH top-k, IVF probe).
+    numpy einsum replaces the interpreted per-element `F.aggregate`
+    fold, ~20x on dense candidate sets (r7 sf1 sweep). FINAL-cosine
+    sites only: ranking/thresholding at 6dp tolerates BLAS pairwise
+    summation (the blas_cosine_topk/ann_recall precedent); TRAINING
+    assignment (ivf_train/_assign_to) keeps the JVM left-fold `_dot`
+    because its oracle unrolls the iterations and a last-ulp flip
+    there would cascade into different centroids. Functional
+    pandas_udf form: the module uses postponed annotations, which
+    the decorator's hint inference can't resolve for closures."""
+    import numpy as np
+    import pandas as pd
+
+    def _fn(va, vb, nn):
+        A = np.array(va.tolist(), dtype=np.float64)
+        B = np.array(vb.tolist(), dtype=np.float64)
+        s = np.einsum("ij,ij->i", A, B) / nn.to_numpy(dtype=np.float64)
+        return pd.Series(np.floor(s * 1e6 + 0.5) / 1e6)
+
+    return F.pandas_udf(_fn, "double")
+
+
 def embedding_near_pairs(
     emb: DataFrame,
     threshold: float = NEAR_DUP_COSINE,
@@ -420,15 +445,7 @@ def embedding_near_pairs(
         .distinct()
     )
 
-    def _cos_fn(va, vb, nn):
-        A = np.array(va.tolist(), dtype=np.float64)
-        B = np.array(vb.tolist(), dtype=np.float64)
-        s = np.einsum("ij,ij->i", A, B) / nn.to_numpy(dtype=np.float64)
-        return pd.Series(np.floor(s * 1e6 + 0.5) / 1e6)
-
-    # functional form: the module uses postponed annotations, which
-    # the decorator's hint inference can't resolve for closures
-    _cos = F.pandas_udf(_cos_fn, "double")
+    _cos = _arrow_cosine()
 
     va = n.select(
         F.col("vec_id").alias("doc_a"),
@@ -661,11 +678,29 @@ def ivf_topk(
     nprobe=1 the only extra cost is the candidate equi-join fanning
     out `nprobe` probe rows per query — recall across cell
     boundaries without rescoring the whole index."""
+    import numpy as np
+    import pandas as pd
+
     n = with_norm(emb).select("vec_id", "_v", "_norm")
     assigned = _assign_to(
         n, ivf_train(emb, cache_key=cache_key), nprobe=nprobe
     )
-    cand = assigned.select("vec_id", "_v", "_norm", "cell")
+    # Cell-block scoring, the blas_cosine_topk tile pattern applied
+    # to IVF cells: each cell's members + the queries probing it
+    # meet in ONE applyInPandas group that runs a dense matmul and
+    # emits per-query in-cell top-k. Vectors ship once per cell
+    # MEMBERSHIP (n + n·nprobe rows), not once per scored pair —
+    # the pair-join + per-pair UDF form moved |pairs| x 2 vectors
+    # through Arrow (tens of GB at the sf1 regime, 301 s); the
+    # block form moves megabytes and lets BLAS do the n·|cell|
+    # flops. Group memory is one cell (n/K vectors) — K is the IVF
+    # design dial that keeps cells executor-sized at any corpus
+    # (at 100 TB also salt the query side per cell, same candidate
+    # replication trick as the LSH bucket cap). A pair meets in
+    # exactly one group: candidates are indexed by home cell only.
+    cand = assigned.select(
+        "vec_id", "_v", "_norm", "cell", F.lit("c").alias("side")
+    )
     qry = assigned.select(
         "vec_id",
         "_v",
@@ -674,21 +709,45 @@ def ivf_topk(
             F.col("probe_cells")
             if nprobe > 1
             else F.array(F.col("cell"))
-        ).alias("pcell"),
+        ).alias("cell"),
+        F.lit("q").alias("side"),
     )
-    a, b = qry.alias("a"), cand.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.pcell") == F.col("b.cell"))
-        & (F.col("a.vec_id") != F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("vec_id"),
-        F.col("b.vec_id").alias("neighbor_id"),
-        rnd(
-            _dot(F.col("a._v"), F.col("b._v"))
-            / (F.col("a._norm") * F.col("b._norm")),
-            6,
-        ).alias("cosine"),
+    both = cand.unionByName(qry)
+
+    def score(key, pdf):
+        Q = pdf[pdf["side"] == "q"]
+        C = pdf[pdf["side"] == "c"]
+        if Q.empty or C.empty:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series(dtype="int64"),
+                    "neighbor_id": pd.Series(dtype="int64"),
+                    "cosine": pd.Series(dtype="float64"),
+                }
+            )
+        q_ids = Q["vec_id"].to_numpy(dtype=np.int64)
+        c_ids = C["vec_id"].to_numpy(dtype=np.int64)
+        Qm = np.array(Q["_v"].tolist(), dtype=np.float64)
+        Cm = np.array(C["_v"].tolist(), dtype=np.float64)
+        S = (Qm @ Cm.T) / (
+            Q["_norm"].to_numpy()[:, None]
+            * C["_norm"].to_numpy()[None, :]
+        )
+        R = np.floor(S * 1e6 + 0.5) / 1e6
+        out_v, out_n, out_c = [], [], []
+        for i in range(R.shape[0]):
+            mask = c_ids != q_ids[i]
+            ids, cos = c_ids[mask], R[i][mask]
+            order = np.lexsort((ids, -cos))[:k]
+            out_v.extend([q_ids[i]] * len(order))
+            out_n.extend(ids[order])
+            out_c.extend(cos[order])
+        return pd.DataFrame(
+            {"vec_id": out_v, "neighbor_id": out_n, "cosine": out_c}
+        )
+
+    pairs = both.groupBy("cell").applyInPandas(
+        score, "vec_id long, neighbor_id long, cosine double"
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
