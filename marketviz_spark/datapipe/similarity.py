@@ -842,52 +842,65 @@ def semdedup(
     Scale shape: the quadratic pair space is confined to each IVF
     cell (the whole point of SemDeDup — k cells cut the O(N^2)
     all-pairs to O(N^2/k) and the cells are embarrassingly
-    parallel); the per-cell self-join is an equi-join on cell, the
-    dominance reduction is a partial-aggregated min per pruned
-    vector, and the final join back to the assignment is
-    vec_id-keyed. Degenerate cells (everything identical) cost
-    b^2/2 within their own cell only — route corpora with massive
-    exact duplication through dedup_exact first.
+    parallel); each cell is ONE applyInPandas group running a
+    chunked BLAS matmul (rows scored CHUNK x |cell| at a time, so
+    group memory stays CHUNK-bounded even for a hot cell) with the
+    id-dominance resolved in-block — ids are sorted, so the first
+    chunk row to dominate a column IS the smallest dominator. The
+    earlier per-pair form (cell equi-join + interpreted dot per
+    pair) paid the r7 sf1 sweep's interpreted-lambda tax; this is
+    the same cell-block movement pattern as ivf_topk — vectors
+    ship once per member, never per pair. Degenerate cells
+    (everything identical) cost b^2/2 FLOPs within their own cell
+    only — route corpora with massive exact duplication through
+    dedup_exact first.
     """
+    import numpy as np
+    import pandas as pd
+
     base = _assign_to(
         with_norm(emb).select("vec_id", "_v", "_norm"),
         ivf_train(emb, cache_key=cache_key),
     )
-    a = base.select(
-        F.col("cell"),
-        F.col("vec_id").alias("a_id"),
-        F.col("_v").alias("a_v"),
-        F.col("_norm").alias("a_n"),
-    )
-    b = base.select(
-        F.col("cell"),
-        F.col("vec_id").alias("b_id"),
-        F.col("_v").alias("b_v"),
-        F.col("_norm").alias("b_n"),
-    )
-    dom = (
-        a.join(b, "cell")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .filter(
-            rnd(
-                _dot(F.col("a_v"), F.col("b_v"))
-                / (F.col("a_n") * F.col("b_n")),
-                6,
-            )
-            >= F.lit(tau)
+
+    def prune(key, pdf):
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        M = np.array(pdf["_v"].tolist(), dtype=np.float64)
+        nn = pdf["_norm"].to_numpy(dtype=np.float64)
+        m = len(ids)
+        pruned = np.full(m, -1, dtype=np.int64)
+        chunk = 1024
+        for s in range(0, m, chunk):
+            e = min(s + chunk, m)
+            R = (M[s:e] @ M.T) / (nn[s:e][:, None] * nn[None, :])
+            R = np.floor(R * 1e6 + 0.5) / 1e6
+            ok = R >= tau
+            for i in range(e - s):
+                gi = s + i
+                cols = np.nonzero(ok[i, gi + 1:])[0] + gi + 1
+                if cols.size:
+                    # ids ascend, gi ascends: first setter is the
+                    # smallest dominating neighbor
+                    unset = cols[pruned[cols] == -1]
+                    pruned[unset] = ids[gi]
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cell": np.full(m, key[0], dtype=np.int64),
+                "kept": pruned == -1,
+                "pruned_by": pd.array(
+                    [None if p == -1 else int(p) for p in pruned],
+                    dtype="Int64",
+                ),
+            }
         )
-        .groupBy("b_id")
-        .agg(F.min("a_id").alias("pruned_by"))
-    )
-    return (
-        base.select("vec_id", "cell")
-        .join(dom, base["vec_id"] == dom["b_id"], "left")
-        .select(
-            "vec_id",
-            "cell",
-            F.col("pruned_by").isNull().alias("kept"),
-            "pruned_by",
-        )
+
+    return base.select("vec_id", "_v", "_norm", "cell").groupBy(
+        "cell"
+    ).applyInPandas(
+        prune,
+        "vec_id long, cell long, kept boolean, pruned_by long",
     )
 
 
