@@ -162,6 +162,151 @@ def gen_events(rng: np.random.Generator):
     )
 
 
+N_ORDERS1 = 1_500_000
+N_CUST1 = 150_000
+N_PART1 = 200_000
+N_SUPP1 = 10_000
+HOT_PART_SHARE = 0.03  # one part (= one derived ticker) on 3% of lines
+HOT_CUST_SHARE = 0.02  # one customer on 2% of orders
+HOT_SUPP_SHARE = 0.02
+
+_ADJ = ("large hot blue small red green dark pale round flat "
+        "smooth rough light heavy quick").split()
+_NOUN = ("ring bolt screw washer plate gear shaft valve pin "
+         "clip lever strut cog hub").split()
+
+
+def gen_tpch(rng: np.random.Generator, out: str):
+    """10x the sf0.1 TPC-H-ish tables with the skew TPC-H lacks:
+    one hot part (the derived stocks ticker with a giant history),
+    one hot customer, one hot supplier. Dims grow with the fact
+    table so referential joins stay closed."""
+    day_us = 24 * 3600 * 1_000_000
+    d0 = np.datetime64("1995-01-01", "us").astype(np.int64)
+
+    # dims
+    part = pa.table({
+        "p_partkey": pa.array(range(N_PART1), pa.int64()),
+        "p_name": pa.array(
+            [f"{_ADJ[int(a)]} {_NOUN[int(b)]}"
+             for a, b in zip(rng.integers(0, len(_ADJ), N_PART1),
+                             rng.integers(0, len(_NOUN), N_PART1))],
+            pa.string()),
+        "p_brand": pa.array(
+            [f"Brand#{k}" for k in rng.integers(1, 26, N_PART1)],
+            pa.string()),
+        "p_type": pa.array(
+            [["ECONOMY", "LARGE", "STANDARD", "MEDIUM", "SMALL",
+              "PROMO"][k] for k in rng.integers(0, 6, N_PART1)],
+            pa.string()),
+        "p_size": pa.array(
+            rng.integers(1, 51, N_PART1).astype(np.int32),
+            pa.int32()),
+        "p_retailprice": pa.array(
+            np.round(900.0 + rng.random(N_PART1) * 100.0, 2),
+            pa.float64()),
+    })
+    customer = pa.table({
+        "c_custkey": pa.array(range(N_CUST1), pa.int64()),
+        "c_name": pa.array(
+            [f"Customer#{k:09d}" for k in range(N_CUST1)],
+            pa.string()),
+        "c_nationkey": pa.array(
+            rng.integers(0, 25, N_CUST1).astype(np.int32),
+            pa.int32()),
+        "c_acctbal": pa.array(
+            np.round(-999.0 + rng.random(N_CUST1) * 10999.0, 2),
+            pa.float64()),
+        "c_mktsegment": pa.array(
+            [["MACHINERY", "BUILDING", "HOUSEHOLD", "FURNITURE",
+              "AUTOMOBILE"][k] for k in rng.integers(0, 5, N_CUST1)],
+            pa.string()),
+    })
+    supplier = pa.table({
+        "s_suppkey": pa.array(range(N_SUPP1), pa.int64()),
+        "s_name": pa.array(
+            [f"Supplier#{k:09d}" for k in range(N_SUPP1)],
+            pa.string()),
+        "s_nationkey": pa.array(
+            rng.integers(0, 25, N_SUPP1).astype(np.int32),
+            pa.int32()),
+        "s_acctbal": pa.array(
+            np.round(-999.0 + rng.random(N_SUPP1) * 10999.0, 2),
+            pa.float64()),
+    })
+
+    # orders
+    custkey = rng.integers(0, N_CUST1, N_ORDERS1, dtype=np.int64)
+    custkey[rng.random(N_ORDERS1) < HOT_CUST_SHARE] = 0
+    odate_days = rng.integers(0, 2405, N_ORDERS1, dtype=np.int64)
+    orders = pa.table({
+        "o_orderkey": pa.array(range(N_ORDERS1), pa.int64()),
+        "o_custkey": pa.array(custkey, pa.int64()),
+        "o_orderstatus": pa.array(
+            [["O", "F", "P"][k]
+             for k in rng.integers(0, 3, N_ORDERS1)], pa.string()),
+        "o_totalprice": pa.array(
+            np.round(1000.0 + rng.random(N_ORDERS1) * 499000.0, 2),
+            pa.float64()),
+        "o_orderdate": pa.array(
+            d0 + odate_days * day_us, pa.timestamp("us")),
+        "o_orderpriority": pa.array(
+            [["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+              "5-LOW"][k] for k in rng.integers(0, 5, N_ORDERS1)],
+            pa.string()),
+    })
+
+    # lineitem: 1-7 lines per order
+    nlines = rng.integers(1, 8, N_ORDERS1)
+    okey = np.repeat(np.arange(N_ORDERS1, dtype=np.int64), nlines)
+    n_li = len(okey)
+    lnum = np.concatenate(
+        [np.arange(1, k + 1) for k in nlines]
+    ).astype(np.int32)
+    pkey = rng.integers(0, N_PART1, n_li, dtype=np.int64)
+    pkey[rng.random(n_li) < HOT_PART_SHARE] = 0
+    skey = rng.integers(0, N_SUPP1, n_li, dtype=np.int64)
+    skey[rng.random(n_li) < HOT_SUPP_SHARE] = 0
+    ship = (
+        d0
+        + np.repeat(odate_days, nlines) * day_us
+        + rng.integers(1, 121, n_li, dtype=np.int64) * day_us
+    )
+    lineitem = pa.table({
+        "l_orderkey": pa.array(okey, pa.int64()),
+        "l_partkey": pa.array(pkey, pa.int64()),
+        "l_suppkey": pa.array(skey, pa.int64()),
+        "l_linenumber": pa.array(lnum, pa.int32()),
+        "l_quantity": pa.array(
+            rng.integers(1, 51, n_li).astype(np.float64),
+            pa.float64()),
+        "l_extendedprice": pa.array(
+            np.round(900.0 + rng.random(n_li) * 104100.0, 2),
+            pa.float64()),
+        "l_discount": pa.array(
+            rng.integers(0, 11, n_li) / 100.0, pa.float64()),
+        "l_tax": pa.array(
+            rng.integers(0, 9, n_li) / 100.0, pa.float64()),
+        "l_returnflag": pa.array(
+            [["A", "N", "R"][k] for k in rng.integers(0, 3, n_li)],
+            pa.string()),
+        "l_linestatus": pa.array(
+            [["F", "O"][k] for k in rng.integers(0, 2, n_li)],
+            pa.string()),
+        "l_shipdate": pa.array(ship, pa.timestamp("us")),
+    })
+    for name, tbl in [
+        ("part", part), ("customer", customer),
+        ("supplier", supplier), ("orders", orders),
+        ("lineitem", lineitem),
+    ]:
+        path = os.path.join(out, f"{name}.parquet")
+        if os.path.islink(path):
+            os.unlink(path)  # never write through to testdata
+        pq.write_table(tbl, path)
+    return n_li
+
+
 def main() -> None:
     out = (
         sys.argv[1]
@@ -178,9 +323,10 @@ def main() -> None:
         gen_embeddings(rng), os.path.join(out, "embeddings.parquet")
     )
     pq.write_table(gen_events(rng), os.path.join(out, "events.parquet"))
+    n_li = gen_tpch(rng, out)
     print(
         f"wrote {out}: documents {N_DOCS}, embeddings {N_VECS}, "
-        f"events {N_EVENTS}"
+        f"events {N_EVENTS}, orders {N_ORDERS1}, lineitem {n_li}"
     )
 
 
