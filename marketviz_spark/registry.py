@@ -1750,10 +1750,14 @@ def q_ticker_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         x = np.arange(n, dtype=np.float64)
         y = pdf["share_price"].to_numpy(dtype=np.float64)
-        # exact decimal-mean for y to match the oracle's DECIMAL sum
-        ybar = float(
-            sum(__import__("decimal").Decimal(f"{v:.2f}") for v in y)
-        ) / n
+        # exact decimal-mean for y to match the oracle's DECIMAL(18,2)
+        # sum: prices are 2dp values, so an int64 cents sum IS the
+        # decimal sum (float(cents)/100.0 and float(Decimal_sum) are
+        # the same correctly-rounded double — verified bit-equal),
+        # without the per-row Python Decimal loop this used to run
+        # (~3M string-format+Decimal constructions per sf0.1 pass).
+        cents = np.rint(y * 100.0).astype(np.int64)
+        ybar = float(cents.sum()) / 100.0 / n
         xbar = x.mean()
         num = float(((x - xbar) * (y - ybar)).sum())
         den = float(((x - xbar) * (x - xbar)).sum())
