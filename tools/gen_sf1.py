@@ -9,7 +9,7 @@ user (5% of rows) plus a 10-minute click/error burst incident (3%).
 
 Writes to <repo>/.sf1data/ (testdata is read-only). Deterministic:
 numpy PCG64 seed 427. Usage: python tools/gen_sf1.py [outdir].
-Consumers: tools/spot_sf1_events.py and the measured tables in
+Consumers: tools/spot_sf1.py and the measured tables in
 ARCHITECTURE.md ("10x spot-run" sections).
 """
 

@@ -1,9 +1,9 @@
-"""Round-7 events-family 10x spot-run: sf0.1 vs the adversarial
-.sf1data events table (hot user + burst incident — see
-tools/gen_sf1.py). Prints per-query wall at both scales and the
-ratio; the point is to catch density-squared paths (per-user pair
-joins, time-bucket range joins) that uniform small-scale data
-cannot see. Usage: python tools/spot_sf1_events.py [names,...]
+"""Registry 10x spot-runner: any query at sf0.1 vs the adversarial
+.sf1data tables (10x documents/embeddings/events/TPC-H with
+density, entity, burst, and hot-key skew — see tools/gen_sf1.py).
+Prints per-query wall at both scales and the ratio; the point is
+to catch density-squared paths that uniform small-scale data
+cannot see. Defaults to the events family. Usage: python tools/spot_sf1.py [names,...]
 """
 
 from __future__ import annotations
@@ -36,7 +36,7 @@ def main() -> None:
     names = (
         sys.argv[1].split(",") if len(sys.argv) > 1 else EVENTS_QUERIES
     )
-    spark = get_spark("spot_sf1_events")
+    spark = get_spark("spot_sf1")
     # warm codegen on the small scale first
     for n in names:
         _materialize(QUERIES[n].fn(spark, "/root/testdata/sf0.01"))
