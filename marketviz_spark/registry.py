@@ -809,8 +809,12 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_props",
     """
     SELECT event_type,
-           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
-                AS BIGINT) AS sum_k,
+           -- json_valid guard: get_json_object is NULL on malformed
+           -- JSON while DuckDB's json_extract_string THROWS — the
+           -- oracle must mirror null-on-malformed (r7 fuzzer)
+           CAST(sum(CAST(CASE WHEN json_valid(props)
+                              THEN json_extract_string(props, '$.k')
+                         END AS BIGINT)) AS BIGINT) AS sum_k,
            CAST(count(*) AS BIGINT) AS n_events
     FROM events
     GROUP BY event_type
@@ -1005,13 +1009,20 @@ def q_agg_distinct_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # typically orders of magnitude smaller), and stays spillable.
     # min/max ride the same group-count pass — one lineitem scan
     # serves sizing AND the price extremes.
+    # NULL quantities must enter neither _n nor the histogram:
+    # quantile_cont ignores NULLs, and NULLs sort first in the
+    # ascending cumsum window, which would shift every rank (the
+    # r7 differential fuzzer caught exactly this on NULL-laced
+    # lineitem — the cents_quantile_bounds ADVICE class).
     cnt = li.groupBy("l_returnflag").agg(
-        F.count("*").alias("_n"),
+        F.count("l_quantity").alias("_n"),
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
     )
-    hist = li.groupBy("l_returnflag", "l_quantity").agg(
-        F.count("*").alias("_c")
+    hist = (
+        li.filter(F.col("l_quantity").isNotNull())
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(F.count("*").alias("_c"))
     )
     w_cum = (
         Window.partitionBy("l_returnflag")
@@ -1833,10 +1844,16 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "json_props_struct",
     """
-    SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-    FROM events
-    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90
+    WITH parsed AS (
+        -- json_valid guard mirrors from_json's null-on-malformed
+        -- (DuckDB json_extract_string throws instead — r7 fuzzer)
+        SELECT event_id,
+               CAST(CASE WHEN json_valid(props)
+                         THEN json_extract_string(props, '$.k')
+                    END AS BIGINT) AS k
+        FROM events
+    )
+    SELECT event_id, k FROM parsed WHERE k >= 90
     """,
     survey="from_json structured parsing (engine extension)",
 )
@@ -2884,7 +2901,8 @@ def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked AS (
         SELECT l_partkey, l_suppkey, unit_cost,
                row_number() OVER (PARTITION BY l_partkey
-                                  ORDER BY unit_cost, l_suppkey) AS rn
+                                  ORDER BY unit_cost NULLS LAST,
+                                           l_suppkey) AS rn
         FROM ps)
     SELECT p_partkey, p_brand, s_name, unit_cost
     FROM ranked
@@ -2921,8 +2939,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("unit_cost")
         )
     )
+    # asc_nulls_last explicitly: Spark ASC is NULLS FIRST while
+    # DuckDB's is NULLS LAST, and an unknown (all-NULL-cost) group
+    # must never win an argmin (r7 fuzzer on NULL-laced lineitem)
     w = Window.partitionBy("l_partkey").orderBy(
-        F.col("unit_cost"), F.col("l_suppkey")
+        F.col("unit_cost").asc_nulls_last(), F.col("l_suppkey")
     )
     best = ps.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") == 1
@@ -3549,7 +3570,6 @@ def q_events_bars_incremental(
         "full_outer",
     )
     zero_l = F.lit(0).cast("long")
-    zero_d = F.lit(0).cast("decimal(28,10)")
     return merged.select(
         F.coalesce(F.col("o.window_start"), F.col("d.window_start"))
         .alias("window_start"),
@@ -3561,9 +3581,14 @@ def q_events_bars_incremental(
         )
         .cast("long")
         .alias("n_events"),
-        (
-            F.coalesce(F.col("o._s"), zero_d)
-            + F.coalesce(F.col("d._s"), zero_d)
+        # coalesce(a+b, a, b): both present -> add; one absent ->
+        # the other; BOTH absent -> NULL, matching the direct
+        # aggregate's sum over an all-NULL group (a 0 here would
+        # diverge from recompute — r7 fuzzer on NULL-laced values)
+        F.coalesce(
+            F.col("o._s") + F.col("d._s"),
+            F.col("o._s"),
+            F.col("d._s"),
         )
         .cast("double")
         .alias("sum_value"),

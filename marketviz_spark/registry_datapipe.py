@@ -173,7 +173,11 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
     SELECT doc_id,
            md5(text) AS fp_md5,
-           md5(array_to_string(t, ' ')) AS fp_norm_md5,
+           -- coalesce: DuckDB array_to_string([]) is NULL while
+           -- Spark array_join([]) is '' — a token-less doc's
+           -- normalized fingerprint is md5('') on both engines
+           -- (total, never-null; r7 fuzzer)
+           md5(coalesce(array_to_string(t, ' '), '')) AS fp_norm_md5,
            substring(md5(text), 1, 8) AS fp_prefix
     FROM toks
     """,
@@ -1668,9 +1672,14 @@ def q_corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"WITH {TOKS_CTE},"
     + f"""
     fp AS (
+        -- coalesce: array_to_string([]) is NULL in DuckDB but '' in
+        -- Spark, and a NULL fp would silently never match the index
+        -- (NULL <> NULL in the join) — token-less docs fingerprint
+        -- as md5('') on both engines (r7 fuzzer)
         SELECT doc_id,
-               md5(array_to_string(list_sort(list_distinct(t)), ' '))
-                   AS fp
+               md5(coalesce(
+                   array_to_string(list_sort(list_distinct(t)), ' '),
+                   '')) AS fp
         FROM toks
     ),
     idx AS (

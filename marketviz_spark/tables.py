@@ -99,12 +99,25 @@ SELECT
     sum(l_quantity) * 1000.0 AS effective_shares_outstanding,
     max(l_extendedprice) * (sum(l_quantity) * 1000.0) AS market_cap
 FROM lineitem
+WHERE l_partkey IS NOT NULL AND l_shipdate IS NOT NULL
 GROUP BY 1, 2
+HAVING max(l_extendedprice) IS NOT NULL
+   AND sum(l_quantity) IS NOT NULL
 """
 
 
 def stocks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
+    """Derived fact table. CONTRACT (both engines): a (ticker, date)
+    with no observed price or no observed quantity is NOT a stocks
+    row — NULL keys and all-NULL measure groups are dropped at the
+    derivation, so every downstream ranking/percentile/window sees
+    non-null prices and the two engines can never diverge on NULL
+    ordering (found by the r7 differential fuzzer, which feeds
+    NULL-laced lineitem)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey").isNotNull()
+        & F.col("l_shipdate").isNotNull()
+    )
     eff = (F.sum("l_quantity") * F.lit(1000.0)).alias(
         "effective_shares_outstanding"
     )
@@ -116,6 +129,10 @@ def stocks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("l_shipdate", "yyyy-MM-dd").alias("date"),
         )
         .agg(F.max("l_extendedprice").alias("share_price"), eff)
+        .filter(
+            F.col("share_price").isNotNull()
+            & F.col("effective_shares_outstanding").isNotNull()
+        )
         .withColumn(
             "market_cap",
             F.col("share_price") * F.col("effective_shares_outstanding"),

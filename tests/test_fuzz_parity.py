@@ -1,0 +1,53 @@
+"""Differential fuzz gate: the FULL registry Spark-vs-DuckDB on a
+seeded edge-case dataset (NULL measures, exact ties, empty/unicode
+text, duplicate keys, malformed JSON, identical timestamps —
+tools/fuzz_parity.gen_dataset). The driver's well-behaved testdata
+cannot reach these semantics corners; round 7's first fuzz run
+found 15 real divergences (NULL quantile ranks, NULL argmin
+ordering, array_to_string([]) NULL vs '', malformed-JSON oracle
+crashes, merge-vs-recompute NULL sums) — this pins them fixed."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(
+    0,
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+)
+
+from marketviz_spark.registry import QUERIES
+from tests.oracle_check import compare, duck_con
+from tools.fuzz_parity import gen_dataset
+
+# Documented oracle-expressiveness exclusion (not an engine bug):
+# byte-sliced binary frame md5 of non-ASCII text is outside DuckDB's
+# VARCHAR-only md5; the oracle documents its ASCII precondition.
+ROWS_ONLY = {"mm_frame_sample"}
+
+
+@pytest.fixture(scope="module")
+def fuzz_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("fuzz") / "seed1")
+    gen_dataset(1, d)
+    return d
+
+
+def test_full_registry_on_edge_case_data(spark, fuzz_dir):
+    con = duck_con(fuzz_dir)
+    failures = []
+    for name, qd in sorted(QUERIES.items()):
+        try:
+            df = qd.fn(spark, fuzz_dir)
+            if qd.oracle is None or name in ROWS_ONLY:
+                df.count()
+                continue
+            problems = compare(df, con, qd.oracle, name)
+        except Exception as e:  # noqa: BLE001
+            problems = [f"EXCEPTION {e}"]
+        if problems:
+            failures.append((name, problems[:3]))
+    assert not failures, failures
