@@ -2159,14 +2159,14 @@ _MOM = """
     m AS (
         SELECT ticker,
                CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(CAST(x AS DECIMAL(15,10))) AS DOUBLE) AS sx,
-               CAST(sum(CAST(y AS DECIMAL(15,10))) AS DOUBLE) AS sy,
-               CAST(sum(CAST(x AS DECIMAL(15,10))
-                        * CAST(y AS DECIMAL(15,10))) AS DOUBLE) AS sxy,
-               CAST(sum(CAST(x AS DECIMAL(15,10))
-                        * CAST(x AS DECIMAL(15,10))) AS DOUBLE) AS sxx,
-               CAST(sum(CAST(y AS DECIMAL(15,10))
-                        * CAST(y AS DECIMAL(15,10))) AS DOUBLE) AS syy
+               CAST(sum(CAST(x AS DECIMAL(18,9))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(y AS DECIMAL(18,9))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(x AS DECIMAL(18,9))
+                        * CAST(y AS DECIMAL(18,9))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(x AS DECIMAL(18,9))
+                        * CAST(x AS DECIMAL(18,9))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(y AS DECIMAL(18,9))
+                        * CAST(y AS DECIMAL(18,9))) AS DOUBLE) AS syy
         FROM joined GROUP BY ticker
     )
 """
@@ -2206,10 +2206,15 @@ def q_beta_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic covariance/correlation, made cross-engine exact: the
     built-in corr/covar aggregates accumulate floats in partition
     order (nondeterministic), so instead the daily returns are
-    rounded to 9dp, cast to DECIMAL(15,10) (the cast recovers the
-    9dp rational exactly in both engines), and the five moment sums
-    are decimal -> order-free. The final beta/corr formula is then
-    identical double arithmetic on identical inputs.
+    rounded to 9dp, cast to DECIMAL(18,9) (the cast recovers the
+    9dp rational exactly in both engines; 9 integer digits of
+    headroom, since a near-zero lag price can make a single-day
+    return enormous — the r7 seed-5 fuzzer overflowed the earlier
+    DECIMAL(15,10) with a 0.01 -> 1100 price step), and the five
+    moment sums are decimal -> order-free: products land at
+    decimal(37,18), inside Spark's 38 cap, so nothing truncates.
+    The final beta/corr formula is then identical double
+    arithmetic on identical inputs.
 
     Scale: returns are two windowed lags (ticker-partitioned /
     tiny index series), the join is date-keyed, the moments are one
@@ -2236,8 +2241,8 @@ def q_beta_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ir = idx.select("date", y.alias("y")).filter(F.col("y").isNotNull())
     j = tr.join(ir, "date")
-    xd = F.col("x").cast("decimal(15,10)")
-    yd = F.col("y").cast("decimal(15,10)")
+    xd = F.col("x").cast("decimal(18,9)")
+    yd = F.col("y").cast("decimal(18,9)")
     m = j.groupBy("ticker").agg(
         F.count("*").alias("n"),
         F.sum(xd).cast("double").alias("sx"),
