@@ -23,7 +23,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 OUTPUT_SCHEMA = (
     "user_id long, n_events long, value_sum double, batches int"
 )
-STATE_SCHEMA = "n long, s double, b int"
+STATE_SCHEMA = "n long, s double, b int, nn long"
 
 
 def _update(
@@ -31,7 +31,7 @@ def _update(
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    n, s, b = state.get if state.exists else (0, 0.0, 0)
+    n, s, b, nn = state.get if state.exists else (0, 0.0, 0, 0)
     # ONE increment per invocation (= per micro-batch that touched
     # this group): the iterator yields multiple pandas chunks when a
     # group's batch data exceeds arrow.maxRecordsPerBatch, and
@@ -39,13 +39,24 @@ def _update(
     b += 1
     for pdf in pdfs:
         n += len(pdf)
+        # pandas .sum() skips NaN (matching SQL sum's NULL-skip),
+        # but returns 0.0 for an ALL-NaN chunk where SQL sum is
+        # NULL — track the non-null count separately so a user who
+        # has never produced a non-null value emits NULL, exactly
+        # like the batch F.sum twin (r7 fuzz events: ~8% NULL
+        # value, incl. one all-NULL user).
         s += float(pdf["value"].sum())
-    state.update((n, s, b))
+        nn += int(pdf["value"].count())
+    state.update((n, s, b, nn))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
             "n_events": [n],
-            "value_sum": [s],
+            # nullable Float64 so the no-non-null case crosses
+            # Arrow as a true NULL, not NaN
+            "value_sum": pd.array(
+                [s if nn else None], dtype="Float64"
+            ),
             "batches": [b],
         }
     )

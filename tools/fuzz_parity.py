@@ -171,17 +171,19 @@ def gen_dataset(seed: int, out: str) -> None:
             props.append("{}")
         else:
             props.append('{"k": %d}' % rng.integers(0, 100))
+    uids = rng.integers(0, 30, n_ev, dtype=np.int64)
+    vals = _null_some(np.round(rng.random(n_ev) * 560, 2), 0.08)
+    # user 7: EVERY value NULL — an all-NULL group's sum must stay
+    # NULL (not 0) through both batch aggregates and streaming state
+    vals = [None if u == 7 else v for u, v in zip(uids, vals)]
     pq.write_table(pa.table({
         "event_id": pa.array(range(n_ev), pa.int64()),
         "ts": pa.array(e0 + ets, pa.timestamp("us")),
-        "user_id": pa.array(
-            rng.integers(0, 30, n_ev, dtype=np.int64), pa.int64()),
+        "user_id": pa.array(uids, pa.int64()),
         "event_type": pa.array(
             [etypes[int(k)] for k in rng.integers(0, 5, n_ev)],
             pa.string()),
-        "value": pa.array(
-            _null_some(np.round(rng.random(n_ev) * 560, 2), 0.08),
-            pa.float64()),
+        "value": pa.array(vals, pa.float64()),
         "props": pa.array(props, pa.string()),
     }), os.path.join(out, "events.parquet"))
 
