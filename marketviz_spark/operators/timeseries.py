@@ -269,14 +269,23 @@ def corr_recall(
     return hits.agg(
         F.lit(k).cast("int").alias("k"),
         F.count("*").cast("long").alias("n_exact"),
-        F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+        # outer coalesce: sum over an EMPTY exact set is NULL, the
+        # audit's hit count is 0
+        F.coalesce(F.sum(F.coalesce(F.col("hit"), F.lit(0))), F.lit(0))
         .cast("long")
         .alias("n_hits"),
     ).select(
         "k",
         "n_exact",
         "n_hits",
-        F.floor(F.col("n_hits") * F.lit(1_000_000) / F.col("n_exact"))
+        # recall of an empty exact set is UNDEFINED, not 0 or NaN:
+        # emit NULL (both engines) instead of dividing 0/0
+        F.when(
+            F.col("n_exact") > 0,
+            F.floor(
+                F.col("n_hits") * F.lit(1_000_000) / F.col("n_exact")
+            ),
+        )
         .cast("long")
         .alias("recall_ppm"),
     )

@@ -1084,6 +1084,11 @@ def q_agg_distinct_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n
     FROM lineitem
     GROUP BY CUBE(l_returnflag, l_linestatus)
+    -- engine contract: grouping-set aggregates over an EMPTY input
+    -- emit no rows (Spark cube semantics); ANSI would emit the
+    -- grand-total () row, which this HAVING removes on empty input
+    -- and is a no-op otherwise (every real group has count >= 1)
+    HAVING count(*) > 0
     """,
     survey="grouping sets / cube (engine extension)",
 )
@@ -1106,6 +1111,8 @@ def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS total
     FROM orders
     GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    -- empty-input contract: see cube_revenue
+    HAVING count(*) > 0
     """,
     survey="rollup (engine extension)",
 )
@@ -2561,8 +2568,10 @@ def q_ts_corr_pairs_sketched(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST({CORR_TOPK} AS INT) AS k,
            CAST(count(*) AS BIGINT) AS n_exact,
            CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_hits,
-           CAST(floor(coalesce(sum(hit), 0) * 1000000 / count(*))
-                AS BIGINT) AS recall_ppm
+           -- recall of an empty exact set is UNDEFINED -> NULL
+           CAST(CASE WHEN count(*) > 0
+                THEN floor(coalesce(sum(hit), 0) * 1000000 / count(*))
+                END AS BIGINT) AS recall_ppm
     FROM e LEFT JOIN a USING (ticker_a, ticker_b)
     """,
     survey="series-similarity recall audit: sketch tier vs exact tier on the same universe (cross-series extension)",
@@ -2873,6 +2882,8 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
                             (l_returnflag), ())
+    -- empty-input contract: see cube_revenue
+    HAVING count(*) > 0
     """,
     survey="explicit GROUPING SETS (completes the cube/rollup family, engine extension)",
 )
@@ -4250,10 +4261,12 @@ def q_events_hll_intersection(
 ) -> DataFrame:
     """Approximate audience overlap (|click users ∩ error users|)
     from three HLL sketches via inclusion-exclusion:
-    est∩ = est(A) + est(B) - est(A∪B), where the union sketch is
-    `hll_union_agg` over the two side sketches — the set-algebra
-    trick that answers overlap questions from PERSISTED per-segment
-    sketches without re-scanning raw data.
+    est∩ = est(A) + est(B) - est(A∪B). The union sketch here is
+    built over the combined stream, which has the identical
+    registers `hll_union_agg` over the two persisted side sketches
+    would have — the set-algebra trick that answers overlap
+    questions from PERSISTED per-segment sketches without
+    re-scanning raw data.
 
     Tolerance contract (cf. events_hll_cascade): the estimate's
     error is a sum of three union-scale HLL errors, so est_ok
@@ -4261,58 +4274,66 @@ def q_events_hll_intersection(
     honest bound — intersection-relative error is unbounded when
     the overlap is small), and the exact counts hash-match.
     """
+    # ONE scan, TWO aggregates, NO distinct rewrites: roll up to
+    # per-user membership flags (groupBy user_id, map-side combine),
+    # then a single global aggregate emits the summary row — which
+    # a global agg does even on EMPTY input, where the old
+    # grouped-then-filtered shape returned no rows (shape fuzzer)
+    # and also silently returned empty whenever either segment had
+    # zero events. The exact intersection count rides the same
+    # rollup (is_click AND is_error), replacing a separate
+    # distinct+intersect branch; the sketches see each user once,
+    # which leaves HLL registers identical to sketching the raw
+    # stream. countDistinct is deliberately avoided: three distinct
+    # aggregates trigger the Expand-based rewrite whose empty-input
+    # defaults leak NULL through any projection above the agg.
+    # coalesce: sum/sketch-estimate over zero rows are NULL, and
+    # the inclusion-exclusion arithmetic needs additive identities.
     ev = tables.load_events(spark, sf_dir)
-    sides = (
+    per_user = (
         ev.filter(F.col("event_type").isin("click", "error"))
-        .groupBy("event_type")
+        .groupBy("user_id")
         .agg(
-            F.hll_sketch_agg("user_id").alias("sk"),
-            F.countDistinct("user_id").alias("n_exact"),
+            F.max(F.col("event_type") == "click").alias("is_click"),
+            F.max(F.col("event_type") == "error").alias("is_error"),
         )
     )
-    a = sides.filter("event_type = 'click'").select(
-        F.col("sk").alias("sk_a"),
-        F.hll_sketch_estimate("sk").alias("est_a"),
-        F.col("n_exact").alias("n_click_users"),
+    zero = F.lit(0).cast("long")
+    row = per_user.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(
+                F.when(F.col("is_click"), F.col("user_id"))
+            )
+        ).alias("est_a"),
+        F.sum(F.col("is_click").cast("long")).alias("n_click_users"),
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(
+                F.when(F.col("is_error"), F.col("user_id"))
+            )
+        ).alias("est_b"),
+        F.sum(F.col("is_error").cast("long")).alias("n_error_users"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias(
+            "est_u"
+        ),
+        F.count("*").cast("long").alias("n_union_exact"),
+        F.sum(
+            (F.col("is_click") & F.col("is_error")).cast("long")
+        ).alias("n_intersect_exact"),
     )
-    b = sides.filter("event_type = 'error'").select(
-        F.col("sk").alias("sk_b"),
-        F.hll_sketch_estimate("sk").alias("est_b"),
-        F.col("n_exact").alias("n_error_users"),
+    est_i = (
+        F.coalesce("est_a", zero)
+        + F.coalesce("est_b", zero)
+        - F.coalesce("est_u", zero)
     )
-    un = (
-        ev.filter(F.col("event_type").isin("click", "error"))
-        .agg(
-            F.hll_sketch_estimate(
-                F.hll_sketch_agg("user_id")
-            ).alias("est_u"),
-            F.countDistinct("user_id").alias("n_union_exact"),
-        )
-    )
-    inter = (
-        ev.filter("event_type = 'click'")
-        .select("user_id")
-        .distinct()
-        .intersect(
-            ev.filter("event_type = 'error'")
-            .select("user_id")
-            .distinct()
-        )
-        .agg(F.count("*").cast("long").alias("n_intersect_exact"))
-    )
-    est_i = F.col("est_a") + F.col("est_b") - F.col("est_u")
-    return (
-        a.crossJoin(F.broadcast(b))
-        .crossJoin(F.broadcast(un))
-        .crossJoin(F.broadcast(inter))
-        .select(
-            "n_click_users",
-            "n_error_users",
-            "n_union_exact",
-            "n_intersect_exact",
-            (
-                F.abs(est_i - F.col("n_intersect_exact"))
-                <= 0.05 * F.col("n_union_exact")
-            ).alias("est_ok"),
-        )
+    return row.select(
+        F.coalesce("n_click_users", zero).alias("n_click_users"),
+        F.coalesce("n_error_users", zero).alias("n_error_users"),
+        "n_union_exact",
+        F.coalesce("n_intersect_exact", zero).alias(
+            "n_intersect_exact"
+        ),
+        (
+            F.abs(est_i - F.coalesce("n_intersect_exact", zero))
+            <= 0.05 * F.col("n_union_exact")
+        ).alias("est_ok"),
     )

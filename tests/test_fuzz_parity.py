@@ -36,12 +36,12 @@ def fuzz_dir(tmp_path_factory):
     return d
 
 
-def test_full_registry_on_edge_case_data(spark, fuzz_dir):
-    con = duck_con(fuzz_dir)
+def _registry_sweep(spark, data_dir):
+    con = duck_con(data_dir)
     failures = []
     for name, qd in sorted(QUERIES.items()):
         try:
-            df = qd.fn(spark, fuzz_dir)
+            df = qd.fn(spark, data_dir)
             if qd.oracle is None or name in ROWS_ONLY:
                 df.count()
                 continue
@@ -51,3 +51,25 @@ def test_full_registry_on_edge_case_data(spark, fuzz_dir):
         if problems:
             failures.append((name, problems[:3]))
     assert not failures, failures
+
+
+def test_full_registry_on_edge_case_data(spark, fuzz_dir):
+    _registry_sweep(spark, fuzz_dir)
+
+
+def test_full_registry_on_empty_fact_tables(spark, tmp_path_factory):
+    """All fact tables EMPTY (dims intact): the r7 shape sweep found
+    grouping-set grand-total rows (Spark emits none on empty input,
+    ANSI/DuckDB emit one — the engine contract pins Spark's
+    semantics via HAVING count(*) > 0 in the oracles), a NULL
+    leaking through coalesce in the multi-distinct HLL aggregate
+    (rewritten as a per-user flag rollup), and 0/0 recall. This
+    pins them all fixed."""
+    from tools.fuzz_parity import gen_shaped_dataset
+
+    d = str(tmp_path_factory.mktemp("fuzz_empty") / "seed1_empty")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    gen_shaped_dataset(1, d, 0)
+    _registry_sweep(spark, d)

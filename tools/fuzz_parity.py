@@ -237,11 +237,36 @@ def gen_dataset(seed: int, out: str) -> None:
     }), os.path.join(out, "embeddings.parquet"))
 
 
+def gen_shaped_dataset(seed: int, out: str, rows: int | None) -> None:
+    """Same schemas as gen_dataset, truncated to `rows` rows per
+    table (0 = all-empty, 1 = single-row). region/nation are kept
+    intact — they are static dims the engine may assume non-empty,
+    and the interesting degeneracy is empty FACTS over real dims."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        gen_dataset(seed, tmp)
+        for f in sorted(os.listdir(tmp)):
+            t = pq.read_table(os.path.join(tmp, f))
+            if rows is not None and f not in (
+                "region.parquet", "nation.parquet"
+            ):
+                t = t.slice(0, rows)
+            pq.write_table(t, os.path.join(out, f))
+
+
 def main() -> int:
     seed = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
-    out = os.path.join(REPO, ".fuzzdata", f"seed{seed}")
-    gen_dataset(seed, out)
+    shape = os.environ.get("FUZZ_SHAPE")  # None | "empty" | "one"
+    rows = {"empty": 0, "one": 1}.get(shape)
+    tag = f"seed{seed}" if rows is None else f"seed{seed}_{shape}"
+    out = os.path.join(REPO, ".fuzzdata", tag)
+    os.makedirs(out, exist_ok=True)
+    if rows is None:
+        gen_dataset(seed, out)
+    else:
+        gen_shaped_dataset(seed, out, rows)
 
     from marketviz_spark.registry import QUERIES
     from marketviz_spark.session import get_spark
