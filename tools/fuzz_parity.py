@@ -255,18 +255,51 @@ def gen_shaped_dataset(seed: int, out: str, rows: int | None) -> None:
             pq.write_table(t, os.path.join(out, f))
 
 
+_SKEW_CONST = {
+    # every join/group key collapsed to ONE hot value: the shape a
+    # power-law corpus degenerates to. Exercises (a) tiebreak
+    # determinism — identical keys force ordering ties everywhere —
+    # and (b) the skew-safety of joins/aggs (one-key shuffles).
+    "lineitem.parquet": {"l_partkey": 0, "l_suppkey": 0},
+    "orders.parquet": {"o_custkey": 0},
+    "events.parquet": {"user_id": 0},
+    "documents.parquet": {"lang": "en", "source": "src0"},
+    "embeddings.parquet": {"label": 0},
+}
+
+
+def gen_skewed_dataset(seed: int, out: str) -> None:
+    """gen_dataset with every fact's key columns set to a single
+    constant value (see _SKEW_CONST)."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        gen_dataset(seed, tmp)
+        for f in sorted(os.listdir(tmp)):
+            t = pq.read_table(os.path.join(tmp, f))
+            for col, val in _SKEW_CONST.get(f, {}).items():
+                i = t.schema.get_field_index(col)
+                typ = t.schema.field(i).type
+                t = t.set_column(
+                    i, t.schema.field(i),
+                    pa.array([val] * t.num_rows, typ),
+                )
+            pq.write_table(t, os.path.join(out, f))
+
+
 def main() -> int:
     seed = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
-    shape = os.environ.get("FUZZ_SHAPE")  # None | "empty" | "one"
-    rows = {"empty": 0, "one": 1}.get(shape)
-    tag = f"seed{seed}" if rows is None else f"seed{seed}_{shape}"
+    shape = os.environ.get("FUZZ_SHAPE")  # None|"empty"|"one"|"skew"
+    tag = f"seed{seed}" if shape is None else f"seed{seed}_{shape}"
     out = os.path.join(REPO, ".fuzzdata", tag)
     os.makedirs(out, exist_ok=True)
-    if rows is None:
+    if shape is None:
         gen_dataset(seed, out)
+    elif shape == "skew":
+        gen_skewed_dataset(seed, out)
     else:
-        gen_shaped_dataset(seed, out, rows)
+        gen_shaped_dataset(seed, out, {"empty": 0, "one": 1}[shape])
 
     from marketviz_spark.registry import QUERIES
     from marketviz_spark.session import get_spark
