@@ -58,6 +58,14 @@ def _col_letter(i: int) -> str:
     return out
 
 
+# XML 1.0 forbids control chars below 0x20 except \t \n \r; a stray
+# control byte in a text cell would corrupt the whole workbook, so
+# strip them (xlsxwriter does the same)
+_XML_INVALID = {
+    c: None for c in range(0x20) if c not in (0x09, 0x0A, 0x0D)
+}
+
+
 def _cell(r: int, c: int, v) -> str:
     ref = f"{_col_letter(c)}{r}"
     if v is None:
@@ -70,7 +78,7 @@ def _cell(r: int, c: int, v) -> str:
         return f'<c r="{ref}"><v>{v!r}</v></c>'
     return (
         f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
-        f"{escape(str(v))}</t></is></c>"
+        f"{escape(str(v).translate(_XML_INVALID))}</t></is></c>"
     )
 
 

@@ -103,3 +103,33 @@ def test_xlsx_sheet_name_with_quote_yields_valid_xml(tmp_path):
     ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
     names = [s.get("name") for s in root.iter(f"{ns}sheet")]
     assert names == ['He said "hi"']
+
+
+def test_xlsx_unicode_and_control_chars_roundtrip(tmp_path):
+    """Cell text with non-ASCII unicode must round-trip byte-exact,
+    and XML-invalid control characters must be STRIPPED (not passed
+    through escape(), which leaves them in and corrupts the
+    workbook) — the fuzz corpus's unicode documents exercise the
+    former, a stray \\x07 in scraped text the latter."""
+    import zipfile
+
+    from marketviz_spark.pipelines.xlsx_lite import write_xlsx
+    from tests.xlsx_reader import read_workbook
+
+    path = str(tmp_path / "u.xlsx")
+    uni = "héllo wörld 你好 мир – em—dash"
+    write_xlsx(
+        path,
+        [("s", ["txt"], [[uni], ["bad\x07ctl\x00still\ttab"]])],
+    )
+    rows = read_workbook(path)["s"]
+    # rows[0] is the header
+    assert rows[1][0] == uni
+    assert rows[2][0] == "badctlstill\ttab"
+    # the archive must be well-formed XML throughout
+    import xml.etree.ElementTree as ET
+
+    with zipfile.ZipFile(path) as z:
+        for n in z.namelist():
+            if n.endswith(".xml"):
+                ET.fromstring(z.read(n))
