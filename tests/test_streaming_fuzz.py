@@ -79,6 +79,29 @@ def test_session_stream_equals_batch_on_fuzz(spark, fuzz_dirs):
     assert got == want
 
 
+def test_stream_stream_join_equals_batch_on_fuzz(spark, fuzz_dirs):
+    """Stream-stream interval join over the NULL-laced, tie-heavy
+    events: the streaming range join and the batch bucketed join
+    are different FORMULATIONS of the same semantics, so the
+    same-microsecond run (click_ts == error_ts pairs must be
+    excluded by the strict < on both paths) is exactly where they
+    could disagree."""
+    from marketviz_spark.streaming.joins import (
+        click_error_pairs_batch,
+        click_error_pairs_stream,
+    )
+    from marketviz_spark import tables
+
+    data, stream_dir = fuzz_dirs
+    stream = read_events_stream(spark, stream_dir)
+    run_to_memory(
+        click_error_pairs_stream(stream), "fz_ss_join", "append"
+    )
+    got = _rows(spark.sql("SELECT * FROM fz_ss_join"))
+    want = _rows(click_error_pairs_batch(tables.load_events(spark, data)))
+    assert got == want
+
+
 def test_stateful_totals_equal_batch_on_fuzz(spark, fuzz_dirs):
     """Running per-user totals over THREE micro-batches of NULL-laced
     events: the final emitted row per user must equal the batch
