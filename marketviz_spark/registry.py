@@ -1729,33 +1729,46 @@ def q_agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle_cte()
     + """
     , seq AS (
-        SELECT ticker, share_price,
-               CAST(row_number() OVER (
-                   PARTITION BY ticker ORDER BY date) - 1 AS DOUBLE) AS x
-        FROM stocks
-    ), stats AS (
         SELECT ticker,
-               avg(x) AS xbar,
-               CAST(sum(CAST(share_price AS DECIMAL(18,2))) AS DOUBLE)
-                   / count(*) AS ybar,
-               CAST(count(*) AS BIGINT) AS n_days
+               CAST(row_number() OVER (
+                   PARTITION BY ticker ORDER BY date) - 1 AS BIGINT)
+                   AS x,
+               CAST(round(share_price * 100) AS BIGINT) AS cents
+        FROM stocks
+    ), m AS (
+        -- the four moments are INTEGER sums (exact, order-free);
+        -- the old float sum((x-xbar)*(y-ybar)) flipped the 4dp
+        -- round-half boundary on 4 of ~15k groups at sf0.1
+        SELECT ticker,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS DOUBLE) AS sx,
+               CAST(sum(x * x) AS DOUBLE) AS sxx,
+               CAST(sum(cents) AS DOUBLE) AS sc,
+               CAST(sum(x * cents) AS DOUBLE) AS sxc
         FROM seq GROUP BY ticker
     )
-    SELECT s.ticker, st.n_days,
-           floor(sum((s.x - st.xbar) * (s.share_price - st.ybar))
-                 / sum((s.x - st.xbar) * (s.x - st.xbar))
-                 * 10000.0 + 0.5) / 10000.0 AS trend_slope
-    FROM seq s JOIN stats st ON s.ticker = st.ticker
-    WHERE st.n_days > 1
-    GROUP BY s.ticker, st.n_days
+    SELECT ticker, n AS n_days,
+           floor((CAST(n AS DOUBLE) * sxc - sx * sc) * 100.0
+                 / (CAST(n AS DOUBLE) * sxx - sx * sx) + 0.5)
+               / 10000.0 AS trend_slope
+    FROM m WHERE n > 1
     """,
     survey="grouped-map applyInPandas custom operator (per-ticker OLS)",
 )
 def q_ticker_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-ticker OLS trend slope via applyInPandas — the grouped-map
-    pandas shape (each ticker's history as one pandas frame). The
-    two-pass formula matches the SQL oracle; the result is
-    floor-rounded to 4dp before comparison (sum-order noise)."""
+    pandas shape (each ticker's history as one pandas frame).
+
+    Cross-engine exactness: slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²)
+    where x is the 0-based day index and y is the 2dp price. The
+    four moments are computed as INTEGER sums over cents (exact and
+    order-free; all ≤ 2^45 here, so their doubles are exact), and
+    the final slope is ONE scalar double expression with the same
+    operation order as the oracle — IEEE ops on identical inputs
+    give identical bits on both engines. The previous formulation
+    float-summed (x−x̄)(y−ȳ) in engine-specific order, which flipped
+    the 4dp round-half boundary on 4 of ~15k groups at sf0.1 (found
+    by the full-registry sf0.1 parity run)."""
     import numpy as np
     import pandas as pd
 
@@ -1766,20 +1779,16 @@ def q_ticker_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             return pd.DataFrame(
                 columns=["ticker", "n_days", "trend_slope"]
             )
-        x = np.arange(n, dtype=np.float64)
         y = pdf["share_price"].to_numpy(dtype=np.float64)
-        # exact decimal-mean for y to match the oracle's DECIMAL(18,2)
-        # sum: prices are 2dp values, so an int64 cents sum IS the
-        # decimal sum (float(cents)/100.0 and float(Decimal_sum) are
-        # the same correctly-rounded double — verified bit-equal),
-        # without the per-row Python Decimal loop this used to run
-        # (~3M string-format+Decimal constructions per sf0.1 pass).
         cents = np.rint(y * 100.0).astype(np.int64)
-        ybar = float(cents.sum()) / 100.0 / n
-        xbar = x.mean()
-        num = float(((x - xbar) * (y - ybar)).sum())
-        den = float(((x - xbar) * (x - xbar)).sum())
-        s = np.floor(num / den * 10000.0 + 0.5) / 10000.0
+        xs = np.arange(n, dtype=np.int64)
+        sx = float(n * (n - 1) // 2)
+        sxx = float((n - 1) * n * (2 * n - 1) // 6)
+        sc = float(int(cents.sum()))
+        sxc = float(int((xs * cents).sum()))
+        num = float(n) * sxc - sx * sc
+        den = float(n) * sxx - sx * sx
+        s = np.floor(num * 100.0 / den + 0.5) / 10000.0
         return pd.DataFrame(
             {
                 "ticker": [pdf["ticker"].iloc[0]],
