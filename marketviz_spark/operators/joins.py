@@ -55,10 +55,18 @@ def composition_market_caps(
         .alias("name"),
         F.col("market_cap"),
     )
+    # decimal-cast before the sum: the OTHERS bucket folds ~N-top_n
+    # double market caps, and a raw float sum is summation-order-
+    # dependent — the same class the sf0.1 parity run caught in the
+    # trend slope. double->decimal(28,2) is the same correctly-
+    # rounded value on both engines, and the decimal sum is exact.
     return named.groupBy("name").agg(
-        rnd(F.sum(F.col("market_cap") / 1e9), 1).alias(
-            "market_cap_billions"
-        )
+        rnd(
+            F.sum(F.col("market_cap").cast("decimal(28,2)"))
+            .cast("double")
+            / 1e9,
+            1,
+        ).alias("market_cap_billions")
     )
 
 

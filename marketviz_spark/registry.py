@@ -357,7 +357,9 @@ def q_topk_per_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) WHERE rn = 1
     )
     SELECT CASE WHEN e.pos < 5 THEN e.ticker ELSE 'OTHERS' END AS name,
-           floor(sum(c.market_cap / 1e9) * 10.0 + 0.5) / 10.0
+           -- decimal sum -> order-free; see composition_market_caps
+           floor(CAST(sum(CAST(c.market_cap AS DECIMAL(28,2)))
+                      AS DOUBLE) / 1e9 * 10.0 + 0.5) / 10.0
                AS market_cap_billions
     FROM exploded e JOIN latest_caps c ON e.ticker = c.ticker
     GROUP BY 1
