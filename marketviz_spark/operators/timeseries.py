@@ -289,3 +289,60 @@ def corr_recall(
         .cast("long")
         .alias("recall_ppm"),
     )
+
+
+def trend_slope(
+    stocks_df: DataFrame,
+    ticker_col: str = "ticker",
+    date_col: str = "date",
+    price_col: str = "share_price",
+) -> DataFrame:
+    """Per-group OLS trend slope, closed-form — the SCALE path for
+    the grouped-map ``w_ticker_trend_slope`` showcase (registry
+    §2.10): identical semantics, pure DataFrame ops, whole-stage
+    codegen end to end, no Python in the plan.
+
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) where x is the 0-based
+    day index within the group (a per-ticker ``row_number`` window —
+    the only sort, bounded by each ticker's history length) and y is
+    the 2-dp price as integer cents. The four moments are INTEGER
+    sums (order-free exact; all ≤ 2^45 here, so their doubles are
+    exact), and the final slope is ONE fixed-tree double expression
+    with the same operation order as the pandas twin and the SQL
+    oracle — IEEE ops on identical inputs give identical bits, which
+    ``test_operators_golden.py`` asserts against the applyInPandas
+    version.
+
+    Scale: one hash shuffle on ticker (the window), partial-agg'd
+    integer sums, map-side scalar math. The grouped-map twin moves
+    every group through Arrow into Python; this plan never leaves
+    the JVM — prefer it anywhere the per-group logic fits closed
+    form.
+    """
+    w = Window.partitionBy(ticker_col).orderBy(date_col)
+    seq = stocks_df.select(
+        ticker_col,
+        (F.row_number().over(w) - 1).cast("long").alias("_x"),
+        F.floor(F.col(price_col) * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("_cents"),
+    )
+    m = seq.groupBy(ticker_col).agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("_x").cast("double").alias("_sx"),
+        F.sum(F.col("_x") * F.col("_x")).cast("double").alias("_sxx"),
+        F.sum("_cents").cast("double").alias("_sc"),
+        F.sum(F.col("_x") * F.col("_cents"))
+        .cast("double")
+        .alias("_sxc"),
+    )
+    n = F.col("n_days").cast("double")
+    num = n * F.col("_sxc") - F.col("_sx") * F.col("_sc")
+    den = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    return m.filter(F.col("n_days") > 1).select(
+        ticker_col,
+        "n_days",
+        (F.floor(num * F.lit(100.0) / den + F.lit(0.5)) / F.lit(10000.0)).alias(
+            "trend_slope"
+        ),
+    )

@@ -1691,8 +1691,20 @@ def q_agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     independently, hash-matched) plus bounded-error flags —
     HLL++ default rsd is 5%, so 15% (3 sigma) is a stable
     deterministic bound; the approx median must land between the
-    exact 45th and 55th percentiles (rank tolerance >> the sketch's
-    1/accuracy=0.01% rank error). The oracle asserts every flag."""
+    exact 45th and 55th percentile_disc values (rank tolerance >>
+    the sketch's 1/accuracy=0.01% rank error — percentile_approx
+    returns an actual data value, so disc bounds are the natural
+    band). The oracle asserts every flag.
+
+    Scale: the exact p45/p55 rank bounds come from
+    ``cents_quantile_bounds`` (bounded cents-domain histogram +
+    cumsum), NOT a buffering ``percentile()`` aggregate — the old
+    plan's SortAggregate buffered every price per group, which dies
+    at 100 TB; the histogram's size is the cents domain, independent
+    of row count. ``test_plan_lint.py`` forbids ``percentile(`` in
+    this plan."""
+    from .operators.aggregates import cents_quantile_bounds
+
     li = tables.load(spark, sf_dir, "lineitem")
     approx = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
@@ -1704,8 +1716,15 @@ def q_agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_orderkey").alias("n_orders_exact"),
         F.countDistinct("l_partkey").alias("n_parts_exact"),
-        F.expr("percentile(l_extendedprice, 0.45)").alias("_p45"),
-        F.expr("percentile(l_extendedprice, 0.55)").alias("_p55"),
+    )
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+        "long"
+    )
+    bounds = cents_quantile_bounds(
+        li.select("l_returnflag", cents.alias("_c")),
+        "_c",
+        {"_p45c": (9, 20), "_p55c": (11, 20)},
+        group_cols=["l_returnflag"],
     )
 
     def _ok(est: str, ex: str) -> F.Column:
@@ -1713,16 +1732,26 @@ def q_agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col(est) - F.col(ex)) / F.col(ex) <= 0.15
         ).alias(est.replace("approx_", "") + "_ok")
 
-    return approx.join(exact, "l_returnflag").select(
-        "l_returnflag",
-        "n_orders_exact",
-        "n_parts_exact",
-        _ok("approx_orders", "n_orders_exact"),
-        _ok("approx_parts", "n_parts_exact"),
-        (
-            (F.col("approx_median_price") >= F.col("_p45"))
-            & (F.col("approx_median_price") <= F.col("_p55"))
-        ).alias("median_ok"),
+    return (
+        approx.join(exact, "l_returnflag")
+        .join(F.broadcast(bounds), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_orders_exact",
+            "n_parts_exact",
+            _ok("approx_orders", "n_orders_exact"),
+            _ok("approx_parts", "n_parts_exact"),
+            (
+                (
+                    F.col("approx_median_price")
+                    >= F.col("_p45c").cast("double") / 100.0
+                )
+                & (
+                    F.col("approx_median_price")
+                    <= F.col("_p55c").cast("double") / 100.0
+                )
+            ).alias("median_ok"),
+        )
     )
 
 
@@ -1803,6 +1832,44 @@ def q_ticker_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stocks.groupBy("ticker").applyInPandas(
         slope, "ticker string, n_days long, trend_slope double"
     )
+
+
+@register(
+    "w_trend_slope_closed",
+    oracle_cte()
+    + """
+    , seq AS (
+        SELECT ticker,
+               CAST(row_number() OVER (
+                   PARTITION BY ticker ORDER BY date) - 1 AS BIGINT)
+                   AS x,
+               CAST(round(share_price * 100) AS BIGINT) AS cents
+        FROM stocks
+    ), m AS (
+        SELECT ticker,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS DOUBLE) AS sx,
+               CAST(sum(x * x) AS DOUBLE) AS sxx,
+               CAST(sum(cents) AS DOUBLE) AS sc,
+               CAST(sum(x * cents) AS DOUBLE) AS sxc
+        FROM seq GROUP BY ticker
+    )
+    SELECT ticker, n AS n_days,
+           floor((CAST(n AS DOUBLE) * sxc - sx * sc) * 100.0
+                 / (CAST(n AS DOUBLE) * sxx - sx * sx) + 0.5)
+               / 10000.0 AS trend_slope
+    FROM m WHERE n > 1
+    """,
+    survey="closed-form per-ticker OLS trend slope — the pure-DataFrame scale path for the §2.10 grouped-map showcase (same oracle, no Python in the plan)",
+)
+def q_trend_slope_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form twin of ``w_ticker_trend_slope``: identical
+    semantics and bit-identical output (golden-tested) with no
+    Python in the plan — the version a 100 TB run should use. See
+    ``operators/timeseries.py:trend_slope`` for the numerics."""
+    from .operators.timeseries import trend_slope
+
+    return trend_slope(tables.stocks(spark, sf_dir))
 
 
 @register(
@@ -3915,41 +3982,65 @@ def q_dq_referential_integrity(
     (lineitem->orders, orders->customer, lineitem->part), emitted as
     one row with the table totals for rate computation.
 
-    Scale: each check is a LEFT ANTI join on the FK — Catalyst
-    broadcasts the dim-side key projection when it fits and falls
-    back to a shuffled anti-join when it doesn't; counts collapse
-    map-side. Nothing is collected; the five scalars cross-join into
-    one row (all 1-row broadcasts).
+    Scale: ONE pass over each fact table. The old plan scanned
+    lineitem three times (total + two anti-joins) and orders twice;
+    this plan left-joins each fact once against the broadcast
+    PK-projections of its dims and folds every count into a single
+    conditional aggregate over that scan — the dim keys are
+    broadcast, the fact side never shuffles, and the counts collapse
+    map-side. The two 1-row scalars cross-join (1-row broadcast)
+    into the audit row.
     """
     li = tables.load(spark, sf_dir, "lineitem")
     orders = tables.load(spark, sf_dir, "orders")
     cust = tables.load(spark, sf_dir, "customer")
     part = tables.load(spark, sf_dir, "part")
 
-    def one(df, name):
-        return df.agg(F.count("*").cast("long").alias(name))
-
-    orphan_li = li.select("l_orderkey").join(
-        orders.select("o_orderkey"),
-        F.col("l_orderkey") == F.col("o_orderkey"),
-        "left_anti",
+    # lineitem scanned ONCE: both FK checks ride the same pass.
+    # o_orderkey / p_partkey are PKs on the dim side, so the left
+    # joins cannot multiply fact rows.
+    li_audit = (
+        li.select("l_orderkey", "l_partkey")
+        .join(
+            F.broadcast(orders.select("o_orderkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left",
+        )
+        .join(
+            F.broadcast(part.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_lineitem"),
+            F.count(F.when(F.col("o_orderkey").isNull(), 1))
+            .cast("long")
+            .alias("orphan_lineitems"),
+            F.count(F.when(F.col("p_partkey").isNull(), 1))
+            .cast("long")
+            .alias("orphan_part_refs"),
+        )
     )
-    orphan_ord = orders.select("o_custkey").join(
-        cust.select("c_custkey"),
-        F.col("o_custkey") == F.col("c_custkey"),
-        "left_anti",
+    ord_audit = (
+        orders.select("o_custkey")
+        .join(
+            F.broadcast(cust.select("c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.count(F.when(F.col("c_custkey").isNull(), 1))
+            .cast("long")
+            .alias("orphan_orders"),
+        )
     )
-    orphan_part = li.select("l_partkey").join(
-        part.select("p_partkey"),
-        F.col("l_partkey") == F.col("p_partkey"),
-        "left_anti",
-    )
-    return (
-        one(li, "n_lineitem")
-        .crossJoin(F.broadcast(one(orphan_li, "orphan_lineitems")))
-        .crossJoin(F.broadcast(one(orders, "n_orders")))
-        .crossJoin(F.broadcast(one(orphan_ord, "orphan_orders")))
-        .crossJoin(F.broadcast(one(orphan_part, "orphan_part_refs")))
+    return li_audit.crossJoin(F.broadcast(ord_audit)).select(
+        "n_lineitem",
+        "orphan_lineitems",
+        "n_orders",
+        "orphan_orders",
+        "orphan_part_refs",
     )
 
 
@@ -3968,23 +4059,27 @@ def q_dq_referential_integrity(
 )
 def q_w_share_of_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RATIO_TO_REPORT: per-row share of the partition total. The
-    denominator is a DECIMAL window sum (order-free exact, so any
-    partitioning yields the identical double after one cast); the
+    denominator is a DECIMAL per-date aggregate (order-free exact, so
+    any partitioning yields the identical double after one cast); the
     ratio is a single fixed-tree division rounded at 6dp, making the
     Spark and oracle values bit-equal.
 
-    Scale: one hash shuffle on date, full-partition window sum with
-    no ordering (no sort — Spark plans an unordered window
-    aggregate), map-side division. The date key is the calendar —
-    uniform and bounded."""
+    Scale: the old plan was a full-partition DECIMAL window sum,
+    which buffers outside whole-stage codegen and measured 4.3x its
+    baseline at sf0.1 (and only worsens at 100x). This plan computes
+    the per-date total with a partial-aggregating, codegen'd
+    ``groupBy("date")`` and broadcast-joins the (bounded: one row per
+    calendar date) totals back — no window, no per-partition buffer,
+    and the fact side never shuffles."""
     s = tables.stocks(spark, sf_dir)
-    w = Window.partitionBy("date")
-    total = F.sum(F.col("market_cap").cast("decimal(28,4)")).over(w)
-    return s.select(
+    totals = s.groupBy("date").agg(
+        F.sum(F.col("market_cap").cast("decimal(28,4)")).alias("_total")
+    )
+    return s.join(F.broadcast(totals), "date").select(
         "ticker",
         "date",
         "market_cap",
-        rnd(F.col("market_cap") / total, 6).alias("cap_share"),
+        rnd(F.col("market_cap") / F.col("_total"), 6).alias("cap_share"),
     )
 
 

@@ -600,3 +600,33 @@ def test_window_family_single_row_series(spark):
         assert len(hist) == 1 and hist[0]["n_rows"] == 1
         win = reg.QUERIES["price_winsorize"].fn(spark, "x").collect()
         assert len(win) == 1 and not win[0]["clamped_low"]
+
+
+def test_trend_slope_closed_form_bitequal_to_grouped_map(spark):
+    """The closed-form trend_slope (operators/timeseries.py) is the
+    scale path for the §2.10 grouped-map showcase: same moments, same
+    fixed-tree final expression — the outputs must be BIT-equal, not
+    approximately equal, on every group."""
+    from marketviz_spark.registry import QUERIES
+    from tests.conftest import SF_SMALL
+
+    gm = {
+        r["ticker"]: r
+        for r in QUERIES["w_ticker_trend_slope"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    cf = {
+        r["ticker"]: r
+        for r in QUERIES["w_trend_slope_closed"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    assert set(gm) == set(cf) and gm
+    import struct
+
+    for t, r in gm.items():
+        assert cf[t]["n_days"] == r["n_days"], t
+        assert struct.pack("<d", cf[t]["trend_slope"]) == struct.pack(
+            "<d", r["trend_slope"]
+        ), (t, cf[t]["trend_slope"], r["trend_slope"])

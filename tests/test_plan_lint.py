@@ -36,3 +36,23 @@ def test_no_query_plans_cartesian_or_rowwise_python(spark):
         if hits:
             offenders[name] = hits
     assert not offenders, offenders
+
+
+def test_approx_sketches_has_no_buffering_percentile(spark):
+    """agg_approx_sketches' exact side must come from the bounded
+    cents-domain histogram (cents_quantile_bounds), never the exact
+    ``percentile(`` aggregate, which buffers every group value and
+    dies at 100 TB. ``percentile_approx`` (the sketch under test) is
+    allowed — match the exact aggregate's name precisely."""
+    plan = (
+        QUERIES["agg_approx_sketches"]
+        .fn(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    lowered = plan.lower()
+    scrubbed = lowered.replace("percentile_approx", "").replace(
+        "approx_percentile", ""
+    )
+    assert "percentile(" not in scrubbed, plan[:2000]
