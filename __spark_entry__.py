@@ -29,75 +29,80 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver checks queries in dict insertion order and stops at a
-# ~50-query budget. Round-7 rotation (registry FROZEN at 148 this
-# round): the 8 queries that have never had a driver row come first,
-# then the 40 whose latest green row is r04 (two rounds stale), then
-# the queries round 7's ADVICE fixes touch. 8 + 40 = 48 ≤ budget, so
-# after the r7 run zero never-checked queries remain and no green row
-# is older than r05.
+# ~50-query budget. Round-8 rotation: queries whose CODE changed this
+# round come first (their old green rows no longer vouch for the
+# current source), then the 50 whose latest green row is r05 (three
+# rounds stale, computed from CORRECTNESS_r0{1..7}.json). 8 + 50 = 58
+# slightly overflows the budget; the tail (simple scalar/projection
+# queries, unchanged since r05 and green in multiple prior rounds) is
+# the lowest-risk overflow and rolls to r09's rotation.
 _FIRST = [
-    # Never driver-checked (past position 50 in the r6 order); they
-    # are locally parity-green at sf0.001/sf0.01 but have no hard
-    # driver signal yet — nothing outranks them.
-    "dq_documents_gate",
-    "langid_confusion",
-    "jaccard_band_report",
-    "pack_fill_report",
-    "ts_corr_pairs",
-    "ts_corr_pairs_sketched",
-    "ts_corr_recall",
-    "w_rolling_range_7d",
-    # Latest green driver row is r04 (the r04 \ (r05 ∪ r06) set,
-    # computed from CORRECTNESS_r0{1..6}.json by
-    # tools/gen_coverage.py).
-    "a4_a5_summary_metrics",
-    "agg_distinct_percentile",
-    "curation_funnel",
-    "dedup_clusters",
-    "dedup_clusters_multi",
-    "dedup_embedding_pairs",
-    "dedup_incremental",
-    "dq_lineitem_gate",
+    # Changed this round: plan reworks (w_share_of_day RATIO denom,
+    # dq RI single-pass, agg_approx_sketches cents-histogram bounds),
+    # the new closed-form slope, and the _fix_round6 order-fixed
+    # cosine fixup in the dense block-scoring paths.
+    "w_trend_slope_closed",
+    "w_share_of_day",
+    "dq_referential_integrity",
+    "agg_approx_sketches",
     "emb_cosine_topk_blas",
     "emb_ivf_topk",
-    "emb_quantize_int8",
-    "events_bars_rollup",
-    "events_hll_cascade",
-    "having_big_orders",
-    "j1_composition_market_cap",
-    "j2_upsert",
-    "j3_asof_walkback",
-    "p3_point_lookup",
-    "pack_sequences",
-    "pii_scrub",
-    "pii_stats",
-    "pivot_order_status",
-    "q13_order_histogram",
-    "q3_shipping_priority",
-    "q4_late_order_priority",
-    "sample_stratified",
-    "semi_anti_join",
-    "skew_salted_agg",
-    "text_decontaminate",
-    "text_rarity",
-    "text_repetition",
-    "unpivot_prices",
-    "vocab_topk",
-    "w3_w4_returns",
-    "w5_w6_composition_changes",
-    "w7_latest_stats",
-    "w8_latest_per_ticker",
-    "w9_topk_per_date",
-    "w_beta_corr",
-    "w_moving_stats",
-    # Touched by round-7 ADVICE fixes (all have fresh r06 green rows;
-    # re-verify the changed code paths with the 2 spare budget slots,
-    # overflow is harmless).
+    "semdedup_prune",
     "decontam_embedding",
-    "stocks_snapshot_diff",
-    "price_equidepth_hist",
-    "price_winsorize",
-    "ticker_mad_outliers",
+    "ann_recall",
+    "emb_lsh_topk",
+    "dedup_modality_agreement",
+    # Latest green driver row is r05 (minus the ones above).
+    "corpus_source_report",
+    "cube_revenue",
+    "curation_apply",
+    "dedup_apply",
+    "dedup_bucket_overflow",
+    "dedup_exact",
+    "dedup_levenshtein",
+    "dedup_lsh_pairs",
+    "dedup_minhash_estimate",
+    "dedup_minhash_signatures",
+    "dedup_ngram_jaccard",
+    "dedup_shingle_overflow",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_substring_spans",
+    "emb_cosine_topk",
+    "events_click_error_pairs",
+    "events_funnel_conversion",
+    "events_range_join",
+    "events_session_10m",
+    "events_sliding_1h_30m",
+    "events_transition_matrix",
+    "events_tumbling_1h",
+    "index_daily",
+    "json_props",
+    "json_props_struct",
+    "mm_frame_sample",
+    "mm_payload_features",
+    "o5_summary_tail30",
+    "q1_pricing_summary",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "rollup_orders",
+    "skew_salted_join",
+    "split_assign",
+    "text_fingerprints",
+    "text_langid",
+    "text_stats",
+    "text_token_bpe",
+    "w1_split_adjust",
+    "w_rank_family",
+    "w_ticker_trend_slope",
+    # Lowest-risk overflow tail (simple scalar/filter queries,
+    # multiple historical green rows): whatever the budget cuts here
+    # rolls to the r09 rotation.
+    "p2_filter_date",
+    "p4_ticker_history",
+    "p6_split_repair",
+    "scalar_bundle",
+    "set_ops",
 ]
 
 

@@ -199,16 +199,99 @@ def main() -> None:
             errors.pop(name, None)
 
     total = round(sum(timings.values()), 3)
+    baselines = _load_baselines()
+    _write_detail(timings, errors, baselines, sf)
+    # The driver records only a ~2000-char tail of stdout, so the
+    # final line must stay compact AND parseable: suite total, the
+    # worst queries (by wall and by baseline ratio), and a pointer
+    # to BENCH_DETAIL.md for the full per-query map (round-7 lost
+    # 77/148 rows to tail truncation).
+    worst_wall = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:25]
+    )
+    ratios = {
+        n: round(t / baselines[n], 2)
+        for n, t in timings.items()
+        if baselines.get(n)
+    }
+    worst_ratio = dict(
+        sorted(ratios.items(), key=lambda kv: -kv[1])[:5]
+    )
+    base_sum = sum(baselines[n] for n in timings if n in baselines)
     out = {
         "metric": "headline_suite_wall",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": worst_wall,
         "sf": float(sf),
+        "n_queries": len(timings),
+        "suite_vs_baseline": (
+            round(total / base_sum, 3) if base_sum else None
+        ),
+        "worst5_vs_baseline": worst_ratio,
+        "detail": "BENCH_DETAIL.md",
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    line = json.dumps(out)
+    while len(line) > 1900 and len(out["queries"]) > 5:
+        out["queries"].pop(next(reversed(out["queries"])))
+        line = json.dumps(out)
+    print(line)
+
+
+def _load_baselines() -> dict[str, float]:
+    """Per-query baseline walls from BASELINE.md's markdown table
+    (the round-7 full-registry re-base)."""
+    out: dict[str, float] = {}
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
+    try:
+        with open(path) as fh:
+            for ln in fh:
+                parts = [p.strip() for p in ln.strip().strip("|").split("|")]
+                if len(parts) == 2 and parts[0] in QUERIES:
+                    try:
+                        out[parts[0]] = float(parts[1])
+                    except ValueError:
+                        pass
+    except OSError:
+        pass
+    return out
+
+
+def _write_detail(
+    timings: dict[str, float],
+    errors: dict[str, str],
+    baselines: dict[str, float],
+    sf: str,
+) -> None:
+    """Full per-query map -> BENCH_DETAIL.md (wall desc, with
+    baseline ratios where BASELINE.md has a row)."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.md"
+    )
+    lines = [
+        f"# BENCH_DETAIL — full per-query walls at sf{sf}",
+        "",
+        f"Suite total: {round(sum(timings.values()), 3)} s over "
+        f"{len(timings)} queries ({len(errors)} errors). "
+        "Written by bench.py each run; the driver's BENCH_r{N}.json "
+        "keeps only a compact tail — this file is the full map.",
+        "",
+        "| query | wall (s) | baseline (s) | ratio |",
+        "|---|---|---|---|",
+    ]
+    for n, t in sorted(timings.items(), key=lambda kv: -kv[1]):
+        b = baselines.get(n)
+        lines.append(
+            f"| {n} | {t} | {b if b is not None else '—'} | "
+            f"{round(t / b, 2) if b else '—'} |"
+        )
+    for n, e in sorted(errors.items()):
+        lines.append(f"| {n} | ERROR | — | — |")
+        lines.append(f"|  | `{e[:120]}` | | |")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
 
 
 if __name__ == "__main__":

@@ -291,8 +291,16 @@ def ngram_jaccard_pairs(
     corpora (the sf1 spot-run measured 33x wall with every per-key
     cap green). The estimate costs one extra LINEAR pass (a shingle
     DF aggregate to one driver row) — the price of never launching
-    a density-quadratic join. Pass ``pair_budget=None`` to run
-    uncapped.
+    a density-quadratic join.
+
+    NOTE — EAGER when ``pair_budget`` is set (the default): the
+    budget check runs a Spark action (``.first()`` on the DF
+    aggregate) at CALL time, so this function triggers a job — and
+    can raise — during plan construction, unlike the rest of the
+    module's lazy plan builders. Callers composing pipelines that
+    must stay lazy until execution should pass ``pair_budget=None``
+    (uncapped, plan-only) and enforce the budget themselves at the
+    point they choose to execute.
 
     The capped shingle table is consumed four times (sizes, both
     self-join sides, and the DF computation feeding the cap);

@@ -320,10 +320,14 @@ def blas_cosine_topk(
         b_ids = B["vec_id"].to_numpy(dtype=np.int64)
         Am = np.array(A["embedding"].tolist(), dtype=np.float64)
         Bm = np.array(B["embedding"].tolist(), dtype=np.float64)
-        S = Am @ Bm.T
-        S /= np.sqrt((Am * Am).sum(axis=1))[:, None]
-        S /= np.sqrt((Bm * Bm).sum(axis=1))[None, :]
-        R = np.floor(S * p + 0.5) / p
+        an = np.sqrt(np.einsum("ij,ij->i", Am, Am))
+        bn = np.sqrt(np.einsum("ij,ij->i", Bm, Bm))
+        S = (Am @ Bm.T) / (an[:, None] * bn[None, :])
+        if p == 1e6:
+            # near-boundary entries rescored order-fixed
+            R = _fix_round6(S, Am, Bm, an, bn)
+        else:
+            R = np.floor(S * p + 0.5) / p
         out_vec, out_nb, out_cos = topk_rows(a_ids, b_ids, R)
         if ab != bb:
             # Off-diagonal: one matmul serves both orientations.
@@ -357,14 +361,47 @@ EMB_TABLE_BITS = 6
 NEAR_DUP_COSINE = 0.35
 
 
+def _fix_round6(S, A, B, an, bn):
+    """Floor-round a dgemm cosine block at 6dp with BLAS-order
+    robustness (r8 ADVICE): ``S = (A @ B.T) / (an x bn)`` is computed
+    by whatever BLAS numpy links (OpenBLAS/MKL/ARM), whose summation
+    order and FMA use vary by build — a last-ulp difference can flip
+    the floor-6dp boundary that the oracle's sequential
+    ``list_dot_product`` fold lands exactly on. This helper keeps the
+    dgemm for the bulk (candidate pruning is value-tolerant) and
+    recomputes ONLY the entries within 1e-4 grid units (~1e-10 in
+    cosine, 5 orders above any dgemm-vs-sequential drift) of a
+    rounding boundary with numpy's order-fixed einsum — the same
+    reduction `_arrow_cosine` uses, which every green oracle row has
+    validated against DuckDB's fold. Cost: O(near_boundary) extra
+    dot products — empirically ~1e-4 of entries.
+
+    Returns the floor-6dp-rounded matrix; `an`/`bn` must be the SAME
+    norms the caller's oracle uses (JVM `_dot` fold or einsum —
+    never a BLAS-reduced sum).
+    """
+    import numpy as np
+
+    f = S * 1e6 + 0.5
+    R = np.floor(f) / 1e6
+    i, j = np.nonzero(np.abs(f - np.rint(f)) < 1e-4)
+    if i.size:
+        d = np.einsum("ij,ij->i", A[i], B[j])
+        s = d / (an[i] * bn[j])
+        R[i, j] = np.floor(s * 1e6 + 0.5) / 1e6
+    return R
+
+
 def _arrow_cosine():
     """Arrow-vectorized floor-6dp cosine over (vec_a, vec_b,
     norm_a*norm_b) columns — the pair-scoring hot loop shared by the
     candidate-verification paths (near_pairs, LSH top-k, IVF probe).
     numpy einsum replaces the interpreted per-element `F.aggregate`
-    fold, ~20x on dense candidate sets (r7 sf1 sweep). FINAL-cosine
-    sites only: ranking/thresholding at 6dp tolerates BLAS pairwise
-    summation (the blas_cosine_topk/ann_recall precedent); TRAINING
+    fold, ~20x on dense candidate sets (r7 sf1 sweep). The dense
+    block-scoring sites (blas_cosine_topk, ivf_topk, semdedup,
+    embedding_decontaminate) keep dgemm for the bulk and route
+    near-boundary entries through `_fix_round6`, which rescores them
+    with this same order-fixed einsum reduction; TRAINING
     assignment (ivf_train/_assign_to) keeps the JVM left-fold `_dot`
     because its oracle unrolls the iterations and a last-ulp flip
     there would cascade into different centroids. Functional
@@ -549,15 +586,49 @@ def _assign_to(
     return best.select(*cols)
 
 
-# Trained-centroid memo: (cache_key, n_cells, n_iters) -> the K·d
-# float model. Opt-in via ivf_train(cache_key=...): callers that can
-# vouch the keyed corpus is immutable (the registry keys by sf_dir —
-# a read-only parquet dir) amortize ONE training across every IVF
-# consumer in the session, the same build-once/serve-many shape a
-# persisted ANN index has in production. Deterministic Lloyd means
-# the cached model is bit-identical to a fresh train, so DuckDB
-# oracles that unroll training stay exact.
+# Trained-centroid memo: (cache_key, data fingerprint, n_cells,
+# n_iters) -> the K·d float model. Opt-in via ivf_train(cache_key=…):
+# callers that can vouch the keyed corpus is immutable (the registry
+# keys by sf_dir — a read-only parquet dir) amortize ONE training
+# across every IVF consumer in the session, the same
+# build-once/serve-many shape a persisted ANN index has in
+# production. Deterministic Lloyd means the cached model is
+# bit-identical to a fresh train, so DuckDB oracles that unroll
+# training stay exact. When the key is a directory path, the memo
+# key folds in the (name, mtime_ns, size) of its files, so rewriting
+# the data under a reused key invalidates the entry instead of
+# silently serving stale centroids (r8 ADVICE); the cache is bounded
+# (FIFO) and `clear_ivf_cache()` drops it explicitly.
 _IVF_MODEL_CACHE: dict[tuple, list] = {}
+_IVF_CACHE_MAX = 8
+
+
+def _cache_fingerprint(cache_key: str):
+    """Cheap data fingerprint for a directory cache key: sorted
+    (relative name, mtime_ns, size) of the files under it. Non-path
+    keys fingerprint to None — the caller owns invalidation there."""
+    import os
+
+    if not os.path.isdir(cache_key):
+        return None
+    out = []
+    for root, _dirs, files in os.walk(cache_key):
+        for fn in files:
+            p = os.path.join(root, fn)
+            try:
+                st = os.stat(p)
+            except OSError:
+                continue
+            out.append(
+                (os.path.relpath(p, cache_key), st.st_mtime_ns, st.st_size)
+            )
+    return tuple(sorted(out))
+
+
+def clear_ivf_cache() -> None:
+    """Drop every memoized IVF model (e.g. after rewriting data in
+    place under a non-directory cache key)."""
+    _IVF_MODEL_CACHE.clear()
 
 
 def centroid_df_for(emb: DataFrame, rows: list) -> DataFrame:
@@ -605,7 +676,7 @@ def ivf_train(
         return centroid_df_for(emb, rows)
 
     memo = (
-        (cache_key, n_cells, n_iters)
+        (cache_key, _cache_fingerprint(cache_key), n_cells, n_iters)
         if cache_key is not None
         else None
     )
@@ -649,6 +720,8 @@ def ivf_train(
             for cell, dims in sorted(by_cell.items())
         ]
     if memo is not None:
+        while len(_IVF_MODEL_CACHE) >= _IVF_CACHE_MAX:
+            _IVF_MODEL_CACHE.pop(next(iter(_IVF_MODEL_CACHE)))
         _IVF_MODEL_CACHE[memo] = cents
     return centroid_df(cents)
 
@@ -729,11 +802,11 @@ def ivf_topk(
         c_ids = C["vec_id"].to_numpy(dtype=np.int64)
         Qm = np.array(Q["_v"].tolist(), dtype=np.float64)
         Cm = np.array(C["_v"].tolist(), dtype=np.float64)
-        S = (Qm @ Cm.T) / (
-            Q["_norm"].to_numpy()[:, None]
-            * C["_norm"].to_numpy()[None, :]
-        )
-        R = np.floor(S * 1e6 + 0.5) / 1e6
+        qn = Q["_norm"].to_numpy(dtype=np.float64)
+        cn = C["_norm"].to_numpy(dtype=np.float64)
+        S = (Qm @ Cm.T) / (qn[:, None] * cn[None, :])
+        # near-boundary entries rescored order-fixed (see _fix_round6)
+        R = _fix_round6(S, Qm, Cm, qn, cn)
         out_v, out_n, out_c = [], [], []
         for i in range(R.shape[0]):
             mask = c_ids != q_ids[i]
@@ -873,8 +946,9 @@ def semdedup(
         chunk = 1024
         for s in range(0, m, chunk):
             e = min(s + chunk, m)
-            R = (M[s:e] @ M.T) / (nn[s:e][:, None] * nn[None, :])
-            R = np.floor(R * 1e6 + 0.5) / 1e6
+            S = (M[s:e] @ M.T) / (nn[s:e][:, None] * nn[None, :])
+            # near-boundary entries rescored order-fixed
+            R = _fix_round6(S, M[s:e], M, nn[s:e], nn)
             ok = R >= tau
             for i in range(e - s):
                 gi = s + i
@@ -1034,16 +1108,19 @@ def embedding_decontaminate(
             F.lit(False).alias("contaminated"),
         )
     E = np.array([r["embedding"] for r in ev_rows], dtype=np.float64)
-    en = np.sqrt((E * E).sum(axis=1))
+    # einsum, not a BLAS-reduced sum: the oracle's norms come from a
+    # sequential list_dot_product fold
+    en = np.sqrt(np.einsum("ij,ij->i", E, E))
 
     def audit(batches):
         for pdf in batches:
             if pdf.empty:
                 continue
             C = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            cn = np.sqrt((C * C).sum(axis=1))
+            cn = np.sqrt(np.einsum("ij,ij->i", C, C))
             S = (C @ E.T) / (cn[:, None] * en[None, :])
-            R = np.floor(S * 1e6 + 0.5) / 1e6
+            # near-boundary entries rescored order-fixed
+            R = _fix_round6(S, C, E, cn, en)
             hits = (R >= tau).sum(axis=1).astype(np.int64)
             yield pd.DataFrame(
                 {

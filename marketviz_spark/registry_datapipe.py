@@ -28,6 +28,7 @@ from .datapipe.dedup import (
 from .datapipe.multimodal import payload_features, to_media
 from .datapipe.similarity import (
     EMB_DIM,
+    LSH_BUCKET_CANDIDATE_CAP,
     N_HYPERPLANES,
     cosine_topk,
     hyperplane_lsh_topk,
@@ -705,14 +706,14 @@ def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST({_lsh_bucket_sql()} AS BIGINT) AS bucket
         FROM v
     ), cand AS (
-        -- candidate-side bucket cap, mirroring
-        -- similarity.LSH_BUCKET_CANDIDATE_CAP (first 128 members of
+        -- candidate-side bucket cap, interpolated from
+        -- similarity.LSH_BUCKET_CANDIDATE_CAP (first cap members of
         -- each bucket by vec_id; sf buckets stay far below this)
         SELECT vec_id, vec, nrm, bucket FROM (
             SELECT *, row_number() OVER (
                 PARTITION BY bucket ORDER BY vec_id
             ) AS brn FROM bucketed
-        ) WHERE brn <= 128
+        ) WHERE brn <= {LSH_BUCKET_CANDIDATE_CAP}
     ), pairs AS (
         SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
                floor(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm)
@@ -2288,13 +2289,13 @@ from .datapipe.similarity import ann_recall  # noqa: E402
                CAST({_lsh_bucket_sql()} AS BIGINT) AS bucket
         FROM v
     ), bcand AS (
-        -- candidate-side bucket cap, mirroring
+        -- candidate-side bucket cap, interpolated from
         -- similarity.LSH_BUCKET_CANDIDATE_CAP
         SELECT vec_id, vec, nrm, bucket FROM (
             SELECT *, row_number() OVER (
                 PARTITION BY bucket ORDER BY vec_id
             ) AS brn FROM bucketed
-        ) WHERE brn <= 128
+        ) WHERE brn <= {LSH_BUCKET_CANDIDATE_CAP}
     ), apairs AS (
         SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
                floor(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm)

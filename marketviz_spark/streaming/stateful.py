@@ -10,6 +10,14 @@ Scale notes: state is keyed by user_id — uniformly distributed,
 sized O(active users), evictable via GroupStateTimeout. Batch
 equivalence: with a single replay the final emitted row per user
 must equal the batch groupBy aggregate (asserted in tests).
+
+CHECKPOINT COMPATIBILITY: STATE_SCHEMA gained a fourth field
+(``nn long``, the non-null value count) in round 7 to fix the
+all-NULL-user sum. applyInPandasWithState state schemas are NOT
+evolvable — a streaming checkpoint written with the 3-field schema
+will fail (or misread state) under this code. Upgrading an
+externally persisted query requires a FRESH checkpoint location;
+there is no in-place migration.
 """
 
 from __future__ import annotations
