@@ -32,6 +32,35 @@ RAW_SCHEMA = (
 )
 
 
+NASDAQ_API_URL = "https://api.nasdaq.com/api/screener/stocks"
+
+
+def fetch_nasdaq_universe(limit: int = 120) -> list[str]:
+    """S1 live path (reference stock_data_fetcher.py:106-118): one
+    GET on the screener API, symbols with '/' normalized to '-'.
+    Import-guarded (requests + network are absent in the sandbox);
+    exercised by the MARKETVIZ_LIVE=1 integration test so the parse
+    shape can't bit-rot unnoticed. Network failures surface as
+    ConnectionError, matching the reference (:119-120)."""
+    import requests  # guarded: not a hard dependency
+
+    try:
+        resp = requests.get(
+            f"{NASDAQ_API_URL}?limit={limit}",
+            headers={
+                "User-Agent": "Mozilla/5.0",
+                "Accept": "application/json",
+            },
+            timeout=30,
+        )
+        rows = resp.json()["data"]["table"]["rows"]
+        return [row["symbol"].replace("/", "-") for row in rows]
+    except Exception as e:  # noqa: BLE001 — reference behavior
+        raise ConnectionError(
+            f"Error fetching stock universe: {e}"
+        ) from e
+
+
 @dataclass
 class UniverseSource:
     """S1: produces the ticker universe. The reference GETs the

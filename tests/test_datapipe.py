@@ -695,9 +695,18 @@ def test_dedup_clusters_multi_merges_via_embedding_edge(spark):
     assert multi == {0: 0, 1: 0, 2: 2}  # embedding edge merges 0-1
 
 
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def test_decode_image_pil_branch_via_injected_module():
     """The Pillow branch of _decode, exercised with an injected
-    image module (Pillow itself is absent in this environment):
+    image module (so it runs with or without Pillow installed):
     successful opens return real dimensions, failed opens flow down
     the error channel as ok=False rows — never an exception."""
     from marketviz_spark.datapipe.multimodal import (
@@ -705,7 +714,8 @@ def test_decode_image_pil_branch_via_injected_module():
         _image_module,
     )
 
-    assert _image_module() is None  # env truth: no Pillow here
+    # env truth: the probe returns the real module iff Pillow exists
+    assert (_image_module() is not None) == _pil_available()
 
     class FakeImage:
         width, height = 640, 480
@@ -727,6 +737,47 @@ def test_decode_image_pil_branch_via_injected_module():
     assert ok == (640, 480, True, None)
     bad = _decode(b"not an image", image_mod=FakeImageModule)
     assert bad[2] is False and "decoding failed" in bad[3]
+
+
+def test_decode_image_real_pil_branch(spark):
+    """REAL decode path (r8 ADVICE/VERDICT item 7): when Pillow is
+    installed, _decode must open actual image bytes and the
+    decode_image operator must emit real dimensions end-to-end.
+    Skipped (not faked) where Pillow is absent — the sandbox has no
+    media libs, but an environment that does exercises this branch
+    so it cannot bit-rot unnoticed."""
+    import pytest
+
+    if not _pil_available():
+        pytest.skip("Pillow not installed in this environment")
+    import io
+
+    from PIL import Image
+
+    from marketviz_spark.datapipe.multimodal import (
+        _decode,
+        decode_image,
+    )
+
+    buf = io.BytesIO()
+    Image.new("RGB", (5, 3)).save(buf, format="PNG")
+    png = buf.getvalue()
+    assert _decode(png) == (5, 3, True, None)
+    corrupt = png[:20]  # truncated container -> error channel
+    w, h, ok, err = _decode(corrupt)
+    assert ok is False and err and "decoding failed" in err
+
+    media = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(corrupt))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in decode_image(media).collect()}
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["ok"]) == (
+        5,
+        3,
+        True,
+    )
+    assert rows[2]["ok"] is False
 
 
 def test_frame_sample_chunks_and_tail(spark):
