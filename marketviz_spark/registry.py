@@ -3996,18 +3996,22 @@ def q_dq_referential_integrity(
     cust = tables.load(spark, sf_dir, "customer")
     part = tables.load(spark, sf_dir, "part")
 
-    # lineitem scanned ONCE: both FK checks ride the same pass.
-    # o_orderkey / p_partkey are PKs on the dim side, so the left
-    # joins cannot multiply fact rows.
+    # lineitem scanned ONCE: both FK checks ride the same pass. The
+    # dim key projections are DISTINCT'd first — NOT EXISTS never
+    # multiplies the outer row, but a left join against a dim with
+    # duplicate keys would (the fuzz edge-case sweep caught exactly
+    # that: a dirty dim inflated n_lineitem 804 vs 800). On clean
+    # PK dims the distinct is a no-op collapsed into the broadcast
+    # build side.
     li_audit = (
         li.select("l_orderkey", "l_partkey")
         .join(
-            F.broadcast(orders.select("o_orderkey")),
+            F.broadcast(orders.select("o_orderkey").distinct()),
             F.col("l_orderkey") == F.col("o_orderkey"),
             "left",
         )
         .join(
-            F.broadcast(part.select("p_partkey")),
+            F.broadcast(part.select("p_partkey").distinct()),
             F.col("l_partkey") == F.col("p_partkey"),
             "left",
         )
@@ -4024,7 +4028,7 @@ def q_dq_referential_integrity(
     ord_audit = (
         orders.select("o_custkey")
         .join(
-            F.broadcast(cust.select("c_custkey")),
+            F.broadcast(cust.select("c_custkey").distinct()),
             F.col("o_custkey") == F.col("c_custkey"),
             "left",
         )
