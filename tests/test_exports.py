@@ -133,3 +133,57 @@ def test_xlsx_unicode_and_control_chars_roundtrip(tmp_path):
         for n in z.namelist():
             if n.endswith(".xml"):
                 ET.fromstring(z.read(n))
+
+
+def test_export_html_dashboard_report(spark):
+    """The static HTML dashboard report is self-contained and
+    structurally complete: both SVG charts (polyline with one point
+    per index date, pie slices summing to the full circle), the
+    summary table with the reference's column headers, and no
+    external resource references. Byte-determinism across two
+    renders is asserted so the artifact is golden-pinnable."""
+    from marketviz_spark.pipelines.report_html import export_html
+
+    idx = tables.index_data(spark, SF_SMALL)
+    stocks = tables.stocks(spark, SF_SMALL)
+    n_dates = idx.count()
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "dash.html")
+        out = export_html(idx, stocks, path)
+        assert out == path
+        doc = open(path, encoding="utf-8").read()
+        path2 = os.path.join(d, "dash2.html")
+        export_html(idx, stocks, path2)
+        assert doc == open(path2, encoding="utf-8").read()
+
+    assert doc.count("<svg") == 2 and doc.count("</svg>") == 2
+    # line chart: one polyline vertex per index date
+    poly = re.search(r'<polyline points="([^"]+)"', doc).group(1)
+    assert len(poly.split()) == n_dates
+    assert "MarketViz Index Performance" in doc
+    # pie: one slice per label (+ OTHERS only when the composition
+    # exceeds k — at sf0.001 it has 2 constituents, so no bucket)
+    assert "Top 5 Stocks by Market Cap" in doc
+    comp_size = len(
+        idx.orderBy("date", ascending=False)
+        .limit(1)
+        .collect()[0]["composition"]
+        .split(",")
+    )
+    assert doc.count("<path d=") + doc.count("<circle") >= min(
+        comp_size, 2
+    )
+    assert ("OTHERS" in doc) == (comp_size > 5)
+    # summary table headers mirror the dashboard
+    for hdr in (
+        "<th>Date</th>",
+        "<th>Index Value</th>",
+        "<th>Daily Return %</th>",
+        "<th>Cumulative Return %</th>",
+        "<th>Composition Change</th>",
+    ):
+        assert hdr in doc
+    assert doc.count("<tr>") == min(30, n_dates) + 1  # + header row
+    # self-contained: no external fetches of any kind
+    for marker in ("http://", "https://", "<script", "src="):
+        assert marker not in doc, marker
