@@ -378,13 +378,22 @@ def _fix_round6(S, A, B, an, bn):
 
     Returns the floor-6dp-rounded matrix; `an`/`bn` must be the SAME
     norms the caller's oracle uses (JVM `_dot` fold or einsum —
-    never a BLAS-reduced sum).
+    never a BLAS-reduced sum). CONSUMES `S` (in-place scratch): on
+    this class of matrices the elementwise passes rival the matmul
+    itself, so the implementation reuses S's buffer and allocates
+    only the floor copy.
     """
     import numpy as np
 
-    f = S * 1e6 + 0.5
-    R = np.floor(f) / 1e6
-    i, j = np.nonzero(np.abs(f - np.rint(f)) < 1e-4)
+    S *= 1e6
+    S += 0.5
+    fl = np.floor(S)
+    # near an integer boundary iff the fractional part is within
+    # 1e-4 of 0 or 1
+    S -= fl  # S is now the fractional part
+    i, j = np.nonzero((S < 1e-4) | (S > 1.0 - 1e-4))
+    R = fl
+    R /= 1e6
     if i.size:
         d = np.einsum("ij,ij->i", A[i], B[j])
         s = d / (an[i] * bn[j])
