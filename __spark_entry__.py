@@ -29,13 +29,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver checks queries in dict insertion order and stops at a
-# ~50-query budget. Round-8 rotation: queries whose CODE changed this
-# round come first (their old green rows no longer vouch for the
-# current source), then the 50 whose latest green row is r05 (three
-# rounds stale, computed from CORRECTNESS_r0{1..7}.json). 8 + 50 = 58
-# slightly overflows the budget; the tail (simple scalar/projection
-# queries, unchanged since r05 and green in multiple prior rounds) is
-# the lowest-risk overflow and rolls to r09's rotation.
+# ~50-query budget. Round-8 rotation: the 11 queries whose CODE
+# changed this round come first (their old green rows no longer
+# vouch for the current source), then the r05-stale set (latest
+# green row three rounds old, computed from
+# CORRECTNESS_r0{1..7}.json). 11 + 47 = 58 overflows a 50 budget by
+# 8, so the LAST 8 positions are explicitly the lowest-risk overflow
+# (simple map-only scalar/filter/json queries, unchanged since r05,
+# green in multiple prior rounds) and roll to r09's rotation.
 _FIRST = [
     # Changed this round: plan reworks (w_share_of_day RATIO denom,
     # dq RI single-pass, agg_approx_sketches cents-histogram bounds),
@@ -52,7 +53,13 @@ _FIRST = [
     "ann_recall",
     "emb_lsh_topk",
     "dedup_modality_agreement",
-    # Latest green driver row is r05 (minus the ones above).
+    # Latest green driver row is r05 (minus the ones above), complex
+    # operators first — w_ticker_trend_slope is up top because the
+    # new closed-form twin's golden test pins bit-equality against it.
+    "w_ticker_trend_slope",
+    "w1_split_adjust",
+    "w_rank_family",
+    "index_daily",
     "corpus_source_report",
     "cube_revenue",
     "curation_apply",
@@ -76,9 +83,6 @@ _FIRST = [
     "events_sliding_1h_30m",
     "events_transition_matrix",
     "events_tumbling_1h",
-    "index_daily",
-    "json_props",
-    "json_props_struct",
     "mm_frame_sample",
     "mm_payload_features",
     "o5_summary_tail30",
@@ -87,22 +91,22 @@ _FIRST = [
     "q6_forecast_revenue",
     "rollup_orders",
     "skew_salted_join",
-    "split_assign",
     "text_fingerprints",
     "text_langid",
     "text_stats",
     "text_token_bpe",
-    "w1_split_adjust",
-    "w_rank_family",
-    "w_ticker_trend_slope",
-    # Lowest-risk overflow tail (simple scalar/filter queries,
-    # multiple historical green rows): whatever the budget cuts here
-    # rolls to the r09 rotation.
+    # Lowest-risk overflow tail — the 8 simplest map-only
+    # scalar/filter/json queries, unchanged since r05 with multiple
+    # historical green rows: whatever the ~50 budget cuts lands
+    # here and rolls to the r09 rotation.
     "p2_filter_date",
     "p4_ticker_history",
     "p6_split_repair",
     "scalar_bundle",
     "set_ops",
+    "json_props",
+    "json_props_struct",
+    "split_assign",
 ]
 
 

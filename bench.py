@@ -217,7 +217,12 @@ def main() -> None:
     worst_ratio = dict(
         sorted(ratios.items(), key=lambda kv: -kv[1])[:5]
     )
+    # ratio over the INTERSECTION only: a freshly-registered query
+    # with no BASELINE.md row yet must not inflate the suite ratio
     base_sum = sum(baselines[n] for n in timings if n in baselines)
+    shared_total = sum(
+        t for n, t in timings.items() if n in baselines
+    )
     out = {
         "metric": "headline_suite_wall",
         "value": total,
@@ -226,7 +231,7 @@ def main() -> None:
         "sf": float(sf),
         "n_queries": len(timings),
         "suite_vs_baseline": (
-            round(total / base_sum, 3) if base_sum else None
+            round(shared_total / base_sum, 3) if base_sum else None
         ),
         "worst5_vs_baseline": worst_ratio,
         "detail": "BENCH_DETAIL.md",
@@ -288,8 +293,11 @@ def _write_detail(
             f"{round(t / b, 2) if b else '—'} |"
         )
     for n, e in sorted(errors.items()):
+        # one clean cell: raw Spark errors carry newlines and pipes
+        # that would shred the markdown table
+        msg = " ".join(e.split()).replace("|", "\\|")[:120]
         lines.append(f"| {n} | ERROR | — | — |")
-        lines.append(f"|  | `{e[:120]}` | | |")
+        lines.append(f"|  | `{msg}` | | |")
     with open(path, "w") as fh:
         fh.write("\n".join(lines) + "\n")
 

@@ -117,6 +117,8 @@ def render_line_svg(spec: dict) -> str:
         mk = spec["data"][1]
         mcol = mk.get("marker", {}).get("color", "orange")
         for d, v in zip(mk["x"], mk["y"]):
+            if d not in pos:  # marker outside the line trace's
+                continue  # window: skip, don't crash the render
             x, y = sx(pos[d]), sy(v)
             # star-triangle-down stand-in: a filled triangle
             parts.append(

@@ -4074,16 +4074,27 @@ def q_w_share_of_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-date total with a partial-aggregating, codegen'd
     ``groupBy("date")`` and broadcast-joins the (bounded: one row per
     calendar date) totals back — no window, no per-partition buffer,
-    and the fact side never shuffles."""
+    and the fact side never shuffles. The join is NULL-SAFE on date:
+    a window's PARTITION BY groups NULL dates into one partition and
+    emits those rows, and groupBy keeps a NULL group too — a plain
+    (null-unsafe) equi-join would silently drop them on dirty data,
+    the same divergence class the fuzz sweep caught in the RI audit."""
     s = tables.stocks(spark, sf_dir)
-    totals = s.groupBy("date").agg(
+    totals = s.groupBy(F.col("date").alias("_d")).agg(
         F.sum(F.col("market_cap").cast("decimal(28,4)")).alias("_total")
     )
-    return s.join(F.broadcast(totals), "date").select(
-        "ticker",
-        "date",
-        "market_cap",
-        rnd(F.col("market_cap") / F.col("_total"), 6).alias("cap_share"),
+    return (
+        s.join(
+            F.broadcast(totals), F.col("date").eqNullSafe(F.col("_d"))
+        )
+        .select(
+            "ticker",
+            "date",
+            "market_cap",
+            rnd(F.col("market_cap") / F.col("_total"), 6).alias(
+                "cap_share"
+            ),
+        )
     )
 
 
