@@ -33,6 +33,20 @@ OUTPUT_SCHEMA = (
 )
 STATE_SCHEMA = "n long, s double, b int, nn long"
 
+# The 100 TB state-store setting: the default (HDFS-backed) provider
+# keeps every partition's state in executor HEAP — a hard ceiling
+# once keyed state (users, sessions, join buffers) outgrows memory.
+# RocksDB spills to local disk with incremental checkpointing, which
+# is what production stateful pipelines run. Set it at session build
+# (spark.conf / --conf); results are provider-independent
+# (test-asserted: the stateful replay is bit-identical under both).
+ROCKSDB_STATE_STORE_CONF = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+}
+
 
 def _update(
     key: tuple,

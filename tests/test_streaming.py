@@ -1147,3 +1147,73 @@ def test_stateful_resume_from_checkpoint_exactly_once(spark):
     assert got2[1] == (4, 13.0, 2)
     assert got2[3] == (1, 5.0, 1)
     assert len(got2) == 2
+
+
+def test_stateful_identical_under_rocksdb_state_store(spark):
+    """The RocksDB state store (ROCKSDB_STATE_STORE_CONF — the
+    100 TB provider: disk-backed state instead of executor heap)
+    must be a pure swap: the same staggered two-file stateful replay
+    emits bit-identical rows under both providers. The provider conf
+    is read at query start, so it can be toggled per query on a live
+    session."""
+    import time
+
+    import pyspark.sql.types as T
+
+    from marketviz_spark.streaming.stateful import (
+        ROCKSDB_STATE_STORE_CONF,
+        running_user_totals,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), False),
+            T.StructField("ts", T.LongType(), False),
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+            T.StructField("value", T.DoubleType(), True),
+            T.StructField("props", T.StringType(), True),
+        ]
+    )
+    ns = 10**9
+    base = 1704103200 * ns
+    rows1 = [
+        (1, base + 60 * ns, 1, "click", 1.0, None),
+        (2, base + 120 * ns, 1, "view", None, None),  # NULL value
+        (3, base + 180 * ns, 2, "click", 3.0, None),
+    ]
+    rows2 = [
+        (4, base + 240 * ns, 1, "click", 4.0, None),
+        (5, base + 300 * ns, 3, "view", 5.0, None),
+    ]
+    (key, rocks_val), = ROCKSDB_STATE_STORE_CONF.items()
+    default_val = spark.conf.get(key)
+
+    def replay(name):
+        with tempfile.TemporaryDirectory() as src:
+            f1 = os.path.join(src, "a.parquet")
+            f2 = os.path.join(src, "b.parquet")
+            spark.createDataFrame(rows1, schema).toPandas().to_parquet(f1)
+            spark.createDataFrame(rows2, schema).toPandas().to_parquet(f2)
+            now = time.time()
+            os.utime(f1, (now - 60, now - 60))
+            os.utime(f2, (now, now))
+            run_to_memory(
+                running_user_totals(
+                    read_events_stream(spark, src, max_files_per_trigger=1)
+                ),
+                name,
+                "update",
+            )
+            return sorted(
+                map(str, spark.sql(f"SELECT * FROM {name}").collect())
+            )
+
+    try:
+        spark.conf.set(key, rocks_val)
+        rocks = replay("t_rocksdb_provider")
+    finally:
+        spark.conf.set(key, default_val)
+    default = replay("t_default_provider")
+    # 4 emissions: users 1+2 in batch 1, users 1+3 in batch 2
+    assert rocks == default and len(rocks) == 4
