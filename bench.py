@@ -237,10 +237,29 @@ def main() -> None:
         "detail": "BENCH_DETAIL.md",
     }
     if errors:
-        out["errors"] = errors
+        # Inline errors are bounded: at most 3, each message cut to
+        # 80 chars — a run with many long Spark stack-trace strings
+        # must still fit the driver's ~2000-char stdout tail. The
+        # full error text is already in BENCH_DETAIL.md.
+        out["n_errors"] = len(errors)
+        out["errors"] = {
+            n: msg[:80] for n, msg in list(errors.items())[:3]
+        }
     line = json.dumps(out)
-    while len(line) > 1900 and len(out["queries"]) > 5:
-        out["queries"].pop(next(reversed(out["queries"])))
+    # Shrink EVERY unbounded dict, not just queries: pop the longest
+    # remaining collection one entry at a time until the line fits.
+    while len(line) > 1900:
+        for key, floor_n in (
+            ("queries", 5),
+            ("errors", 1),
+            ("worst5_vs_baseline", 1),
+        ):
+            d = out.get(key)
+            if isinstance(d, dict) and len(d) > floor_n:
+                d.pop(next(reversed(d)))
+                break
+        else:
+            break  # nothing left to shrink; emit as-is
         line = json.dumps(out)
     print(line)
 

@@ -1764,7 +1764,7 @@ def q_agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(row_number() OVER (
                    PARTITION BY ticker ORDER BY date) - 1 AS BIGINT)
                    AS x,
-               CAST(round(share_price * 100) AS BIGINT) AS cents
+               CAST(floor(share_price * 100 + 0.5) AS BIGINT) AS cents
         FROM stocks
     ), m AS (
         -- the four moments are INTEGER sums (exact, order-free);
@@ -1811,7 +1811,11 @@ def q_ticker_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["ticker", "n_days", "trend_slope"]
             )
         y = pdf["share_price"].to_numpy(dtype=np.float64)
-        cents = np.rint(y * 100.0).astype(np.int64)
+        # ONE rounding rule in all three engines: half-up via
+        # floor(x*100 + 0.5) — same as the closed-form Spark twin
+        # (timeseries.py) and the DuckDB oracle. np.rint here was
+        # half-to-even and would diverge on an exact half-cent.
+        cents = np.floor(y * 100.0 + 0.5).astype(np.int64)
         xs = np.arange(n, dtype=np.int64)
         sx = float(n * (n - 1) // 2)
         sxx = float((n - 1) * n * (2 * n - 1) // 6)
@@ -1843,7 +1847,7 @@ def q_ticker_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(row_number() OVER (
                    PARTITION BY ticker ORDER BY date) - 1 AS BIGINT)
                    AS x,
-               CAST(round(share_price * 100) AS BIGINT) AS cents
+               CAST(floor(share_price * 100 + 0.5) AS BIGINT) AS cents
         FROM stocks
     ), m AS (
         SELECT ticker,
@@ -3984,12 +3988,17 @@ def q_dq_referential_integrity(
 
     Scale: ONE pass over each fact table. The old plan scanned
     lineitem three times (total + two anti-joins) and orders twice;
-    this plan left-joins each fact once against the broadcast
-    PK-projections of its dims and folds every count into a single
-    conditional aggregate over that scan — the dim keys are
-    broadcast, the fact side never shuffles, and the counts collapse
-    map-side. The two 1-row scalars cross-join (1-row broadcast)
-    into the audit row.
+    this plan left-joins each fact once against the PK-projections
+    of its dims and folds every count into a single conditional
+    aggregate over that scan. Join strategy is deliberately LEFT TO
+    CATALYST: at test scale the distinct dim-key projections fit the
+    autoBroadcastJoinThreshold and plan as broadcasts, but at 100 TB
+    orders/part/customer PKs are billions of keys — a hard
+    ``F.broadcast()`` hint there would OOM the build side, whereas a
+    size-based fallback to a shuffled hash join keeps the same
+    single-scan conditional-aggregate shape (the counts still
+    collapse in the partial aggregate after the join). The two 1-row
+    scalars cross-join (1-row broadcast) into the audit row.
     """
     li = tables.load(spark, sf_dir, "lineitem")
     orders = tables.load(spark, sf_dir, "orders")
@@ -4000,18 +4009,20 @@ def q_dq_referential_integrity(
     # dim key projections are DISTINCT'd first — NOT EXISTS never
     # multiplies the outer row, but a left join against a dim with
     # duplicate keys would (the fuzz edge-case sweep caught exactly
-    # that: a dirty dim inflated n_lineitem 804 vs 800). On clean
-    # PK dims the distinct is a no-op collapsed into the broadcast
-    # build side.
+    # that: a dirty dim inflated n_lineitem 804 vs 800). No
+    # broadcast hints: Catalyst broadcasts small dims and falls back
+    # to shuffled hash joins when the distinct'd PK side outgrows
+    # the threshold (at 100 TB it will — a forced broadcast of
+    # billions of keys OOMs).
     li_audit = (
         li.select("l_orderkey", "l_partkey")
         .join(
-            F.broadcast(orders.select("o_orderkey").distinct()),
+            orders.select("o_orderkey").distinct(),
             F.col("l_orderkey") == F.col("o_orderkey"),
             "left",
         )
         .join(
-            F.broadcast(part.select("p_partkey").distinct()),
+            part.select("p_partkey").distinct(),
             F.col("l_partkey") == F.col("p_partkey"),
             "left",
         )
@@ -4028,7 +4039,7 @@ def q_dq_referential_integrity(
     ord_audit = (
         orders.select("o_custkey")
         .join(
-            F.broadcast(cust.select("c_custkey").distinct()),
+            cust.select("c_custkey").distinct(),
             F.col("o_custkey") == F.col("c_custkey"),
             "left",
         )

@@ -630,3 +630,42 @@ def test_trend_slope_closed_form_bitequal_to_grouped_map(spark):
         assert struct.pack("<d", cf[t]["trend_slope"]) == struct.pack(
             "<d", r["trend_slope"]
         ), (t, cf[t]["trend_slope"], r["trend_slope"])
+
+
+def test_trend_slope_half_cent_rounding_unified(spark):
+    """A price on an EXACT half-cent (0.125 -> 12.5 cents) must round
+    the same way in all three engines. The rule is half-up via
+    floor(x*100 + 0.5): cents 13, not the 12 that numpy's
+    half-to-even rint produced before r9. Series (0.125, 0.375,
+    0.875) -> cents (13, 38, 88) -> slope 0.375 exactly; the stale
+    half-even cents (12, 38, 88) would give 0.38, so this test fails
+    loudly if any engine drifts back."""
+    import struct
+    from unittest import mock
+
+    import marketviz_spark.registry as reg
+
+    df = spark.createDataFrame(
+        [
+            ("H", "2024-01-01", 0.125),
+            ("H", "2024-01-02", 0.375),
+            ("H", "2024-01-03", 0.875),
+        ],
+        "ticker string, date string, share_price double",
+    )
+    with mock.patch.object(reg.tables, "stocks", lambda _s, _d: df):
+        gm = reg.QUERIES["w_ticker_trend_slope"].fn(spark, "x").collect()
+        cf = reg.QUERIES["w_trend_slope_closed"].fn(spark, "x").collect()
+    assert len(gm) == 1 and len(cf) == 1
+    want = struct.pack("<d", 0.375)
+    assert struct.pack("<d", gm[0]["trend_slope"]) == want, gm
+    assert struct.pack("<d", cf[0]["trend_slope"]) == want, cf
+    # and the oracle's SQL rounding primitive agrees with half-up
+    import duckdb
+
+    assert (
+        duckdb.sql(
+            "SELECT CAST(floor(0.125 * 100 + 0.5) AS BIGINT)"
+        ).fetchone()[0]
+        == 13
+    )

@@ -569,11 +569,19 @@ def test_share_of_day_has_no_window(spark):
 
 
 def test_dq_referential_integrity_single_scan_per_fact(spark):
-    """r8 rework: ONE lineitem scan and ONE orders scan — all five
-    audit counts ride conditional aggregates over broadcast PK
-    left-joins, not repeated anti-join scans."""
+    """r8 rework + r9 hint removal: ONE lineitem scan and ONE orders
+    scan — all five audit counts ride conditional aggregates over PK
+    left-joins, not repeated anti-join scans. The join STRATEGY is
+    Catalyst's size-based choice (broadcast at test scale, shuffled
+    when billion-key dims outgrow the threshold at 100 TB), so this
+    test asserts the single-scan shape and accepts either join."""
     plan = _plan(
         QUERIES["dq_referential_integrity"].fn(spark, SF_SMALL)
+    )
+    assert (
+        "BroadcastHashJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "SortMergeJoin" in plan
     )
     scans = [l for l in plan.splitlines() if "Scan parquet" in l]
     li = [l for l in scans if "lineitem" in l]
