@@ -21,6 +21,10 @@ from pyspark.sql import functions as F
 
 from ..operators.joins import composition_market_caps
 from .analytics import analytics
+from .presentation import (
+    MAX_SERIES_POINTS,
+    presentation_frame,
+)
 
 INDEX_LINE = {"color": "#ff0000", "width": 2}  # dashboard.py:50
 CHANGE_MARKER = {  # dashboard.py:63
@@ -35,11 +39,12 @@ def index_chart_spec(index_df: DataFrame) -> dict:
     markers (dashboard.py:39-86): trace 0 is the full (date, value)
     line; trace 1 marks the dates whose composition differs from the
     previous day, at the index value of that date."""
-    perf = (
+    perf = presentation_frame(
         analytics(index_df)
         .select("date", "index_value", "composition_changed")
-        .orderBy("date")
-        .collect()
+        .orderBy("date"),
+        MAX_SERIES_POINTS,
+        "index chart series",
     )
     dates = [r["date"] for r in perf]
     values = [r["index_value"] for r in perf]
@@ -108,15 +113,18 @@ def market_cap_pie_spec(
     slices plus OTHERS, values in billions rounded to 1dp — computed
     by the distributed J1+A3+O6 operator, not per-ticker point
     queries like the reference."""
-    rows = composition_market_caps(index_df, stocks_df, k).collect()
+    rows = presentation_frame(
+        composition_market_caps(index_df, stocks_df, k),
+        what="market-cap pie slices",
+    )
     by_name = {r["name"]: r["market_cap_billions"] for r in rows}
     # reference slice order: top-k by composition rank, then OTHERS
-    comp = (
+    comp = presentation_frame(
         index_df.orderBy(F.col("date").desc())
         .limit(1)
-        .select(F.split("composition", ",").alias("c"))
-        .collect()[0]["c"]
-    )
+        .select(F.split("composition", ",").alias("c")),
+        what="latest composition row",
+    )[0]["c"]
     names = [t for t in comp[:k] if t in by_name]
     if "OTHERS" in by_name:
         names.append("OTHERS")

@@ -19,13 +19,16 @@ from pyspark.sql import DataFrame
 
 def _summary_frames(index_df: DataFrame, n: int = 30):
     from .analytics import summary_tail
+    from .presentation import presentation_pandas
 
-    perf = summary_tail(index_df, n).toPandas()
-    comp = (
+    perf = presentation_pandas(
+        summary_tail(index_df, n), what="XLSX/PDF performance sheet"
+    )
+    comp = presentation_pandas(
         index_df.orderBy("date", ascending=False)
         .limit(n)
-        .select("date", "composition")
-        .toPandas()
+        .select("date", "composition"),
+        what="XLSX/PDF composition sheet",
     )
     # Every date carries a label ('-' when unchanged) — the
     # reference's Composition Changes sheet lists all rows

@@ -145,9 +145,13 @@ def check_table(
 
 
 def assert_table(df: DataFrame, **kwargs) -> None:
+    from .presentation import presentation_frame
+
     failed = [
         (r["check"], r["n_violations"])
-        for r in check_table(df, **kwargs).collect()
+        for r in presentation_frame(
+            check_table(df, **kwargs), what="data-quality checks"
+        )
         if not r["passed"]
     ]
     if failed:

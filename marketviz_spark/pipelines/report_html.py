@@ -192,8 +192,11 @@ def _summary_table_html(index_df: DataFrame, n: int = 30) -> str:
     days in reverse order with returns and change labels — the same
     distributed job the XLSX/PDF sinks format."""
     from .analytics import summary_tail
+    from .presentation import presentation_frame
 
-    rows = summary_tail(index_df, n).collect()
+    rows = presentation_frame(
+        summary_tail(index_df, n), what="summary table"
+    )
     out = [
         "<table><thead><tr><th>Date</th><th>Index Value</th>"
         "<th>Daily Return %</th><th>Cumulative Return %</th>"

@@ -84,12 +84,15 @@ def purge_users(
     table = spark.read.parquet(path)
     all_parts = _partition_dirs(path, partition_col)
     hit = F.col(user_col).isin(ids)
+    from .presentation import MAX_PARTITION_LIST, presentation_frame
+
     affected = [
         r[0]
-        for r in table.filter(hit)
-        .select(partition_col)
-        .distinct()
-        .collect()
+        for r in presentation_frame(
+            table.filter(hit).select(partition_col).distinct(),
+            MAX_PARTITION_LIST,
+            "retention: affected partition list",
+        )
     ]
     if not affected:
         return {
@@ -103,7 +106,11 @@ def purge_users(
     survivors = table.filter(in_affected & ~hit)
     kept_parts = {
         str(r[0])
-        for r in survivors.select(partition_col).distinct().collect()
+        for r in presentation_frame(
+            survivors.select(partition_col).distinct(),
+            MAX_PARTITION_LIST,
+            "retention: surviving partition list",
+        )
     }
     (
         survivors.write.mode("overwrite")

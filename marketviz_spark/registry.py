@@ -1206,6 +1206,11 @@ def q_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = tables.index_data(spark, sf_dir)
     # exact integer cents -> the moving sum is order-independent
     cents = F.floor(F.col("index_value") * 100.0 + 0.5).cast("long")
+    # INTENTIONAL global window (WindowExec "No Partition Defined"
+    # is expected): index_data is ONE row per calendar date — its
+    # cardinality grows with time, not data volume, so a single
+    # partition stays bounded at any sf. Do not "fix" by adding a
+    # partition key; that would change the moving-frame semantics.
     w = Window.orderBy("date").rowsBetween(-6, Window.currentRow)
     return idx.select(
         "date",
@@ -2018,6 +2023,11 @@ def q_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     s = tables.stocks(spark, sf_dir).filter(F.col("date") == "1997-03-17")
+    # INTENTIONAL global window (WindowExec warning expected): the
+    # frame is ONE date's constituents — a few thousand rows after
+    # the pushed-down point filter, bounded by universe size, not
+    # data volume. Ranking a whole date globally IS the semantics
+    # (reference's rank family); partitioning would break ntile.
     w = Window.orderBy(F.col("market_cap").desc(), F.col("ticker"))
     return s.select(
         "ticker",
@@ -2322,6 +2332,10 @@ def q_beta_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x").isNotNull()
     )
     idx = tables.index_data(spark, sf_dir)
+    # INTENTIONAL global window (WindowExec warning expected):
+    # index_data is the single index series, one row per calendar
+    # date — bounded by time, not data volume. The lag needs the
+    # whole series in date order; there is no partition key.
     wi = Window.orderBy("date")
     y = rnd(
         (F.col("index_value") - F.lag("index_value").over(wi))
