@@ -159,6 +159,66 @@ def test_components_chain_converges_in_log_rounds(spark):
     assert got == {i: 0 for i in range(n)}
 
 
+def test_star_components_chain_and_edge_cases(spark):
+    """Large-star/small-star (_star_components, the scale path the
+    cluster queries run) must collapse a 200-node chain within a
+    log-bounded alternation budget, label isolated nodes as their
+    own cluster, and be insensitive to edge direction, duplicate
+    pairs, and self-loops (the canonicalization contract)."""
+    from marketviz_spark.datapipe.dedup import _star_components
+
+    n = 200
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(n + 3)], "doc_id long"  # +3 isolated
+    )
+    rows = [(i, i + 1) for i in range(n - 1)]
+    rows += [(5, 4), (10, 10), (0, 1), (0, 1)]  # reversed, loop, dups
+    chain = spark.createDataFrame(rows, "doc_a long, doc_b long")
+    labels = _star_components(nodes, chain, max_iter=12)
+    got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    want = {i: 0 for i in range(n)}
+    want.update({n: n, n + 1: n + 1, n + 2: n + 2})
+    assert got == want
+
+    # empty edge set: everyone isolated
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    iso = _star_components(nodes, empty, max_iter=3)
+    assert {r["doc_id"]: r["cluster_id"] for r in iso.collect()} == {
+        i: i for i in range(n + 3)
+    }
+
+
+def test_star_components_matches_min_label_random_graph(spark):
+    """Fuzz parity: on a seeded random graph (mixed stars, chains,
+    isolated nodes) the star alternation must produce exactly the
+    labels of the reference min-label propagation."""
+    import random
+
+    from marketviz_spark.datapipe.dedup import (
+        _min_label_components,
+        _star_components,
+    )
+
+    rng = random.Random(20260815)
+    n = 400
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(300)
+    ]
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    star = {
+        (r["doc_id"], r["cluster_id"])
+        for r in _star_components(nodes, pairs, max_iter=15).collect()
+    }
+    ref = {
+        (r["doc_id"], r["cluster_id"])
+        for r in _min_label_components(
+            nodes, pairs.distinct(), max_iter=25
+        ).collect()
+    }
+    assert star == ref
+
+
 def test_dedup_adversarial_all_identical_corpus(spark):
     """Adversarial mass-duplication: a corpus of N IDENTICAL
     documents must flow end-to-end through dedup_clusters without a
