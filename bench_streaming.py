@@ -1,0 +1,146 @@
+"""Streaming state-store micro-bench: throughput of the stateful
+operator (running_user_totals, applyInPandasWithState) replaying the
+sf events table under the default HDFS-backed state store vs RocksDB
+(ROCKSDB_STATE_STORE_CONF — the documented 100 TB provider).
+
+The RocksDB A/B identity test (tests/test_streaming.py) proves the
+swap is semantics-free; this script measures what the swap COSTS so
+the "documented scale backend" claim has numbers behind it. The
+replay stages the events parquet as N_FILES files and triggers one
+file per micro-batch, so state is loaded/updated/committed N_FILES
+times — the access pattern whose cost differs between providers.
+
+Prints ONE JSON line:
+  {"metric": "streaming_stateful_rows_per_s", "sf": ...,
+   "rows": N, "batches": B,
+   "providers": {"hdfs": {"wall_s":..., "rows_per_s":...},
+                 "rocksdb": {...}},
+   "rocksdb_vs_hdfs": ratio, "identical_output": true}
+
+Usage: python bench_streaming.py   (env SPARK_GRAFT_SF_DIR, default
+/root/testdata/sf0.1; results also appended by hand to
+BENCH_DETAIL.md's streaming section).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+
+from marketviz_spark.session import get_spark
+from marketviz_spark.streaming.stateful import (
+    ROCKSDB_STATE_STORE_CONF,
+    running_user_totals,
+)
+
+N_FILES = 8  # micro-batches per replay (maxFilesPerTrigger=1)
+
+
+def stage_events(spark, sf_dir: str, staging: str) -> int:
+    """Split the events table into N_FILES parquet files (the
+    streaming source's batch unit) and return the row count."""
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    n = df.count()
+    df.repartition(N_FILES).write.mode("overwrite").parquet(staging)
+    return n
+
+
+def replay(spark, staging: str, schema, provider_conf: dict) -> tuple:
+    """One full replay under `provider_conf`; returns (wall_s,
+    final per-user totals dict) — totals let the caller assert the
+    providers agree, same contract as the A/B identity test."""
+    (key, val), = provider_conf.items()
+    prev = spark.conf.get(key)
+    spark.conf.set(key, val)
+    try:
+        with tempfile.TemporaryDirectory() as d:
+            ck = os.path.join(d, "ck")
+            out = os.path.join(d, "out")
+
+            def write_batch(bdf, epoch):
+                bdf.write.mode("append").parquet(out)
+
+            src = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(staging)
+            )
+            t0 = time.time()
+            q = (
+                running_user_totals(src)
+                .writeStream.outputMode("update")
+                .foreachBatch(write_batch)
+                .option("checkpointLocation", ck)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            wall = time.time() - t0
+            # final state per user = the LAST emission (max batches)
+            import pyspark.sql.functions as F
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("user_id").orderBy(
+                F.col("batches").desc()
+            )
+            final = {
+                (r["user_id"]): (r["n_events"], r["value_sum"], r["batches"])
+                for r in spark.read.parquet(out)
+                .withColumn("rk", F.row_number().over(w))
+                .filter("rk = 1")
+                .collect()
+            }
+            return wall, final
+    finally:
+        spark.conf.set(key, prev)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    staging = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        n_rows = stage_events(spark, sf_dir, staging)
+        schema = spark.read.parquet(staging).schema
+
+        (key, _), = ROCKSDB_STATE_STORE_CONF.items()
+        hdfs_conf = {key: spark.conf.get(key)}  # session default
+
+        # warm one throwaway replay (JVM/Arrow codepaths), then
+        # measure each provider
+        replay(spark, staging, schema, hdfs_conf)
+        results, finals = {}, {}
+        for name, conf in (
+            ("hdfs", hdfs_conf),
+            ("rocksdb", ROCKSDB_STATE_STORE_CONF),
+        ):
+            wall, final = replay(spark, staging, schema, conf)
+            results[name] = {
+                "wall_s": round(wall, 3),
+                "rows_per_s": round(n_rows / wall, 1),
+            }
+            finals[name] = final
+        out = {
+            "metric": "streaming_stateful_rows_per_s",
+            "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+            "rows": n_rows,
+            "batches": N_FILES,
+            "providers": results,
+            "rocksdb_vs_hdfs": round(
+                results["rocksdb"]["wall_s"] / results["hdfs"]["wall_s"], 3
+            ),
+            "identical_output": finals["hdfs"] == finals["rocksdb"],
+        }
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
