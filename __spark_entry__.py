@@ -29,76 +29,33 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver checks queries in dict insertion order and stops at a
-# ~50-query budget. Round-8 rotation: the 11 queries whose CODE
-# changed this round come first (their old green rows no longer
-# vouch for the current source), then the r05-stale set (latest
-# green row three rounds old, computed from
-# CORRECTNESS_r0{1..7}.json). 11 + 47 = 58 overflows a 50 budget by
-# 8, so the LAST 8 positions are explicitly the lowest-risk overflow
-# (simple map-only scalar/filter/json queries, unchanged since r05,
-# green in multiple prior rounds) and roll to r09's rotation.
+# ~50-query budget. Round-10 rotation (round 9 produced no driver
+# artifacts, so staleness is computed against CORRECTNESS_r0{5..8}):
+# first the 7 queries whose CODE changed in rounds 9-10 (star
+# connected components, trend-slope rounding unification, RI-audit
+# join-strategy change), then the 8-query r05-stale overflow tail
+# round 8 explicitly rolled forward, then the r06-stale set (44
+# queries) ordered join/window-complex first. 7 + 8 + 44 = 59
+# overflows a 50 budget by ~9, so the LAST 9 positions are the
+# lowest-risk overflow (map-only/aggregate curation-plan queries,
+# unchanged since r06, green in multiple prior rounds) and roll to
+# the r11 rotation.
 _FIRST = [
-    # Changed this round: plan reworks (w_share_of_day RATIO denom,
-    # dq RI single-pass, agg_approx_sketches cents-histogram bounds),
-    # the new closed-form slope, and the _fix_round6 order-fixed
-    # cosine fixup in the dense block-scoring paths.
-    "w_trend_slope_closed",
-    "w_share_of_day",
-    "dq_referential_integrity",
-    "agg_approx_sketches",
-    "emb_cosine_topk_blas",
-    "emb_ivf_topk",
-    "semdedup_prune",
-    "decontam_embedding",
-    "ann_recall",
-    "emb_lsh_topk",
-    "dedup_modality_agreement",
-    # Latest green driver row is r05 (minus the ones above), complex
-    # operators first — w_ticker_trend_slope is up top because the
-    # new closed-form twin's golden test pins bit-equality against it.
-    "w_ticker_trend_slope",
-    "w1_split_adjust",
-    "w_rank_family",
-    "index_daily",
-    "corpus_source_report",
-    "cube_revenue",
-    "curation_apply",
+    # Changed rounds 9-10: large-star/small-star components
+    # (dedup.py _star_components) behind these three cluster
+    # queries; floor-half-up rounding unified across the trend-slope
+    # twins and the sketch oracle; Catalyst-chosen join strategy in
+    # the RI audit.
+    "dedup_clusters",
+    "dedup_clusters_multi",
     "dedup_apply",
-    "dedup_bucket_overflow",
-    "dedup_exact",
-    "dedup_levenshtein",
-    "dedup_lsh_pairs",
-    "dedup_minhash_estimate",
-    "dedup_minhash_signatures",
-    "dedup_ngram_jaccard",
-    "dedup_shingle_overflow",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_substring_spans",
-    "emb_cosine_topk",
-    "events_click_error_pairs",
-    "events_funnel_conversion",
-    "events_range_join",
-    "events_session_10m",
-    "events_sliding_1h_30m",
-    "events_transition_matrix",
-    "events_tumbling_1h",
-    "mm_frame_sample",
-    "mm_payload_features",
-    "o5_summary_tail30",
-    "q1_pricing_summary",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "rollup_orders",
-    "skew_salted_join",
-    "text_fingerprints",
-    "text_langid",
-    "text_stats",
-    "text_token_bpe",
-    # Lowest-risk overflow tail — the 8 simplest map-only
-    # scalar/filter/json queries, unchanged since r05 with multiple
-    # historical green rows: whatever the ~50 budget cuts lands
-    # here and rolls to the r09 rotation.
+    "agg_approx_sketches",
+    "w_ticker_trend_slope",
+    "w_trend_slope_closed",
+    "dq_referential_integrity",
+    # The r05-stale tail rolled from round 8's rotation — these must
+    # green this round so no registry query's latest green row is
+    # older than r06.
     "p2_filter_date",
     "p4_ticker_history",
     "p6_split_repair",
@@ -107,6 +64,55 @@ _FIRST = [
     "json_props",
     "json_props_struct",
     "split_assign",
+    # Latest green driver row is r06 — multi-join TPC-H, events, and
+    # window/price operators first (highest regression surface).
+    "q2_min_cost_supplier",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_nation_profit",
+    "q10_returned_revenue",
+    "q11_part_value_share",
+    "q12_priority_by_delay",
+    "q14_promo_revenue_pct",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_qty_revenue",
+    "q18_large_order_customers",
+    "q19_bracket_disjunction",
+    "q20_promo_volume_suppliers",
+    "q21_sole_late_supplier",
+    "q22_idle_customer_balance",
+    "grouping_sets_revenue",
+    "events_retention_cohorts",
+    "events_anomaly_days",
+    "events_enrich_static",
+    "events_asof_prev",
+    "events_bars_incremental",
+    "events_bars_gapfill",
+    "events_top_paths",
+    "events_hll_intersection",
+    "ticker_mad_outliers",
+    "price_equidepth_hist",
+    "price_winsorize",
+    "w_max_drawdown",
+    "w_longest_up_streak",
+    "cluster_split",
+    "cluster_size_histogram",
+    "chunk_index_dedup",
+    "boilerplate_chunks",
+    "doc_chunks",
+    # Lowest-risk overflow tail — map-only/aggregate curation-plan
+    # queries unchanged since r06: whatever the ~50 budget cuts
+    # lands here and rolls to the r11 rotation.
+    "corpus_drift",
+    "curriculum_order",
+    "sample_pps",
+    "mixture_plan",
+    "mixture_plan_weighted",
+    "mixture_apply",
+    "token_coverage_curve",
+    "oov_rates",
+    "bpe_merge_pairs",
 ]
 
 
