@@ -805,10 +805,15 @@ def _star_components(
         .filter(F.col("mn") != F.col("cluster_id"))
         .select(F.lit("non-min cluster_id").alias("what"))
     )
-    bad = cross.unionByName(offmin).limit(1).collect()
-    if bad:
+    # isEmpty (a LIMIT-1 probe, no driver collect) is the whole
+    # happy path; the per-shape diagnosis runs only when raising.
+    if not cross.unionByName(offmin).isEmpty():
+        what = (
+            "cross-label edge" if not cross.isEmpty()
+            else "non-min cluster_id"
+        )
         raise RuntimeError(
-            f"star components certificate failed ({bad[0]['what']}); "
+            f"star components certificate failed ({what}); "
             "labels are not a converged min-id component assignment"
         )
     return labels
