@@ -324,6 +324,17 @@ def main() -> None:
     )
     pq.write_table(gen_events(rng), os.path.join(out, "events.parquet"))
     n_li = gen_tpch(rng, out)
+    # region/nation are FIXED-cardinality dims (5/25 rows at every
+    # TPC-H scale factor) — copy them from sf0.1 unchanged so the
+    # oracle harness (tests/run_parity.py registers all ten tables)
+    # can run hash parity against .sf1data too.
+    import shutil
+
+    for dim in ("region", "nation"):
+        shutil.copyfile(
+            f"/root/testdata/sf0.1/{dim}.parquet",
+            os.path.join(out, f"{dim}.parquet"),
+        )
     print(
         f"wrote {out}: documents {N_DOCS}, embeddings {N_VECS}, "
         f"events {N_EVENTS}, orders {N_ORDERS1}, lineitem {n_li}"
