@@ -317,8 +317,17 @@ def _write_detail(
         msg = " ".join(e.split()).replace("|", "\\|")[:120]
         lines.append(f"| {n} | ERROR | — | — |")
         lines.append(f"|  | `{msg}` | | |")
+    # Preserve sections other writers own (bench_streaming.py's
+    # state-store table): everything from the first second-level
+    # heading onward survives the rewrite.
+    extra = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        cut = old.find("\n## ")
+        if cut != -1:
+            extra = old[cut:]
     with open(path, "w") as fh:
-        fh.write("\n".join(lines) + "\n")
+        fh.write("\n".join(lines) + "\n" + extra)
 
 
 if __name__ == "__main__":
