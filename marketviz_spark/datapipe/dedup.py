@@ -877,8 +877,8 @@ def dedup_clusters_multi(
     vector-only ids clusterable too.
 
     Scale: each edge source is its own capped bucket-join pipeline
-    (one shuffle each); the union adds no shuffle (distinct folds
-    into the first propagation round's exchange).
+    (one shuffle each); the union itself adds no shuffle — the one
+    normalization shuffle is _star_components' canonical distinct.
     """
     from .similarity import embedding_near_pairs
 
