@@ -54,6 +54,7 @@ from .report_html import (
 DEFAULT_K = 20  # the reference number_input's default
 MAX_K = 200  # sanity clamp; the pie degenerates long before this
 WALK_BACK_DAYS = 4  # dates checked: selected, -1 .. -4 (5 total)
+PAGE_CACHE_SIZE = 64  # FIFO of rendered (k, date) pages
 
 
 def composition_asof(index_df: DataFrame, date_str: str):
@@ -195,10 +196,23 @@ class DashboardHandler(BaseHTTPRequestHandler):
                         b"bad k or date parameter",
                     )
                     return
-                page = render_dashboard_page(
-                    srv.index_df, srv.stocks_df, k, date_str
-                )
-                self._send(200, "text/html; charset=utf-8", page.encode())
+                # Renders are deterministic for (k, date) over a
+                # fixed corpus, so a tiny FIFO response cache keeps
+                # widget round-trips (back buttons, repeated polls)
+                # off the Spark session. Bounded; evicts oldest.
+                ck = (max(1, min(k, MAX_K)), date_str)
+                body = srv.page_cache.get(ck)
+                if body is None:
+                    body = render_dashboard_page(
+                        srv.index_df, srv.stocks_df, k, date_str
+                    ).encode()
+                    with srv.cache_lock:
+                        srv.page_cache[ck] = body
+                        while len(srv.page_cache) > PAGE_CACHE_SIZE:
+                            srv.page_cache.pop(
+                                next(iter(srv.page_cache))
+                            )
+                self._send(200, "text/html; charset=utf-8", body)
             elif url.path in ("/export.xlsx", "/export.pdf"):
                 from .export import export_pdf, export_xlsx
 
@@ -245,6 +259,8 @@ def make_server(
     httpd = ThreadingHTTPServer((host, port), DashboardHandler)
     httpd.index_df = tables.index_data(spark, sf_dir)
     httpd.stocks_df = tables.stocks(spark, sf_dir)
+    httpd.page_cache = {}
+    httpd.cache_lock = threading.Lock()
     return httpd
 
 

@@ -188,6 +188,30 @@ def test_star_components_chain_and_edge_cases(spark):
     }
 
 
+def test_star_components_shuffled_id_chain(spark):
+    """Adversarial id layout: a 150-node PATH whose node ids are a
+    seeded permutation, so the component min sits at a random chain
+    position and labels must propagate BOTH directions — the shape
+    where a naive one-directional pass stalls. Must converge within
+    the log-bounded budget to the true min everywhere."""
+    import random
+
+    from marketviz_spark.datapipe.dedup import _star_components
+
+    rng = random.Random(99)
+    n = 150
+    ids = list(range(n))
+    rng.shuffle(ids)
+    nodes = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    chain = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(n - 1)],
+        "doc_a long, doc_b long",
+    )
+    labels = _star_components(nodes, chain, max_iter=12)
+    got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
 def test_star_components_matches_min_label_random_graph(spark):
     """Fuzz parity: on a seeded random graph (mixed stars, chains,
     isolated nodes) the star alternation must produce exactly the
