@@ -29,9 +29,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver checks queries in dict insertion order and stops at a
-# ~50-query budget. Round-10 rotation (round 9 produced no driver
-# artifacts, so staleness is computed against CORRECTNESS_r0{5..8}):
-# first the 7 queries whose CODE changed in rounds 9-10 (star
+# ~50-query budget. Round-9 rotation (staleness is computed against
+# CORRECTNESS_r0{5..8}):
+# first the 7 queries whose CODE changed in round 9 (star
 # connected components, trend-slope rounding unification, RI-audit
 # join-strategy change), then the 8-query r05-stale overflow tail
 # round 8 explicitly rolled forward, then the r06-stale set (44
@@ -39,9 +39,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # overflows a 50 budget by ~9, so the LAST 9 positions are the
 # lowest-risk overflow (map-only/aggregate curation-plan queries,
 # unchanged since r06, green in multiple prior rounds) and roll to
-# the r11 rotation.
+# the r10 rotation.
 _FIRST = [
-    # Changed rounds 9-10: large-star/small-star components
+    # Changed round 9: large-star/small-star components
     # (dedup.py _star_components) behind these three cluster
     # queries; floor-half-up rounding unified across the trend-slope
     # twins and the sketch oracle; Catalyst-chosen join strategy in
@@ -103,7 +103,7 @@ _FIRST = [
     "doc_chunks",
     # Lowest-risk overflow tail — map-only/aggregate curation-plan
     # queries unchanged since r06: whatever the ~50 budget cuts
-    # lands here and rolls to the r11 rotation.
+    # lands here and rolls to the r10 rotation.
     "corpus_drift",
     "curriculum_order",
     "sample_pps",
