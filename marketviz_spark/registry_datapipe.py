@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import tables
+from .datapipe import quality_model
 from .datapipe.dedup import (
     BAND_SIZE,
     HEX,
@@ -210,6 +211,85 @@ def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .datapipe.textstats import merge_pair_topk
 
     return merge_pair_topk(tables.load(spark, sf_dir, "documents"))
+
+
+# Hashed-linear quality classifier (quality_model.py). The oracle
+# interpolates the SAME module constants as the Spark side, and the
+# score stays in integer space until one final division + floor-6dp
+# on identical integers — order-free by construction (see the
+# module docstring's determinism contract).
+_QM_CTES = f"""
+qtok AS (
+    SELECT doc_id, source, lang,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                       t -> t <> '') AS t
+    FROM documents
+),
+qsum AS (
+    SELECT doc_id, source, lang,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN t IS NULL THEN NULL
+                     WHEN len(t) = 0 THEN 0
+                ELSE list_sum(list_transform(t, tok ->
+                    ((((list_sum(list_transform(string_split(tok, ''),
+                            c -> ascii(c))) * {quality_model.KNUTH_MIX}
+                        + length(tok) * {quality_model.LEN_MIX})
+                       % {quality_model.HASH_DIM})
+                      * {quality_model.KNUTH_MIX})
+                     % {quality_model.WEIGHT_MOD})
+                    - {quality_model.WEIGHT_OFF}))
+                END AS BIGINT) AS w_sum
+    FROM qtok
+),
+qscore AS (
+    SELECT doc_id, source, lang, n_tokens, w_sum,
+           CASE WHEN n_tokens > 0 THEN
+               floor(CAST(w_sum AS DOUBLE) * 1000000.0
+                     / (CAST(n_tokens AS DOUBLE)
+                        * {float(quality_model.WEIGHT_MOD)}) + 0.5)
+               / 1000000.0
+           ELSE 0.0 END AS q_score
+    FROM qsum
+)
+"""
+
+
+@register(
+    "quality_classifier",
+    f"WITH {_QM_CTES}"
+    + """
+    SELECT doc_id, n_tokens, w_sum, q_score, q_score > 0.0 AS keep
+    FROM qscore
+    """,
+    survey="hashed-linear quality classifier scoring (fastText/CCNet-shape learned filter, datapipe)",
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_model.quality_scores(
+        tables.load(spark, sf_dir, "documents")
+    )
+
+
+@register(
+    "quality_keep_rate",
+    f"WITH {_QM_CTES}"
+    + """
+    SELECT source, lang, n_docs, n_kept,
+           floor(CAST(n_kept AS DOUBLE) * 1000000.0
+                 / CAST(n_docs AS DOUBLE) + 0.5) / 1000000.0 AS keep_rate
+    FROM (
+        SELECT source, lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN q_score > 0.0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept
+        FROM qscore GROUP BY source, lang
+    )
+    """,
+    survey="quality-gate acceptance report by (source, lang) (datapipe)",
+)
+def q_quality_keep_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_model.keep_rate_by_source(
+        tables.load(spark, sf_dir, "documents")
+    )
 
 
 # ----------------------------------------------------------------------

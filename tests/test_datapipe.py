@@ -1138,3 +1138,114 @@ def test_embedding_decontaminate_refuses_oversized_eval(spark):
         embedding_decontaminate(emb, eval_mod=4, eval_cap=6).count()
         == 1
     )
+
+
+# ---------------------------------------------------------------------
+# Hashed-linear quality classifier (quality_model.py)
+# ---------------------------------------------------------------------
+
+
+def _qm_expected(text):
+    """Independent pure-python mirror of the scoring contract —
+    deliberately NOT importing the module's helpers, so a silent
+    constant or order change in either side fails the test."""
+    import math
+    import re
+
+    toks = [t for t in re.split("[^a-z]+", text.lower()) if t]
+    n = len(toks)
+    w_sum = 0
+    for tok in toks:
+        char_sum = sum(ord(c) for c in tok)
+        bucket = (char_sum * 2654435761 + len(tok) * 97) % 256
+        w_sum += (bucket * 2654435761) % 1000003 - 500001
+    if n == 0:
+        return 0, 0, 0.0, False
+    score = math.floor(w_sum * 1e6 / (n * 1000003.0) + 0.5) / 1e6
+    return n, w_sum, score, score > 0.0
+
+
+def test_quality_scores_known_values(spark):
+    from marketviz_spark.datapipe.quality_model import quality_scores
+
+    texts = [
+        "spark",
+        "Hello, world! 42",
+        "the quick brown fox JUMPS over 9 lazy dogs",
+    ]
+    docs = _docs(spark, texts)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["w_sum"], r["q_score"], r["keep"])
+        for r in quality_scores(docs).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _qm_expected(t), (i, t)
+
+
+def test_quality_scores_degenerate_inputs(spark):
+    """NULL text -> NULL token metrics, score 0.0, keep false;
+    letterless text -> 0 tokens, 0 sum, 0.0, false (no ANSI
+    divide-by-zero) — the textstats.text_stats convention."""
+    from marketviz_spark.datapipe.quality_model import quality_scores
+
+    docs = spark.createDataFrame(
+        [(0, None, "en", "s", 0), (1, "!!! 123 ?", "en", "s", 9),
+         (2, "", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["w_sum"], r["q_score"], r["keep"])
+        for r in quality_scores(docs).collect()
+    }
+    assert got[0] == (None, None, 0.0, False)
+    assert got[1] == (0, 0, 0.0, False)
+    assert got[2] == (0, 0, 0.0, False)
+
+
+def test_quality_classifier_plan_is_map_only(spark):
+    """The scoring query's executed plan must stay a single
+    shuffle-free projection: no Exchange, no Python eval — the
+    100 TB contract of a learned gate (weights broadcast, not
+    joined)."""
+    from marketviz_spark.registry import QUERIES
+
+    df = QUERIES["quality_classifier"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_keep_rate_by_source_matches_per_doc_gate(spark):
+    from marketviz_spark.datapipe.quality_model import (
+        keep_rate_by_source,
+        quality_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"alpha beta doc {i} unique words here", "en",
+             "srcA" if i % 2 else "srcB", 30)
+            for i in range(10)
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    per_doc = quality_scores(docs, passthrough=("source",)).collect()
+    want = {}
+    for r in per_doc:
+        d = want.setdefault(r["source"], [0, 0])
+        d[0] += 1
+        d[1] += 1 if r["keep"] else 0
+    got = {
+        r["source"]: (r["n_docs"], r["n_kept"], r["keep_rate"])
+        for r in keep_rate_by_source(docs).collect()
+    }
+    import math
+
+    for src, (n, k) in want.items():
+        assert got[src] == (
+            n, k, math.floor(k * 1e6 / n + 0.5) / 1e6
+        )
