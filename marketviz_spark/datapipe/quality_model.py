@@ -92,34 +92,65 @@ def _weight_int(tok: Column) -> Column:
 
 
 def quality_scores(
-    docs: DataFrame, passthrough: tuple[str, ...] = ()
+    docs: DataFrame,
+    passthrough: tuple[str, ...] = (),
+    weights: list[float] | None = None,
 ) -> DataFrame:
     """Per-document linear quality score and keep gate.
 
-    Columns: doc_id, *passthrough, n_tokens (long), w_sum (long —
-    exact integer weight sum, the auditable intermediate), q_score
-    (double — mean weight, floor-half-up at 6dp), keep (boolean).
+    Columns: doc_id, *passthrough, n_tokens (long), w_sum (long
+    with the default pseudo-weights — exact integer weight sum, the
+    auditable intermediate; double when trained `weights` are
+    supplied), q_score (double — mean weight, floor-half-up at
+    6dp), keep (boolean).
+
+    ``weights`` is the production path the stand-in models: a
+    trained coefficient vector of exactly HASH_DIM floats, shipped
+    into the plan as ONE array literal (bytes in the task binary —
+    no join, no broadcast table) and indexed per token by
+    `element_at`. The per-doc sum folds the document's token array
+    sequentially (`F.aggregate` is order-defined, not
+    partition-order-dependent), so results stay deterministic; only
+    the default integer pseudo-weights additionally guarantee the
+    cross-engine order-FREE exactness the DuckDB oracle hashes.
 
     Scale: one narrow projection over `documents` — no shuffle, no
-    UDF, no join; the weight table is arithmetic (in production, a
-    broadcast array literal). Plan is a single WholeStageCodegen
-    scan at any corpus size.
+    UDF, no join, either path. Plan is a single codegen'd scan at
+    any corpus size.
     """
     t = _tokens()
     n = F.size(t).cast("long")
-    w_sum = F.aggregate(
-        F.transform(t, _weight_int),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    # One division of exact integers, then floor-half-up 6dp: the
-    # repo's standard order-free rounding (cf. timeseries.py:326).
+    if weights is None:
+        w_sum = F.aggregate(
+            F.transform(t, _weight_int),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        denom = n.cast("double") * F.lit(float(WEIGHT_MOD))
+    else:
+        if len(weights) != HASH_DIM:
+            raise ValueError(
+                f"weights must have exactly HASH_DIM={HASH_DIM} "
+                f"entries, got {len(weights)}"
+            )
+        arr = F.lit([float(w) for w in weights])
+        w_sum = F.aggregate(
+            F.transform(
+                t,
+                lambda tok: F.element_at(
+                    arr, (_bucket(tok) + 1).cast("int")
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        denom = n.cast("double")
+    # One division, then floor-half-up 6dp: the repo's standard
+    # order-free rounding (cf. timeseries.py:326).
     score = F.when(
         n > 0,
         F.floor(
-            w_sum.cast("double")
-            * F.lit(1_000_000.0)
-            / (n.cast("double") * F.lit(float(WEIGHT_MOD)))
+            w_sum.cast("double") * F.lit(1_000_000.0) / denom
             + F.lit(0.5)
         )
         / F.lit(1_000_000.0),

@@ -1249,3 +1249,50 @@ def test_keep_rate_by_source_matches_per_doc_gate(spark):
         assert got[src] == (
             n, k, math.floor(k * 1e6 / n + 0.5) / 1e6
         )
+
+
+def test_quality_scores_trained_weights(spark):
+    """The production path: a trained HASH_DIM coefficient vector
+    shipped as one array literal. A one-hot weight on the bucket of
+    'spark' must score exactly the token-frequency mean of that
+    bucket, and the plan must stay shuffle- and Python-free."""
+    from marketviz_spark.datapipe.quality_model import (
+        HASH_DIM,
+        quality_scores,
+    )
+
+    # bucket of 'spark' via the independent python mirror
+    char_sum = sum(ord(c) for c in "spark")
+    b = (char_sum * 2654435761 + len("spark") * 97) % 256
+    w = [0.0] * HASH_DIM
+    w[b] = 1.0
+
+    def mirror_score(text):
+        import math
+
+        toks = text.split()
+        hits = sum(
+            1
+            for tok in toks
+            if (sum(ord(c) for c in tok) * 2654435761 + len(tok) * 97)
+            % 256
+            == b
+        )
+        return math.floor(hits * 1e6 / len(toks) + 0.5) / 1e6
+
+    texts = ["spark spark", "no matching token here"]
+    docs = _docs(spark, texts)
+    df = quality_scores(docs, weights=w)
+    got = {r["doc_id"]: (r["q_score"], r["keep"]) for r in df.collect()}
+    assert got[0] == (1.0, True)  # 2 hits / 2 tokens
+    # the control doc scores exactly its (possibly collision-driven)
+    # bucket-hit frequency — asserted via the independent mirror
+    exp1 = mirror_score(texts[1])
+    assert got[1] == (exp1, exp1 > 0.0)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+    import pytest
+
+    with pytest.raises(ValueError, match="HASH_DIM"):
+        quality_scores(docs, weights=[0.0])
