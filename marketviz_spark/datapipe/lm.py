@@ -1,0 +1,177 @@
+"""Corpus-trained bigram language-model scoring — the statistical-LM
+quality filter family (CCNet's KenLM perplexity gate is the public
+archetype) as distributed Spark passes.
+
+Two phases, both classic shuffle shapes at 100 TB:
+
+- **train** (`unigram_counts` / `bigram_counts`): token and
+  adjacent-pair frequencies — one partial-aggregated `groupBy` each
+  (map-side combine collapses the per-partition mass before the
+  shuffle; keys are words/pairs, uniformly hashable, skew handled by
+  AQE the same way vocab_topk's counts are).
+- **score** (`doc_lm_likelihood`): every document's bigram stream
+  joined against the trained counts, add-one smoothed, folded to a
+  per-document mean likelihood. Joins are left to Catalyst: the
+  unigram side is vocabulary-sized (often broadcastable), the
+  bigram-count side grows with the corpus and must be free to stay
+  a shuffled hash join.
+
+Scoring model (add-one / Laplace smoothing):
+
+    p(w2 | w1) = (c12 + 1) / (c1 + V)
+
+with V = distinct unigram count. The reported ``lm_score`` is the
+per-document MEAN of p over its bigram stream, floor-half-up at
+6dp, plus the OOV-bigram count (c12 = 0 — unseen transitions). A
+production gate would threshold log-perplexity instead of mean
+likelihood; the dataflow (train counts -> join -> per-doc fold) is
+identical, and mean likelihood keeps the cross-engine contract
+below airtight, where per-term ``log()`` would reintroduce libm
+rounding differences no oracle can hash.
+
+Determinism contract (DuckDB oracle parity): each smoothed p is ONE
+division of engine-identical integers (IEEE-exact, bit-equal in
+both engines); the per-document sum folds p IN BIGRAM POSITION
+ORDER on both sides (Spark: sort_array(collect_list(struct(pos,
+p))) + left-fold `aggregate`; DuckDB: `list(p ORDER BY pos)` +
+`list_reduce` left fold), so the mean is bit-identical — not
+approximately equal — and the 6dp floor can never straddle an
+engine boundary. The repo's standard escape from
+summation-order nondeterminism, applied to floats that cannot stay
+integer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import tokens
+
+SMOOTH_K = 1  # add-one (Laplace); the oracle interpolates the same
+
+
+def _bigram_stream(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, w1, w2) for every adjacent token pair; docs
+    with fewer than 2 tokens contribute nothing. posexplode of a
+    zip of the two shifted slices — no shuffle, array-local."""
+    t = tokens()
+    n = F.size(t)
+    pairs = F.arrays_zip(
+        F.slice(t, 1, n - 1).alias("w1"),
+        F.slice(t, 2, n - 1).alias("w2"),
+    )
+    return (
+        docs.where(n >= 2)
+        .select("doc_id", F.posexplode(pairs).alias("pos", "bg"))
+        .select(
+            "doc_id",
+            (F.col("pos") + 1).alias("pos"),  # 1-based like the oracle
+            F.col("bg.w1").alias("w1"),
+            F.col("bg.w2").alias("w2"),
+        )
+    )
+
+
+def unigram_counts(docs: DataFrame) -> DataFrame:
+    """(w, c1) corpus token frequencies — one partial-agg shuffle."""
+    return (
+        docs.select(F.explode(tokens()).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c1"))
+    )
+
+
+def bigram_counts(docs: DataFrame) -> DataFrame:
+    """(w1, w2, c12) adjacent-pair frequencies — one partial-agg
+    shuffle on the pair key."""
+    return (
+        _bigram_stream(docs)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c12"))
+    )
+
+
+def doc_lm_likelihood(docs: DataFrame) -> DataFrame:
+    """Per-document add-one-smoothed bigram likelihood.
+
+    Columns: doc_id, n_bigrams (long), oov_bigrams (long — unseen
+    transitions), lm_score (double — mean p, floor-half-up 6dp;
+    0.0 for docs with no bigram, NULL-text included).
+
+    The vocabulary size V rides in as a 1-row broadcast cross join
+    (the repo's scalar-bind pattern); counts joins are
+    Catalyst-chosen. The per-doc fold sums p in position order so
+    the result is bit-identical across engines (module docstring).
+    """
+    uni = unigram_counts(docs)
+    big = bigram_counts(docs)
+    vocab = uni.agg(F.count("*").cast("long").alias("v"))
+
+    stream = (
+        _bigram_stream(docs)
+        .join(big, ["w1", "w2"], "left")
+        .join(uni, F.col("w1") == uni["w"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "pos",
+            F.coalesce(F.col("c12"), F.lit(0)).alias("c12"),
+            (
+                (
+                    F.coalesce(F.col("c12"), F.lit(0)) + F.lit(SMOOTH_K)
+                ).cast("double")
+                / (
+                    F.coalesce(F.col("c1"), F.lit(0))
+                    + F.lit(SMOOTH_K) * F.col("v")
+                ).cast("double")
+            ).alias("p"),
+        )
+    )
+    per_doc = (
+        stream.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(F.when(F.col("c12") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("oov_bigrams"),
+            F.sort_array(
+                F.collect_list(F.struct("pos", "p"))
+            ).alias("_ps"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "oov_bigrams",
+            (
+                F.floor(
+                    F.aggregate(
+                        F.transform(F.col("_ps"), lambda x: x["p"]),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    * F.lit(1_000_000.0)
+                    / F.col("n_bigrams").cast("double")
+                    + F.lit(0.5)
+                )
+                / F.lit(1_000_000.0)
+            ).alias("lm_score"),
+        )
+    )
+    # Docs with no bigram stream (0-1 tokens, NULL text) score 0.0
+    # with zero counts — same degenerate-row convention as
+    # quality_model / text_stats.
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias(
+                "n_bigrams"
+            ),
+            F.coalesce(F.col("oov_bigrams"), F.lit(0).cast("long")).alias(
+                "oov_bigrams"
+            ),
+            F.coalesce(F.col("lm_score"), F.lit(0.0)).alias("lm_score"),
+        )
+    )

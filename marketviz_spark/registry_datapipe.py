@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import tables
-from .datapipe import quality_model
+from .datapipe import lm, quality_model
 from .datapipe.dedup import (
     BAND_SIZE,
     HEX,
@@ -252,6 +252,70 @@ qscore AS (
     FROM qsum
 )
 """
+
+
+# Bigram-LM likelihood scoring (datapipe/lm.py). Every smoothed p
+# is one division of engine-identical integers; the per-doc sum
+# folds p in bigram-position order on BOTH sides (sort_array +
+# aggregate vs list(ORDER BY) + list_reduce), so lm_score is
+# bit-identical, not approximately equal.
+_LM_CTES = f"""
+lm_uni AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS c1
+    FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+),
+lm_vocab AS (SELECT CAST(count(*) AS BIGINT) AS v FROM lm_uni),
+lm_pairs AS (
+    SELECT doc_id, pos, t[pos] AS w1, t[pos + 1] AS w2
+    FROM (
+        SELECT doc_id,
+               unnest(generate_series(1, len(t) - 1)) AS pos, t
+        FROM toks WHERE len(t) >= 2
+    )
+),
+lm_big AS (
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+    FROM lm_pairs GROUP BY w1, w2
+),
+lm_p AS (
+    SELECT d.doc_id, d.pos,
+           coalesce(b.c12, 0) AS c12,
+           CAST(coalesce(b.c12, 0) + {lm.SMOOTH_K} AS DOUBLE)
+             / CAST(coalesce(u.c1, 0) + {lm.SMOOTH_K} * v.v AS DOUBLE)
+             AS p
+    FROM lm_pairs d
+    LEFT JOIN lm_big b USING (w1, w2)
+    LEFT JOIN lm_uni u ON d.w1 = u.w
+    CROSS JOIN lm_vocab v
+),
+lm_doc AS (
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(CASE WHEN c12 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS oov_bigrams,
+           list(p ORDER BY pos) AS ps
+    FROM lm_p GROUP BY doc_id
+)
+"""
+
+
+@register(
+    "lm_doc_likelihood",
+    f"WITH {TOKS_CTE}, {_LM_CTES}"
+    + """
+    SELECT d.doc_id,
+           CAST(coalesce(l.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(l.oov_bigrams, 0) AS BIGINT) AS oov_bigrams,
+           coalesce(floor(list_reduce(l.ps, (x, y) -> x + y)
+                          * 1000000.0
+                          / CAST(l.n_bigrams AS DOUBLE) + 0.5)
+                    / 1000000.0, 0.0) AS lm_score
+    FROM documents d LEFT JOIN lm_doc l USING (doc_id)
+    """,
+    survey="corpus-trained bigram-LM likelihood scoring (CCNet-shape statistical-LM filter, datapipe)",
+)
+def q_lm_doc_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lm.doc_lm_likelihood(tables.load(spark, sf_dir, "documents"))
 
 
 @register(

@@ -1296,3 +1296,49 @@ def test_quality_scores_trained_weights(spark):
 
     with pytest.raises(ValueError, match="HASH_DIM"):
         quality_scores(docs, weights=[0.0])
+
+
+def test_lm_doc_likelihood_hand_corpus(spark):
+    """Hand-checkable 3-doc corpus: uni a:3 b:3 c:1 (V=3), bigrams
+    (a,b):3 (b,a):1. d0 'a b a b' -> mean(4/6, 2/6, 4/6) =
+    10/18 -> 0.555556; d1 'a b' -> 4/6 -> 0.666667; d2 'c' has no
+    bigram -> zeros; NULL text -> zeros."""
+    from marketviz_spark.datapipe.lm import doc_lm_likelihood
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b", "en", "s", 7),
+            (1, "a b", "en", "s", 3),
+            (2, "c", "en", "s", 1),
+            (3, None, "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["oov_bigrams"], r["lm_score"])
+        for r in doc_lm_likelihood(docs).collect()
+    }
+    assert got[0] == (3, 0, 0.555556)
+    assert got[1] == (1, 0, 0.666667)
+    assert got[2] == (0, 0, 0.0)
+    assert got[3] == (0, 0, 0.0)
+
+
+def test_lm_score_order_free_under_repartition(spark):
+    """The position-ordered fold must make lm_score invariant to
+    physical layout: the same corpus scored at 1 and 16 partitions
+    is bit-identical (not approx)."""
+    from marketviz_spark.datapipe.lm import doc_lm_likelihood
+    from marketviz_spark import tables
+
+    docs = tables.load(spark, "/root/testdata/sf0.001", "documents")
+    a = {
+        r["doc_id"]: r["lm_score"]
+        for r in doc_lm_likelihood(docs.coalesce(1)).collect()
+    }
+    b = {
+        r["doc_id"]: r["lm_score"]
+        for r in doc_lm_likelihood(docs.repartition(16)).collect()
+    }
+    assert a == b
