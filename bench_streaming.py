@@ -103,6 +103,80 @@ def replay(spark, staging: str, schema, provider_conf: dict) -> tuple:
         spark.conf.set(key, prev)
 
 
+def replay_builtin(spark, staging: str, schema) -> tuple:
+    """Replay under the pure-JVM streaming aggregation
+    (`groupBy(user_id).agg(count, sum)` in update mode) — the
+    built-in scale path the Python stateful op showcases against.
+    Same staging, trigger unit, and sink as `replay`, so the wall
+    difference IS the applyInPandasWithState tax (Arrow transfer +
+    Python state handling). Returns (wall_s, final totals keyed by
+    user) — finals picked by max n_events, which is monotonic per
+    user across update-mode emissions."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    with tempfile.TemporaryDirectory() as d:
+        ck = os.path.join(d, "ck")
+        out = os.path.join(d, "out")
+
+        def write_batch(bdf, epoch):
+            bdf.write.mode("append").parquet(out)
+
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staging)
+        )
+        agg = src.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("value_sum"),
+        )
+        t0 = time.time()
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        wall = time.time() - t0
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("n_events").desc()
+        )
+        final = {
+            r["user_id"]: (r["n_events"], r["value_sum"])
+            for r in spark.read.parquet(out)
+            .withColumn("rk", F.row_number().over(w))
+            .filter("rk = 1")
+            .collect()
+        }
+        return wall, final
+
+
+def _totals_agree(stateful: dict, builtin: dict) -> bool:
+    """Counts must match exactly; float sums within 1e-6 relative —
+    the JVM partial-agg and the pandas chunk fold add the same
+    values in different orders, so last-ulp drift is expected (this
+    is a bench sanity check, not the oracle gate — the A/B identity
+    test owns bit-exactness between state providers)."""
+    if set(stateful) != set(builtin):
+        return False
+    for u, (n, s, _b) in stateful.items():
+        nb, sb = builtin[u]
+        if n != nb:
+            return False
+        if s is None or sb is None:
+            if (s is None) != (sb is None):
+                return False
+            continue
+        if abs(s - sb) > 1e-6 * max(1.0, abs(s), abs(sb)):
+            return False
+    return True
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark()
@@ -129,6 +203,12 @@ def main() -> None:
                 "rows_per_s": round(n_rows / wall, 1),
             }
             finals[name] = final
+        # the pure-JVM twin: same replay, built-in streaming agg
+        bwall, bfinal = replay_builtin(spark, staging, schema)
+        results["builtin_jvm"] = {
+            "wall_s": round(bwall, 3),
+            "rows_per_s": round(n_rows / bwall, 1),
+        }
         out = {
             "metric": "streaming_stateful_rows_per_s",
             "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
@@ -139,6 +219,14 @@ def main() -> None:
                 results["rocksdb"]["wall_s"] / results["hdfs"]["wall_s"], 3
             ),
             "identical_output": finals["hdfs"] == finals["rocksdb"],
+            "python_state_tax": round(
+                results["hdfs"]["wall_s"]
+                / results["builtin_jvm"]["wall_s"],
+                2,
+            ),
+            "builtin_matches_stateful": _totals_agree(
+                finals["hdfs"], bfinal
+            ),
         }
         print(json.dumps(out))
         _write_detail_section(out)
@@ -158,6 +246,7 @@ def _write_detail_section(out: dict) -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.md"
     )
     h, r = out["providers"]["hdfs"], out["providers"]["rocksdb"]
+    j = out["providers"]["builtin_jvm"]
     section = "\n".join(
         [
             f"{SECTION_HEADING} (bench_streaming.py)",
@@ -168,18 +257,30 @@ def _write_detail_section(out: dict) -> None:
             f"{out['batches']} one-file micro-batches) under each "
             "state-store provider — the",
             "measured basis for documenting RocksDB as the 100 TB scale "
-            "backend:",
+            "backend — plus the",
+            "pure-JVM built-in streaming aggregation twin (same replay, "
+            "same sink), which",
+            "prices the applyInPandasWithState showcase against the "
+            "engine's scale path:",
             "",
-            "| provider | wall (s) | rows/s |",
+            "| pipeline | wall (s) | rows/s |",
             "|---|---|---|",
-            f"| HDFS-backed (default, executor-heap state) | "
+            f"| Python stateful, HDFS-backed state (default) | "
             f"{h['wall_s']} | {h['rows_per_s']} |",
-            f"| RocksDB (disk-backed, incremental checkpoint) | "
+            f"| Python stateful, RocksDB state | "
             f"{r['wall_s']} | {r['rows_per_s']} |",
+            f"| built-in JVM groupBy-agg (update mode) | "
+            f"{j['wall_s']} | {j['rows_per_s']} |",
             "",
             f"rocksdb_vs_hdfs wall ratio {out['rocksdb_vs_hdfs']}; "
             f"identical final per-user totals: "
-            f"{out['identical_output']}. Raw line:",
+            f"{out['identical_output']}. Python-state tax "
+            f"{out['python_state_tax']}x vs the built-in twin "
+            f"(totals agree: {out['builtin_matches_stateful']} — "
+            "counts exact, float sums at 1e-6 relative; custom "
+            "per-group logic should reach for "
+            "applyInPandasWithState only when built-ins can't "
+            "express it). Raw line:",
             "```json",
             json.dumps(out),
             "```",
