@@ -19,8 +19,9 @@ trained ``float[HASH_DIM]`` arrives as one broadcast array literal
 (HASH_DIM doubles — bytes, not a table; no join) and the dataflow
 is unchanged: per-token feature hash -> weight lookup -> per-doc
 mean -> threshold gate. That dataflow is the part that matters at
-100 TB: map-only, zero shuffles, zero UDFs, whole-stage codegen
-over higher-order array functions.
+100 TB: map-only, zero shuffles, zero UDFs — one JVM-side
+projection over higher-order array expressions (plan-asserted: no
+Exchange, no Python eval).
 
 Determinism contract (DuckDB oracle parity): everything up to the
 final division stays in INTEGER space — the char-sum token hash,
@@ -87,7 +88,7 @@ def _bucket(tok: Column) -> Column:
 
 def _weight_int(tok: Column) -> Column:
     """Integer pseudo-weight of the token's bucket: the true weight
-    is this value / WEIGHT_MOD, in (-0.5, 0.5]."""
+    is this value / WEIGHT_MOD, inside (-0.5, 0.5)."""
     return (_bucket(tok) * F.lit(KNUTH_MIX)) % WEIGHT_MOD - F.lit(WEIGHT_OFF)
 
 
@@ -170,10 +171,11 @@ def keep_rate_by_source(docs: DataFrame) -> DataFrame:
     kept count, and keep-rate — the gate summary a curation run
     logs before applying the filter.
 
-    Scale: the gate is recomputed INLINE on the same scan (it is a
-    pure column expression — joining back to quality_scores would
-    self-join the corpus for nothing), so this is ONE partial-agg
-    shuffle on (source, lang) — low cardinality by construction
+    Scale: the gate rides the SAME scan via
+    ``quality_scores(passthrough=("source", "lang"))`` (it is a
+    pure column expression — joining back to a separate scoring
+    frame would self-join the corpus for nothing), so this is ONE
+    partial-agg shuffle on (source, lang) — low cardinality by construction
     (sources × languages), so the reduce side is tiny regardless of
     corpus size."""
     return (
