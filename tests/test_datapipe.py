@@ -1342,3 +1342,43 @@ def test_lm_score_order_free_under_repartition(spark):
         for r in doc_lm_likelihood(docs.repartition(16)).collect()
     }
     assert a == b
+
+
+def test_read_documents_jsonl_routes_bad_lines(spark, tmp_path):
+    """JSONL ingest gate: parse-level corruption and contract
+    violations (missing doc_id / text) land in the bad channel with
+    reasons; good rows come back with the exact documents schema;
+    nothing is silently dropped (good + bad == lines)."""
+    from marketviz_spark.datapipe.ingest import read_documents_jsonl
+
+    p = tmp_path / "corpus.jsonl"
+    lines = [
+        '{"doc_id": 1, "text": "alpha beta", "lang": "en",'
+        ' "source": "s", "n_chars": 10}',
+        '{"doc_id": 2, "text": "gamma", "lang": "en",'
+        ' "source": "s", "n_chars": 5}',
+        '{"doc_id": 3, "text": "truncated...',          # broken JSON
+        '{"text": "no id here", "lang": "en", "source": "s",'
+        ' "n_chars": 10}',                               # missing doc_id
+        '{"doc_id": 5, "lang": "en", "source": "s",'
+        ' "n_chars": 0}',                                # missing text
+    ]
+    p.write_text("\n".join(lines) + "\n")
+
+    good, bad = read_documents_jsonl(spark, str(p))
+    g = {r["doc_id"]: r["text"] for r in good.collect()}
+    assert g == {1: "alpha beta", 2: "gamma"}
+    assert [f.name for f in good.schema.fields] == [
+        "doc_id", "text", "lang", "source", "n_chars",
+    ]
+    reasons = sorted(r["reason"] for r in bad.collect())
+    assert reasons == [
+        "missing doc_id", "missing text", "unparseable json",
+    ]
+    # the corrupt row keeps its raw line for forensics
+    raws = {r["reason"]: r["raw"] for r in bad.collect()}
+    assert raws["unparseable json"].startswith('{"doc_id": 3')
+    # and the scorers downstream accept the good channel unchanged
+    from marketviz_spark.datapipe.quality_model import quality_scores
+
+    assert quality_scores(good).count() == 2

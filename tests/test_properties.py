@@ -526,3 +526,129 @@ def test_table_diff_conserves_rows(spark, rows, drop):
         + counts.get("unchanged", 0)
         == n2
     )
+
+
+# ---------------------------------------------------------------------
+# Round-9 scorers vs their pure-python mirrors, under hypothesis text
+# ---------------------------------------------------------------------
+
+doc_text = st.one_of(
+    st.none(),
+    st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_categories=("Cs",)
+        ),
+        max_size=60,
+    ),
+)
+
+
+def _qm_mirror(text):
+    """Independent mirror of quality_model's default scoring — same
+    contract as test_datapipe._qm_expected, duplicated here so this
+    file stays self-contained."""
+    import math
+    import re
+
+    if text is None:
+        return (None, None, 0.0, False)
+    toks = [t for t in re.split("[^a-z]+", text.lower()) if t]
+    n = len(toks)
+    w_sum = 0
+    for tok in toks:
+        char_sum = sum(ord(c) for c in tok)
+        bucket = (char_sum * 2654435761 + len(tok) * 97) % 256
+        w_sum += (bucket * 2654435761) % 1000003 - 500001
+    if n == 0:
+        return (0, 0, 0.0, False)
+    score = math.floor(w_sum * 1e6 / (n * 1000003.0) + 0.5) / 1e6
+    return (n, w_sum, score, score > 0.0)
+
+
+@given(texts=st.lists(doc_text, min_size=1, max_size=8))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_quality_scores_match_python_mirror(spark, texts):
+    """Arbitrary unicode/NULL corpora: Spark's hashed-linear scorer
+    must agree exactly with the independent python mirror (the
+    engine-vs-engine fuzz covers DuckDB; this covers the spec)."""
+    from marketviz_spark.datapipe.quality_model import quality_scores
+
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", 0) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["w_sum"], r["q_score"], r["keep"])
+        for r in quality_scores(docs).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _qm_mirror(t), (i, t)
+
+
+def _lm_mirror(texts):
+    """Independent bigram-LM mirror: whitespace (single-space)
+    tokens, add-one smoothing, position-ordered left-fold sum."""
+    import math
+
+    def toks(t):
+        return [x for x in (t or "").split(" ") if x]
+
+    uni: dict = {}
+    big: dict = {}
+    for t in texts:
+        ws = toks(t)
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    v = len(uni)
+    out = {}
+    for i, t in enumerate(texts):
+        ws = toks(t)
+        ps = [
+            (big.get((a, b), 0) + 1) / (uni[a] + v)
+            for a, b in zip(ws, ws[1:])
+        ]
+        if not ps:
+            out[i] = (0, 0, 0.0)
+            continue
+        s = 0.0
+        for p in ps:
+            s += p  # left fold, position order — matches both engines
+        oov = sum(1 for a, b in zip(ws, ws[1:]) if (a, b) not in big)
+        out[i] = (
+            len(ps),
+            oov,
+            math.floor(s * 1e6 / len(ps) + 0.5) / 1e6,
+        )
+    return out
+
+
+@given(texts=st.lists(doc_text, min_size=1, max_size=6))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_lm_likelihood_matches_python_mirror(spark, texts):
+    """Arbitrary unicode/NULL corpora: lm_score, n_bigrams and
+    oov_bigrams must be bit-equal to the sequential-fold mirror
+    (floats included — the position-ordered fold is the contract)."""
+    from marketviz_spark.datapipe.lm import doc_lm_likelihood
+
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", 0) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["oov_bigrams"], r["lm_score"])
+        for r in doc_lm_likelihood(docs).collect()
+    }
+    want = _lm_mirror(texts)
+    assert got == want
