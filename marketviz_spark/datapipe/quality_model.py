@@ -119,7 +119,19 @@ def quality_scores(
     UDF, no join, either path. Plan is a single codegen'd scan at
     any corpus size.
     """
-    t = _tokens()
+    # STAGED projections: the tokenize and the token-hash fold are
+    # non-cheap higher-order expressions (CodegenFallback —
+    # re-evaluated per reference, never CSE'd), so each is
+    # materialized as a projection column exactly once — tokens,
+    # then (n_tokens, w_sum), then q_score, then keep — where a
+    # single select would inline the fold four times and the
+    # tokenize eight. Every staged column is referenced 2+ times
+    # downstream, so CollapseProject preserves the staging (the
+    # similarity.py scale lesson; plan-asserted in tests).
+    toked = docs.select(
+        "doc_id", *passthrough, _tokens().alias("_toks")
+    )
+    t = F.col("_toks")
     n = F.size(t).cast("long")
     if weights is None:
         w_sum = F.aggregate(
@@ -127,7 +139,9 @@ def quality_scores(
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
-        denom = n.cast("double") * F.lit(float(WEIGHT_MOD))
+        denom = F.col("n_tokens").cast("double") * F.lit(
+            float(WEIGHT_MOD)
+        )
     else:
         if len(weights) != HASH_DIM:
             raise ValueError(
@@ -145,24 +159,41 @@ def quality_scores(
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        denom = n.cast("double")
+        denom = F.col("n_tokens").cast("double")
     # One division, then floor-half-up 6dp: the repo's standard
     # order-free rounding (cf. timeseries.py:326).
-    score = F.when(
-        n > 0,
-        F.floor(
-            w_sum.cast("double") * F.lit(1_000_000.0) / denom
-            + F.lit(0.5)
-        )
-        / F.lit(1_000_000.0),
-    ).otherwise(F.lit(0.0))
-    return docs.select(
+    staged = toked.select(
         "doc_id",
         *passthrough,
         n.alias("n_tokens"),
         w_sum.alias("w_sum"),
-        score.alias("q_score"),
-        (score > F.lit(KEEP_THRESHOLD)).alias("keep"),
+    )
+    score = F.when(
+        F.col("n_tokens") > 0,
+        F.floor(
+            F.col("w_sum").cast("double")
+            * F.lit(1_000_000.0)
+            / denom
+            + F.lit(0.5)
+        )
+        / F.lit(1_000_000.0),
+    ).otherwise(F.lit(0.0))
+    return (
+        staged.select(
+            "doc_id",
+            *passthrough,
+            "n_tokens",
+            "w_sum",
+            score.alias("q_score"),
+        )
+        .select(
+            "doc_id",
+            *passthrough,
+            "n_tokens",
+            "w_sum",
+            "q_score",
+            (F.col("q_score") > F.lit(KEEP_THRESHOLD)).alias("keep"),
+        )
     )
 
 

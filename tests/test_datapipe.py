@@ -1207,7 +1207,11 @@ def test_quality_classifier_plan_is_map_only(spark):
     """The scoring query's executed plan must stay a single
     shuffle-free projection: no Exchange, no Python eval — the
     100 TB contract of a learned gate (weights broadcast, not
-    joined)."""
+    joined). The staged projections must also hold: higher-order
+    folds are CodegenFallback (re-evaluated per reference), so the
+    tokenize and the weight fold may appear EXACTLY ONCE in the
+    plan — a regression to single-select inlining shows up as 4
+    folds / 8 tokenizes."""
     from marketviz_spark.registry import QUERIES
 
     df = QUERIES["quality_classifier"].fn(
@@ -1216,6 +1220,8 @@ def test_quality_classifier_plan_is_map_only(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert plan.count("aggregate(transform(") == 1
+    assert plan.count("split(lower(") == 1
 
 
 def test_keep_rate_by_source_matches_per_doc_gate(spark):
