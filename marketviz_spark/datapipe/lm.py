@@ -54,15 +54,24 @@ SMOOTH_K = 1  # add-one (Laplace); the oracle interpolates the same
 def _bigram_stream(docs: DataFrame) -> DataFrame:
     """(doc_id, pos, w1, w2) for every adjacent token pair; docs
     with fewer than 2 tokens contribute nothing. posexplode of a
-    zip of the two shifted slices — no shuffle, array-local."""
-    t = tokens()
-    n = F.size(t)
+    zip of the two shifted slices — no shuffle, array-local.
+
+    The tokenize and its size are STAGED as projection columns
+    (each referenced 2+ times downstream, so CollapseProject keeps
+    the staging): higher-order expressions are CodegenFallback and
+    re-evaluate per reference, so the unstaged form ran the
+    tokenize up to 4x per row (filter + two slice bounds) — the
+    same trap quality_model.py stages away, plan-asserted in
+    tests."""
+    toked = docs.select("doc_id", tokens().alias("_t")).select(
+        "doc_id", "_t", F.size("_t").alias("_n")
+    )
     pairs = F.arrays_zip(
-        F.slice(t, 1, n - 1).alias("w1"),
-        F.slice(t, 2, n - 1).alias("w2"),
+        F.slice(F.col("_t"), 1, F.col("_n") - 1).alias("w1"),
+        F.slice(F.col("_t"), 2, F.col("_n") - 1).alias("w2"),
     )
     return (
-        docs.where(n >= 2)
+        toked.where(F.col("_n") >= 2)
         .select("doc_id", F.posexplode(pairs).alias("pos", "bg"))
         .select(
             "doc_id",
