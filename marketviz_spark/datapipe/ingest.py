@@ -63,7 +63,13 @@ def read_documents_jsonl(
         .option("columnNameOfCorruptRecord", _CORRUPT)
         .json(path)
     ).cache()
+    return split_channels(df)
 
+
+def split_channels(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The gate itself: split a DOC_JSONL_SCHEMA frame into
+    ``(good, bad)`` — shared by the batch reader and the streaming
+    twin so the two ingest paths cannot drift."""
     corrupt = F.col(_CORRUPT).isNotNull()
     no_id = F.col("doc_id").isNull()
     no_text = F.col("text").isNull()
@@ -83,3 +89,66 @@ def read_documents_jsonl(
         ).alias("raw"),
     )
     return good, bad
+
+
+def stream_documents_jsonl(
+    spark: SparkSession,
+    path: str,
+    good_dir: str,
+    bad_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming twin of :func:`read_documents_jsonl`: continuously
+    ingest a JSONL landing directory, routing every micro-batch
+    through the SAME gate (:func:`split_channels`) into a good
+    corpus sink and a (reason, raw) bad sink. Returns the started
+    StreamingQuery.
+
+    Exactly-once across retries and restarts via the repo's
+    (run, epoch) dynamic-partition-overwrite scheme
+    (`streaming/dedup.stream_ingest_gate` documents the failure
+    modes): a task retry of epoch N overwrites its OWN partition
+    wholesale, and a restart gets a fresh run token so re-zeroed
+    epoch ids can never alias an older run's output. Plain append
+    sinks would duplicate rows on exactly those paths.
+
+    Scale: the gate is a per-batch column-expression filter — no
+    Python, no shuffle; the sinks partition by (run, epoch), so
+    downstream consumers compact or prune by ingest generation.
+    """
+    import uuid
+
+    from ..pipelines.upsert import upsert_by_date_partition
+
+    run_token = uuid.uuid4().hex
+
+    def route(batch_df: DataFrame, epoch_id: int) -> None:
+        bspark = batch_df.sparkSession
+        batch_df.persist()
+        try:
+            good, bad = split_channels(batch_df)
+            for frame, dest in ((good, good_dir), (bad, bad_dir)):
+                upsert_by_date_partition(
+                    bspark,
+                    frame.withColumn("run", F.lit(run_token))
+                    .withColumn("epoch", F.lit(int(epoch_id))),
+                    dest,
+                    ["run", "epoch"],
+                )
+        finally:
+            batch_df.unpersist()
+
+    src = (
+        spark.readStream.schema(DOC_JSONL_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", _CORRUPT)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(path)
+    )
+    return (
+        src.writeStream.foreachBatch(route)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )

@@ -1388,3 +1388,50 @@ def test_read_documents_jsonl_routes_bad_lines(spark, tmp_path):
     from marketviz_spark.datapipe.quality_model import quality_scores
 
     assert quality_scores(good).count() == 2
+
+
+def test_stream_documents_jsonl_matches_batch_gate(spark, tmp_path):
+    """Stream == batch replay parity for the JSONL ingest gate: the
+    same landing files streamed one-per-trigger through
+    stream_documents_jsonl produce exactly the batch reader's good
+    and bad channels (modulo the (run, epoch) idempotence
+    columns)."""
+    from marketviz_spark.datapipe.ingest import (
+        read_documents_jsonl,
+        stream_documents_jsonl,
+    )
+
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "a.jsonl").write_text(
+        '{"doc_id": 1, "text": "alpha beta", "lang": "en",'
+        ' "source": "s", "n_chars": 10}\n'
+        '{"doc_id": 3, "text": "truncated...\n'
+    )
+    (land / "b.jsonl").write_text(
+        '{"doc_id": 2, "text": "gamma", "lang": "en",'
+        ' "source": "s", "n_chars": 5}\n'
+        '{"text": "no id", "lang": "en", "source": "s",'
+        ' "n_chars": 5}\n'
+    )
+
+    good_dir = str(tmp_path / "good")
+    bad_dir = str(tmp_path / "bad")
+    q = stream_documents_jsonl(
+        spark, str(land), good_dir, bad_dir, str(tmp_path / "ck")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    sg = sorted(
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(good_dir).collect()
+    )
+    sb = sorted(r["reason"] for r in spark.read.parquet(bad_dir).collect())
+
+    bg, bb = read_documents_jsonl(spark, str(land))
+    assert sg == sorted((r["doc_id"], r["text"]) for r in bg.collect())
+    assert sb == sorted(r["reason"] for r in bb.collect())
+    assert sb == ["missing doc_id", "unparseable json"]
