@@ -31,13 +31,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver checks queries in dict insertion order and stops at a
 # ~50-query budget. Round-9 rotation (staleness is computed against
 # CORRECTNESS_r0{5..8}):
-# first the 10 queries whose CODE is new or changed in round 9
-# (the two quality-classifier queries and the bigram-LM scorer;
-# star connected components, trend-slope rounding unification,
-# RI-audit join-strategy change), then the 8-query r05-stale
-# overflow tail round 8 explicitly rolled forward, then the
-# r06-stale set (44 queries) ordered join/window-complex first.
-# 10 + 8 + 44 = 62 overflows a 50 budget by ~12, so the LAST
+# first the 11 queries whose CODE is new or changed in round 9
+# (the two quality-classifier queries and the two bigram-LM
+# scorers; star connected components, trend-slope rounding
+# unification, RI-audit join-strategy change), then the 8-query
+# r05-stale overflow tail round 8 explicitly rolled forward, then
+# the r06-stale set (44 queries) ordered join/window-complex first.
+# 11 + 8 + 44 = 63 overflows a 50 budget by ~13, so the LAST
 # positions are the lowest-risk overflow (map-only/aggregate
 # curation-plan queries, unchanged since r06, green in multiple
 # prior rounds) and roll to the r10 rotation.
@@ -49,6 +49,7 @@ _FIRST = [
     "quality_classifier",
     "quality_keep_rate",
     "lm_doc_likelihood",
+    "lm_heldout_score",
     # Changed round 9: large-star/small-star components
     # (dedup.py _star_components) behind these three cluster
     # queries; floor-half-up rounding unified across the trend-slope

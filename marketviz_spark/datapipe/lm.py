@@ -101,22 +101,37 @@ def bigram_counts(docs: DataFrame) -> DataFrame:
     )
 
 
-def doc_lm_likelihood(docs: DataFrame) -> DataFrame:
+def doc_lm_likelihood(
+    docs: DataFrame, train_docs: DataFrame | None = None
+) -> DataFrame:
     """Per-document add-one-smoothed bigram likelihood.
 
     Columns: doc_id, n_bigrams (long), oov_bigrams (long — unseen
     transitions), lm_score (double — mean p, floor-half-up 6dp;
     0.0 for docs with no bigram, NULL-text included).
 
+    ``train_docs`` (default: ``docs``) is the corpus the LM is
+    trained on. Training on the scored corpus itself makes
+    oov_bigrams vacuously 0 (every transition was seen); a HELD-OUT
+    split — train on one source slice, score everything — is the
+    production cross-corpus shape, where unseen transitions and
+    even unseen unigrams appear (an unseen w1 backs off to the pure
+    Laplace floor p = 1/V, since c12 = c1 = 0).
+
     The vocabulary size V rides in as a 1-row broadcast cross join
     (the repo's scalar-bind pattern); counts joins are
     Catalyst-chosen. The per-doc fold sums p in position order so
     the result is bit-identical across engines (module docstring).
     """
-    uni = unigram_counts(docs)
-    big = bigram_counts(docs)
+    train = docs if train_docs is None else train_docs
+    uni = unigram_counts(train)
+    big = bigram_counts(train)
     vocab = uni.agg(F.count("*").cast("long").alias("v"))
 
+    # V = 0 (empty training corpus) is a defined case, not an Inf:
+    # no model means nothing is likely — every p is 0.0 and every
+    # bigram counts as OOV. Without the guard the smoothed division
+    # is 1/0.0 = +Inf and floor() semantics diverge by engine.
     stream = (
         _bigram_stream(docs)
         .join(big, ["w1", "w2"], "left")
@@ -126,15 +141,18 @@ def doc_lm_likelihood(docs: DataFrame) -> DataFrame:
             "doc_id",
             "pos",
             F.coalesce(F.col("c12"), F.lit(0)).alias("c12"),
-            (
+            F.when(
+                F.col("v") > 0,
                 (
                     F.coalesce(F.col("c12"), F.lit(0)) + F.lit(SMOOTH_K)
                 ).cast("double")
                 / (
                     F.coalesce(F.col("c1"), F.lit(0))
                     + F.lit(SMOOTH_K) * F.col("v")
-                ).cast("double")
-            ).alias("p"),
+                ).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("p"),
         )
     )
     per_doc = (

@@ -258,13 +258,35 @@ qscore AS (
 # is one division of engine-identical integers; the per-doc sum
 # folds p in bigram-position order on BOTH sides (sort_array +
 # aggregate vs list(ORDER BY) + list_reduce), so lm_score is
-# bit-identical, not approximately equal.
-_LM_CTES = f"""
+# bit-identical, not approximately equal. The CTE block is
+# GENERATED per training slice so the self-trained and held-out
+# queries share one oracle definition; an empty training slice is
+# a defined case (V = 0 -> every p 0.0, every bigram OOV), not an
+# engine-divergent Inf.
+
+
+def _lm_ctes(train_where: str) -> str:
+    return f"""
+lm_tr AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS t
+    FROM documents WHERE {train_where}
+),
 lm_uni AS (
     SELECT w, CAST(count(*) AS BIGINT) AS c1
-    FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+    FROM (SELECT unnest(t) AS w FROM lm_tr) GROUP BY w
 ),
 lm_vocab AS (SELECT CAST(count(*) AS BIGINT) AS v FROM lm_uni),
+lm_big AS (
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+    FROM (
+        SELECT t[pos] AS w1, t[pos + 1] AS w2
+        FROM (
+            SELECT unnest(generate_series(1, len(t) - 1)) AS pos, t
+            FROM lm_tr WHERE len(t) >= 2
+        )
+    ) GROUP BY w1, w2
+),
 lm_pairs AS (
     SELECT doc_id, pos, t[pos] AS w1, t[pos + 1] AS w2
     FROM (
@@ -273,16 +295,14 @@ lm_pairs AS (
         FROM toks WHERE len(t) >= 2
     )
 ),
-lm_big AS (
-    SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
-    FROM lm_pairs GROUP BY w1, w2
-),
 lm_p AS (
     SELECT d.doc_id, d.pos,
            coalesce(b.c12, 0) AS c12,
-           CAST(coalesce(b.c12, 0) + {lm.SMOOTH_K} AS DOUBLE)
-             / CAST(coalesce(u.c1, 0) + {lm.SMOOTH_K} * v.v AS DOUBLE)
-             AS p
+           CASE WHEN v.v > 0 THEN
+               CAST(coalesce(b.c12, 0) + {lm.SMOOTH_K} AS DOUBLE)
+                 / CAST(coalesce(u.c1, 0) + {lm.SMOOTH_K} * v.v
+                        AS DOUBLE)
+           ELSE 0.0 END AS p
     FROM lm_pairs d
     LEFT JOIN lm_big b USING (w1, w2)
     LEFT JOIN lm_uni u ON d.w1 = u.w
@@ -299,10 +319,7 @@ lm_doc AS (
 """
 
 
-@register(
-    "lm_doc_likelihood",
-    f"WITH {TOKS_CTE}, {_LM_CTES}"
-    + """
+_LM_SELECT = """
     SELECT d.doc_id,
            CAST(coalesce(l.n_bigrams, 0) AS BIGINT) AS n_bigrams,
            CAST(coalesce(l.oov_bigrams, 0) AS BIGINT) AS oov_bigrams,
@@ -311,11 +328,40 @@ lm_doc AS (
                           / CAST(l.n_bigrams AS DOUBLE) + 0.5)
                     / 1000000.0, 0.0) AS lm_score
     FROM documents d LEFT JOIN lm_doc l USING (doc_id)
-    """,
+    """
+
+
+@register(
+    "lm_doc_likelihood",
+    f"WITH {TOKS_CTE}, {_lm_ctes('TRUE')}" + _LM_SELECT,
     survey="corpus-trained bigram-LM likelihood scoring (CCNet-shape statistical-LM filter, datapipe)",
 )
 def q_lm_doc_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm.doc_lm_likelihood(tables.load(spark, sf_dir, "documents"))
+
+
+@register(
+    "lm_heldout_score",
+    "WITH "
+    + TOKS_CTE
+    + ", "
+    + _lm_ctes("source = 'src0'")
+    + _LM_SELECT,
+    survey="held-out bigram-LM scoring: train on the source='src0' seed slice, score the whole corpus — the cross-corpus shape where OOV transitions (~20% at sf0.01) and unseen-unigram Laplace backoff are real, not vacuous (datapipe)",
+)
+def q_lm_heldout_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-corpus LM: trained on the src0 slice only, scoring
+    everything — documents far from the seed distribution surface
+    as low lm_score / high oov_bigrams, the filter CCNet runs with
+    a Wikipedia-trained KenLM over Common Crawl. The self-trained
+    twin (`lm_doc_likelihood`) has a vacuously-zero OOV channel;
+    this split exercises it for real (~20% OOV at sf0.01). The
+    empty-train V=0 convention (p=0.0, all-OOV) is pinned by a
+    dedicated unit test with a corpus containing no src0 docs."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return lm.doc_lm_likelihood(
+        docs, train_docs=docs.filter(F.col("source") == "src0")
+    )
 
 
 @register(

@@ -1435,3 +1435,55 @@ def test_stream_documents_jsonl_matches_batch_gate(spark, tmp_path):
     assert sg == sorted((r["doc_id"], r["text"]) for r in bg.collect())
     assert sb == sorted(r["reason"] for r in bb.collect())
     assert sb == ["missing doc_id", "unparseable json"]
+
+
+def test_lm_heldout_empty_train_is_defined(spark):
+    """An empty training slice (V=0) is a defined case — every p is
+    0.0 and every bigram is OOV — never an engine-divergent Inf
+    (1/0.0) reaching floor()."""
+    from marketviz_spark.datapipe.lm import doc_lm_likelihood
+
+    docs = spark.createDataFrame(
+        [(0, "a b c", "en", "srcX", 5), (1, "b c", "en", "srcY", 3)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["oov_bigrams"], r["lm_score"])
+        for r in doc_lm_likelihood(
+            docs, train_docs=docs.filter(F.col("source") == "src0")
+        ).collect()
+    }
+    assert out == {0: (2, 2, 0.0), 1: (1, 1, 0.0)}
+
+
+def test_lm_heldout_oov_counts_unseen_transitions(spark):
+    """Train on doc 0 ('a b c'), score doc 1 ('c a x b'): the
+    transitions c->a, a->x, x->b are unseen (oov=3); its smoothed
+    probabilities back off — unseen w1 'x' to the Laplace floor
+    1/V."""
+    import math
+
+    from marketviz_spark.datapipe.lm import doc_lm_likelihood
+
+    docs = spark.createDataFrame(
+        [(0, "a b c", "en", "seed", 5), (1, "c a x b", "en", "web", 7)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["oov_bigrams"], r["lm_score"])
+        for r in doc_lm_likelihood(
+            docs, train_docs=docs.filter(F.col("source") == "seed")
+        ).collect()
+    }
+    # train: uni a/b/c = 1 each, V=3; bigrams (a,b),(b,c) = 1 each
+    # doc0: p(a->b)=2/4, p(b->c)=2/4 -> mean 0.5, oov 0
+    assert out[0] == (2, 0, 0.5)
+    # doc1: c->a (0+1)/(1+3), a->x (0+1)/(1+3), x->b (0+1)/(0+3)
+    ps = [1 / 4, 1 / 4, 1 / 3]
+    s = 0.0
+    for p in ps:
+        s += p
+    want = math.floor(s * 1e6 / 3 + 0.5) / 1e6
+    assert out[1] == (3, 3, want)
