@@ -31,25 +31,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver checks queries in dict insertion order and stops at a
 # ~50-query budget. Round-9 rotation (staleness is computed against
 # CORRECTNESS_r0{5..8}):
-# first the 11 queries whose CODE is new or changed in round 9
-# (the two quality-classifier queries and the two bigram-LM
-# scorers; star connected components, trend-slope rounding
+# first the 12 queries whose CODE is new or changed in round 9
+# (the quality-classifier pair, the bigram-LM pair, winnowing;
+# star connected components, trend-slope rounding
 # unification, RI-audit join-strategy change), then the 8-query
 # r05-stale overflow tail round 8 explicitly rolled forward, then
 # the r06-stale set (44 queries) ordered join/window-complex first.
-# 11 + 8 + 44 = 63 overflows a 50 budget by ~13, so the LAST
+# 12 + 8 + 44 = 64 overflows a 50 budget by ~14, so the LAST
 # positions are the lowest-risk overflow (map-only/aggregate
 # curation-plan queries, unchanged since r06, green in multiple
 # prior rounds) and roll to the r10 rotation.
 _FIRST = [
     # NEW in round 9: hashed-linear quality classifier
-    # (datapipe/quality_model.py) and bigram-LM likelihood scorer
-    # (datapipe/lm.py) — never driver-checked before, so these
-    # lead.
+    # (datapipe/quality_model.py), bigram-LM likelihood scorers
+    # (datapipe/lm.py), and winnowing fingerprints (dedup.py) —
+    # never driver-checked before, so these lead.
     "quality_classifier",
     "quality_keep_rate",
     "lm_doc_likelihood",
     "lm_heldout_score",
+    "dedup_winnowing",
     # Changed round 9: large-star/small-star components
     # (dedup.py _star_components) behind these three cluster
     # queries; floor-half-up rounding unified across the trend-slope

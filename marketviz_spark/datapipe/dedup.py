@@ -1058,3 +1058,117 @@ def cluster_size_histogram(docs: DataFrame) -> DataFrame:
             .alias("dup_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken — "Winnowing:
+# Local Algorithms for Document Fingerprinting", SIGMOD'03; the MOSS
+# algorithm). A dedup family the shingle/minhash/simhash tiers don't
+# cover: POSITIONAL substring fingerprints with a guarantee — any
+# shared substring of length >= WINNOW_K + WINNOW_W - 1 chars is
+# caught by at least one shared fingerprint, while storing only
+# ~2/(W+1) of the k-gram hashes.
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 8  # char k-gram size
+WINNOW_W = 4  # winnowing window (in k-gram positions)
+_WINNOW_B = 257  # polynomial base
+_WINNOW_M = 2_147_483_647  # 2^31-1; keeps the fold inside a long
+
+
+def winnowing_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp): the DISTINCT winnowed fingerprint set of every
+    document — min k-gram hash per sliding window of WINNOW_W
+    consecutive positions.
+
+    Shape: stage the code-point array, EXPLODE the k-gram start
+    positions to rows across a Generate barrier, hash each k-gram
+    as a flat unrolled polynomial over `element_at` on the
+    materialized array column, then take the window min with a
+    per-document ROWS frame and distinct the survivors.
+
+    Why the Generate barrier (hard-won): the array-local form —
+    `transform(sequence(1, n), i -> poly(element_at(_cs, i+k)))`
+    over a staged `_cs` — gets its staging DESTROYED by
+    CollapseProject, because references inside a lambda body are
+    not counted by the collapse rule's non-cheap-reference check
+    (the similarity.py staging lesson only protects TOP-LEVEL
+    references). The inlined plan re-split the whole text per
+    polynomial term — jstack showed StringSplit under Remainder —
+    for ~K * n_grams redundant tokenizations per document, minutes
+    for 500 small docs. A Generate cannot be collapsed through, so
+    downstream projections see `_cs` as a materialized attribute
+    (cheap to reference 8 times), not an inlinable expression.
+
+    The mod in the hash fold keeps astral codepoints from
+    overflowing a long; both engines evaluate the identical
+    integer arithmetic, and substring/ascii are code-point based
+    in both (probed incl. astral + combining chars).
+
+    Scale: the explode is a corpus-character-scale narrow stream
+    (the LM bigram stream's class); the window min costs ONE
+    per-doc_id shuffle; the downstream groupBy(fp) is the only
+    other wide stage, on uniform hash keys.
+    """
+    codes = F.transform(
+        F.split(F.col("text"), ""),
+        lambda c: F.ascii(c).cast("long"),
+    )
+    toked = docs.select("doc_id", codes.alias("_cs")).select(
+        "doc_id", "_cs", F.size("_cs").alias("_n")
+    )
+    n_grams = F.col("_n") - F.lit(WINNOW_K) + 1
+    g = (
+        toked.where(F.col("_n") >= WINNOW_K + WINNOW_W - 1)
+        .select(
+            "doc_id",
+            "_cs",
+            n_grams.alias("_ng"),
+            F.explode(F.sequence(F.lit(1), n_grams)).alias("pos"),
+        )
+    )
+    h = F.element_at(F.col("_cs"), F.col("pos").cast("int"))
+    for k in range(1, WINNOW_K):
+        h = (
+            h * _WINNOW_B
+            + F.element_at(
+                F.col("_cs"), (F.col("pos") + k).cast("int")
+            )
+        ) % _WINNOW_M
+    hashed = g.select(
+        "doc_id",
+        "pos",
+        (F.col("_ng") - F.lit(WINNOW_W) + 1).alias("_nw"),
+        h.alias("_h"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    return (
+        hashed.withColumn("fp", F.min("_h").over(w))
+        .filter(F.col("pos") <= F.col("_nw"))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
+def winnowing_shared_report(docs: DataFrame) -> DataFrame:
+    """Cross-document winnowing report: fingerprints appearing in
+    >= 2 documents, with the document count and min-id
+    representative — the dedup_exact-shaped output (bounded by the
+    fingerprint domain, never a pair set).
+
+    Scale: ONE partial-aggregated groupBy on the uniform fp key;
+    a hot boilerplate fingerprint produces one wide row, not a
+    quadratic pair space."""
+    fps = winnowing_fingerprints(docs)
+    return (
+        fps.groupBy("fp")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("rep_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import tables
-from .datapipe import lm, quality_model
+from .datapipe import dedup, lm, quality_model
 from .datapipe.dedup import (
     BAND_SIZE,
     HEX,
@@ -211,6 +211,56 @@ def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .datapipe.textstats import merge_pair_topk
 
     return merge_pair_topk(tables.load(spark, sf_dir, "documents"))
+
+
+# Winnowing fingerprints (dedup.py WINNOW_*). Engine-identical by
+# construction: substring/length/ascii are code-point based in both
+# engines (probed incl. astral + combining chars), the polynomial
+# fold is exact modular integer arithmetic, and the short-text
+# guard keeps Spark's descending sequence(1,0) quirk out of play.
+_WINNOW_SQL = f"""
+    WITH win_h AS (
+        SELECT doc_id,
+               CASE WHEN length(text) - {dedup.WINNOW_K} + 1 >= 1 THEN
+                   list_transform(
+                       generate_series(1, length(text) - {dedup.WINNOW_K} + 1),
+                       i -> list_reduce(
+                           list_transform(
+                               string_split(
+                                   substring(text, i, {dedup.WINNOW_K}), ''),
+                               c -> CAST(ascii(c) AS BIGINT)),
+                           (a, c) -> (a * {dedup._WINNOW_B} + c)
+                                     % {dedup._WINNOW_M}))
+               ELSE [] END AS hs
+        FROM documents WHERE text IS NOT NULL
+    ),
+    win_f AS (
+        SELECT DISTINCT doc_id, fp
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, len(hs) - {dedup.WINNOW_W} + 1),
+                       j -> list_min(hs[j:j + {dedup.WINNOW_W} - 1])))
+                       AS fp
+            FROM win_h WHERE len(hs) >= {dedup.WINNOW_W}
+        )
+    )
+    SELECT fp,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS rep_doc_id
+    FROM win_f GROUP BY fp HAVING count(*) >= 2
+    """
+
+
+@register(
+    "dedup_winnowing",
+    _WINNOW_SQL,
+    survey="winnowing positional fingerprints (Schleimer/MOSS SIGMOD'03): shared >= K+W-1-char substrings guaranteed caught, ~2/(W+1) storage (datapipe)",
+)
+def q_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.winnowing_shared_report(
+        tables.load(spark, sf_dir, "documents")
+    )
 
 
 # Hashed-linear quality classifier (quality_model.py). The oracle

@@ -1487,3 +1487,47 @@ def test_lm_heldout_oov_counts_unseen_transitions(spark):
         s += p
     want = math.floor(s * 1e6 / 3 + 0.5) / 1e6
     assert out[1] == (3, 3, want)
+
+
+def test_winnowing_guarantee_and_edges(spark):
+    """The winnowing contract (Schleimer SIGMOD'03): any shared
+    substring of length >= K + W - 1 chars is caught by at least
+    one shared fingerprint; disjoint texts share nothing; texts
+    shorter than K + W - 1 produce no fingerprints; NULL text is
+    dropped."""
+    from marketviz_spark.datapipe.dedup import (
+        WINNOW_K,
+        WINNOW_W,
+        winnowing_fingerprints,
+        winnowing_shared_report,
+    )
+
+    guarantee = WINNOW_K + WINNOW_W - 1  # 11 chars
+    shared = "qwertyuiopasdfghjkl"  # 19 chars >> guarantee
+    docs = spark.createDataFrame(
+        [
+            (0, "AAA " + shared + " tail one", "en", "s", 0),
+            (1, "completely different prefix " + shared, "en", "s", 0),
+            (2, "zz 0123456789 zz nothing in common here", "en", "s", 0),
+            (3, "short", "en", "s", 0),  # < K+W-1: no fingerprints
+            (4, None, "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    assert len(shared) >= guarantee
+    fps = {
+        (r["doc_id"], r["fp"])
+        for r in winnowing_fingerprints(docs).collect()
+    }
+    by_doc = {}
+    for d, f in fps:
+        by_doc.setdefault(d, set()).add(f)
+    assert by_doc[0] & by_doc[1], "shared 19-char run must collide"
+    assert not (by_doc[0] & by_doc[2]) and not (by_doc[1] & by_doc[2])
+    assert 3 not in by_doc and 4 not in by_doc
+
+    rep = winnowing_shared_report(docs).collect()
+    assert rep and all(
+        r["n_docs"] == 2 and r["rep_doc_id"] == 0 for r in rep
+    )
