@@ -38,10 +38,38 @@ DOC_FIELDS = [
 DOC_JSONL_SCHEMA = T.StructType(DOC_FIELDS + [T.StructField(_CORRUPT, T.StringType())])
 
 
-def read_documents_jsonl(
-    spark: SparkSession, path: str
-) -> tuple[DataFrame, DataFrame]:
-    """Read a JSONL document corpus; returns ``(good, bad)``.
+class JsonlIngest:
+    """Result of :func:`read_documents_jsonl`: the ``(good, bad)``
+    channel pair PLUS ownership of the cached parent scan.
+
+    Unpacks like the historical 2-tuple (``good, bad = ...``), and
+    additionally exposes :meth:`unpersist` — the good/bad frames are
+    *derived* from one cached parent, so unpersisting them would not
+    release the cache; only the owner object can. Callers that care
+    about memory (any corpus near cluster-memory scale) call
+    ``res.unpersist()`` once both channels are consumed, or swap the
+    cache for a staging write as the reader docstring suggests.
+    """
+
+    def __init__(
+        self, good: DataFrame, bad: DataFrame, source: DataFrame
+    ) -> None:
+        self.good = good
+        self.bad = bad
+        self.source = source
+
+    def __iter__(self):
+        return iter((self.good, self.bad))
+
+    def unpersist(self, blocking: bool = False) -> "JsonlIngest":
+        """Release the cached parent scan both channels share."""
+        self.source.unpersist(blocking)
+        return self
+
+
+def read_documents_jsonl(spark: SparkSession, path: str) -> JsonlIngest:
+    """Read a JSONL document corpus; returns a :class:`JsonlIngest`
+    (unpacks as ``(good, bad)``).
 
     ``good`` carries exactly the documents-table schema. ``bad``
     carries (reason, raw) — one row per rejected line, where
@@ -55,7 +83,9 @@ def read_documents_jsonl(
     columns), and the cache also keeps the two channels one scan —
     at 100 TB this is one pass over the files either way, and the
     cache should be swapped for a staging write when the corpus
-    exceeds cluster memory (callers own .unpersist()).
+    exceeds cluster memory. The cached parent is owned by the
+    returned object: call ``.unpersist()`` on IT (unpersisting the
+    derived good/bad frames would not release the parent).
     """
     df = (
         spark.read.schema(DOC_JSONL_SCHEMA)
@@ -63,7 +93,8 @@ def read_documents_jsonl(
         .option("columnNameOfCorruptRecord", _CORRUPT)
         .json(path)
     ).cache()
-    return split_channels(df)
+    good, bad = split_channels(df)
+    return JsonlIngest(good, bad, df)
 
 
 def split_channels(df: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -91,6 +122,45 @@ def split_channels(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     return good, bad
 
 
+def _persisted_run_token(spark: SparkSession, checkpoint_dir: str) -> str:
+    """Run identifier that is STABLE across restarts of the same
+    checkpoint: minted once on first start and persisted UNDER the
+    checkpoint directory, so its lifetime is exactly the
+    checkpoint's. Three cases the (run, epoch) overwrite scheme
+    needs:
+
+    - restart with intact checkpoint → same token; a replayed epoch
+      (sink written, commit log not) overwrites its OWN partition
+      instead of duplicating it under a fresh run id;
+    - checkpoint deleted (true fresh run, epoch ids re-zeroed) →
+      the marker dies with the checkpoint, a new token is minted,
+      and re-zeroed epochs cannot alias the old run's output;
+    - two different streams → different checkpoint dirs by
+      Structured Streaming's own contract, hence different tokens.
+
+    The token is encoded in a marker FILE NAME
+    (``<ckpt>/_marketviz_run/<hex>``) so recovery is a Hadoop-FS
+    listStatus, not a byte-stream read — works on any scheme the
+    checkpoint itself works on (local, HDFS, S3A).
+    """
+    import uuid
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    marker = jvm.org.apache.hadoop.fs.Path(checkpoint_dir, "_marketviz_run")
+    fs = marker.getFileSystem(hconf)
+    if fs.exists(marker):
+        names = [st.getPath().getName() for st in fs.listStatus(marker)]
+        if names:
+            return sorted(names)[0]
+    token = uuid.uuid4().hex
+    fs.mkdirs(marker)
+    fs.createNewFile(
+        jvm.org.apache.hadoop.fs.Path(marker, token)
+    )
+    return token
+
+
 def stream_documents_jsonl(
     spark: SparkSession,
     path: str,
@@ -105,23 +175,27 @@ def stream_documents_jsonl(
     corpus sink and a (reason, raw) bad sink. Returns the started
     StreamingQuery.
 
-    Exactly-once across retries and restarts via the repo's
+    Exactly-once across retries AND restarts via the repo's
     (run, epoch) dynamic-partition-overwrite scheme
     (`streaming/dedup.stream_ingest_gate` documents the failure
     modes): a task retry of epoch N overwrites its OWN partition
-    wholesale, and a restart gets a fresh run token so re-zeroed
-    epoch ids can never alias an older run's output. Plain append
-    sinks would duplicate rows on exactly those paths.
+    wholesale, and the run token is persisted under the checkpoint
+    directory (:func:`_persisted_run_token`) so a crash-replay
+    after restart (sink written, commit log not) re-lands on the
+    SAME (run, epoch) partition and overwrites it — epoch ids
+    continue from the checkpoint, so the pair stays unique. A
+    deleted checkpoint (epoch ids re-zeroed) also deletes the
+    token, so a genuinely fresh run cannot alias an older run's
+    partitions. Plain append sinks would duplicate rows on exactly
+    these paths.
 
     Scale: the gate is a per-batch column-expression filter — no
     Python, no shuffle; the sinks partition by (run, epoch), so
     downstream consumers compact or prune by ingest generation.
     """
-    import uuid
-
     from ..pipelines.upsert import upsert_by_date_partition
 
-    run_token = uuid.uuid4().hex
+    run_token = _persisted_run_token(spark, checkpoint_dir)
 
     def route(batch_df: DataFrame, epoch_id: int) -> None:
         bspark = batch_df.sparkSession

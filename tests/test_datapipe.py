@@ -1437,6 +1437,105 @@ def test_stream_documents_jsonl_matches_batch_gate(spark, tmp_path):
     assert sb == ["missing doc_id", "unparseable json"]
 
 
+def test_read_documents_jsonl_cache_ownership(spark, tmp_path):
+    """The reader's cached parent scan is owned by the returned
+    JsonlIngest: unpersisting the derived channels would NOT release
+    it (they are children of the cached frame), so the result object
+    exposes .unpersist() on the parent itself — and tuple-unpacking
+    compatibility is preserved."""
+    from marketviz_spark.datapipe.ingest import read_documents_jsonl
+
+    p = tmp_path / "c.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "a b", "lang": "en", "source": "s",'
+        ' "n_chars": 3}\n'
+    )
+    res = read_documents_jsonl(spark, str(p))
+    good, bad = res  # unpacking still works
+    assert good.count() == 1 and bad.count() == 0
+    assert res.source.storageLevel.useMemory  # parent IS cached
+    res.unpersist(blocking=True)
+    assert not res.source.storageLevel.useMemory  # and releasable
+
+
+def test_stream_documents_jsonl_restart_replay_no_dups(spark, tmp_path):
+    """Restart-replay idempotence: a crash between the sink write
+    and the commit-log write makes Structured Streaming re-execute
+    that epoch on restart. Because the run token is persisted under
+    the checkpoint dir, the replayed epoch lands on the SAME
+    (run, epoch) partition and dynamic-partition-overwrite rewrites
+    it — no duplicate rows, one run generation on disk. (Before
+    round 10 the token was minted per start(), so exactly this path
+    duplicated the whole epoch under a second run id.)"""
+    import os
+
+    from marketviz_spark.datapipe.ingest import (
+        read_documents_jsonl,
+        stream_documents_jsonl,
+    )
+
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "a.jsonl").write_text(
+        '{"doc_id": 1, "text": "alpha", "lang": "en", "source": "s",'
+        ' "n_chars": 5}\n'
+        '{"doc_id": 9, "text": "bad line...\n'
+    )
+    good_dir = str(tmp_path / "good")
+    bad_dir = str(tmp_path / "bad")
+    ck = tmp_path / "ck"
+
+    q = stream_documents_jsonl(
+        spark, str(land), good_dir, bad_dir, str(ck)
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # Simulate the crash: epoch 0's sink write survived, its commit
+    # record did not — delete the newest commit-log entry so the
+    # restart replays that epoch with the SAME epoch id.
+    commits = sorted(
+        f for f in os.listdir(ck / "commits") if not f.startswith(".")
+    )
+    os.remove(ck / "commits" / commits[-1])
+    crc = ck / "commits" / f".{commits[-1]}.crc"
+    if crc.exists():  # local ChecksumFileSystem sidecar must go too
+        os.remove(crc)
+
+    # New data lands between crash and restart.
+    (land / "b.jsonl").write_text(
+        '{"doc_id": 2, "text": "beta", "lang": "en", "source": "s",'
+        ' "n_chars": 4}\n'
+    )
+    q2 = stream_documents_jsonl(
+        spark, str(land), good_dir, bad_dir, str(ck)
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    good = spark.read.parquet(good_dir)
+    rows = sorted(
+        (r["doc_id"], r["text"]) for r in good.collect()
+    )
+    assert rows == [(1, "alpha"), (2, "beta")]  # replay did NOT dup
+    assert good.select("run").distinct().count() == 1  # one token
+    bad = spark.read.parquet(bad_dir)
+    assert bad.count() == 1  # the broken line, exactly once
+    assert bad.select("run").distinct().count() == 1
+
+    # And the end state equals the batch gate over the same landing
+    # dir — the stream==batch contract survives the restart.
+    bg, bb = read_documents_jsonl(spark, str(land))
+    assert rows == sorted(
+        (r["doc_id"], r["text"]) for r in bg.collect()
+    )
+    assert bb.count() == 1
+
+
 def test_lm_heldout_empty_train_is_defined(spark):
     """An empty training slice (V=0) is a defined case — every p is
     0.0 and every bigram is OOV — never an engine-divergent Inf
