@@ -31,14 +31,19 @@ rounding differences no oracle can hash.
 
 Determinism contract (DuckDB oracle parity): each smoothed p is ONE
 division of engine-identical integers (IEEE-exact, bit-equal in
-both engines); the per-document sum folds p IN BIGRAM POSITION
-ORDER on both sides (Spark: sort_array(collect_list(struct(pos,
-p))) + left-fold `aggregate`; DuckDB: `list(p ORDER BY pos)` +
-`list_reduce` left fold), so the mean is bit-identical — not
-approximately equal — and the 6dp floor can never straddle an
-engine boundary. The repo's standard escape from
-summation-order nondeterminism, applied to floats that cannot stay
-integer.
+both engines); each p is then QUANTIZED to an integer —
+``floor(p * 1e15)``, one IEEE multiply plus floor, bit-identical
+in both engines — and the per-document sum runs over those
+integers in exact decimal arithmetic, which is order-FREE. So the
+mean is bit-identical — not approximately equal — and the 6dp
+floor can never straddle an engine boundary, with NO per-document
+buffer: round 9 shipped this as sort_array(collect_list(...)) +
+a position-ordered fold, whose per-doc aggregation buffer was
+O(doc tokens) — a fat-row/OOM risk on book-length documents at
+100 TB. The quantized-integer sum keeps the exactness and drops
+the buffer (the quantization error, ≤1e-15 per term on a mean
+later rounded at 6dp, is 9 orders of magnitude below the reported
+precision).
 """
 
 from __future__ import annotations
@@ -120,8 +125,9 @@ def doc_lm_likelihood(
 
     The vocabulary size V rides in as a 1-row broadcast cross join
     (the repo's scalar-bind pattern); counts joins are
-    Catalyst-chosen. The per-doc fold sums p in position order so
-    the result is bit-identical across engines (module docstring).
+    Catalyst-chosen. The per-doc sum is an order-free exact decimal
+    sum of 1e15-quantized p — bit-identical across engines with no
+    per-document array buffer (module docstring).
     """
     train = docs if train_docs is None else train_docs
     uni = unigram_counts(train)
@@ -139,7 +145,6 @@ def doc_lm_likelihood(
         .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",
-            "pos",
             F.coalesce(F.col("c12"), F.lit(0)).alias("c12"),
             F.when(
                 F.col("v") > 0,
@@ -155,6 +160,12 @@ def doc_lm_likelihood(
             .alias("p"),
         )
     )
+    # Order-free exact per-doc sum: quantize each p to
+    # floor(p * 1e15) — a long, bit-identical in both engines — and
+    # sum in decimal(38,0) (exact, never overflows a book-length
+    # doc, commutative). No collect_list, no per-doc array buffer:
+    # the aggregation state is two longs and a decimal regardless
+    # of document length.
     per_doc = (
         stream.groupBy("doc_id")
         .agg(
@@ -162,9 +173,9 @@ def doc_lm_likelihood(
             F.sum(F.when(F.col("c12") == 0, 1).otherwise(0))
             .cast("long")
             .alias("oov_bigrams"),
-            F.sort_array(
-                F.collect_list(F.struct("pos", "p"))
-            ).alias("_ps"),
+            F.sum(
+                F.floor(F.col("p") * F.lit(1e15)).cast("decimal(38,0)")
+            ).alias("_psum"),
         )
         .select(
             "doc_id",
@@ -172,12 +183,8 @@ def doc_lm_likelihood(
             "oov_bigrams",
             (
                 F.floor(
-                    F.aggregate(
-                        F.transform(F.col("_ps"), lambda x: x["p"]),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                    * F.lit(1_000_000.0)
+                    F.col("_psum").cast("double")
+                    / F.lit(1_000_000_000.0)
                     / F.col("n_bigrams").cast("double")
                     + F.lit(0.5)
                 )

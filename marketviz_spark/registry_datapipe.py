@@ -305,14 +305,17 @@ qscore AS (
 
 
 # Bigram-LM likelihood scoring (datapipe/lm.py). Every smoothed p
-# is one division of engine-identical integers; the per-doc sum
-# folds p in bigram-position order on BOTH sides (sort_array +
-# aggregate vs list(ORDER BY) + list_reduce), so lm_score is
-# bit-identical, not approximately equal. The CTE block is
-# GENERATED per training slice so the self-trained and held-out
-# queries share one oracle definition; an empty training slice is
-# a defined case (V = 0 -> every p 0.0, every bigram OOV), not an
-# engine-divergent Inf.
+# is one division of engine-identical integers; each p is then
+# quantized — floor(p * 1e15), one IEEE multiply + floor,
+# bit-identical in both engines — and the per-doc sum runs over
+# those integers in exact arithmetic (Spark decimal(38,0), DuckDB
+# hugeint), which is order-FREE: lm_score is bit-identical with no
+# per-document list buffer on either side (round 10; the previous
+# position-ordered list fold buffered O(doc tokens) per group).
+# The CTE block is GENERATED per training slice so the
+# self-trained and held-out queries share one oracle definition;
+# an empty training slice is a defined case (V = 0 -> every p 0.0,
+# every bigram OOV), not an engine-divergent Inf.
 
 
 def _lm_ctes(train_where: str) -> str:
@@ -363,7 +366,7 @@ lm_doc AS (
            CAST(count(*) AS BIGINT) AS n_bigrams,
            CAST(sum(CASE WHEN c12 = 0 THEN 1 ELSE 0 END) AS BIGINT)
                AS oov_bigrams,
-           list(p ORDER BY pos) AS ps
+           sum(CAST(floor(p * 1e15) AS HUGEINT)) AS psum
     FROM lm_p GROUP BY doc_id
 )
 """
@@ -373,8 +376,8 @@ _LM_SELECT = """
     SELECT d.doc_id,
            CAST(coalesce(l.n_bigrams, 0) AS BIGINT) AS n_bigrams,
            CAST(coalesce(l.oov_bigrams, 0) AS BIGINT) AS oov_bigrams,
-           coalesce(floor(list_reduce(l.ps, (x, y) -> x + y)
-                          * 1000000.0
+           coalesce(floor(CAST(l.psum AS DOUBLE)
+                          / 1000000000.0
                           / CAST(l.n_bigrams AS DOUBLE) + 0.5)
                     / 1000000.0, 0.0) AS lm_score
     FROM documents d LEFT JOIN lm_doc l USING (doc_id)

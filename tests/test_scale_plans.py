@@ -601,3 +601,38 @@ def test_trend_slope_closed_no_python(spark):
     plan = _plan(QUERIES["w_trend_slope_closed"].fn(spark, SF_SMALL))
     for marker in ("FlatMapGroupsInPandas", "ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert marker not in plan, marker
+
+
+def test_winnowing_report_two_exchanges_distinct_before_fp(spark):
+    """winnowing_shared_report's wide stages stay exactly: ONE
+    per-doc_id shuffle (the window min) and ONE fp groupBy — the
+    per-doc fingerprint distinct must ride the doc_id partitioning
+    (keys=[doc_id, fp] aggregate with NO exchange of its own,
+    BEFORE the fp exchange), so a hot boilerplate fingerprint never
+    ships duplicate (doc, fp) rows into the fp shuffle. The explode
+    (Generate) must sit BELOW the doc_id exchange: the
+    char-position stream is map-side, never shuffled."""
+    plan = _plan(QUERIES["dedup_winnowing"].fn(spark, SF_SMALL))
+    assert plan.count("Exchange") == 2, plan
+    fp_ex = plan.index("Exchange hashpartitioning(fp")
+    doc_ex = plan.index("Exchange hashpartitioning(doc_id")
+    # top-down plan text: fp exchange above (consuming) the distinct,
+    # which is above the doc_id exchange, which is above the explode
+    distinct = plan.index("HashAggregate(keys=[doc_id")
+    generate = plan.index("Generate explode")
+    assert fp_ex < distinct < doc_ex < generate, plan
+    # and the per-position stream never buffers: no Object aggregate
+    assert "ObjectHashAggregate" not in plan
+
+
+def test_lm_likelihood_no_per_doc_buffer(spark):
+    """The per-document LM sum is an order-free exact decimal sum of
+    1e15-quantized p — the round-9 sort_array(collect_list(...))
+    fold buffered O(doc tokens) per group, a fat-row/OOM risk on
+    book-length documents. Pin that no buffering aggregate is left
+    in either LM query's plan."""
+    for name in ("lm_doc_likelihood", "lm_heldout_score"):
+        plan = _plan(QUERIES[name].fn(spark, SF_SMALL))
+        for marker in ("collect_list", "sort_array", "ObjectHashAggregate"):
+            assert marker not in plan, f"{name}: {marker}"
+        assert "sum(cast(FLOOR(" in plan, name  # the quantized sum
