@@ -92,6 +92,25 @@ def _weight_int(tok: Column) -> Column:
     return (_bucket(tok) * F.lit(KNUTH_MIX)) % WEIGHT_MOD - F.lit(WEIGHT_OFF)
 
 
+def demo_trained_weights() -> list[float]:
+    """A deterministic stand-in for a TRAINED coefficient vector —
+    exercises the production ``weights=`` path end-to-end (array
+    literal shipped in the task binary, `element_at` lookup,
+    sequential float fold) with values distinct from the integer
+    pseudo-weights so the two paths cannot be confused.
+
+    Every weight is a dyadic rational k/2^15 (k from a Lehmer-style
+    integer sequence): EXACTLY representable in binary floating
+    point, so the decimal literal the DuckDB oracle parses and the
+    Python float Spark ships are the same double bit-for-bit — the
+    cross-engine fold then runs identical IEEE additions in
+    identical order."""
+    return [
+        ((i * 48271 + 11) % 65537 - 32768) / 32768.0
+        for i in range(HASH_DIM)
+    ]
+
+
 def quality_scores(
     docs: DataFrame,
     passthrough: tuple[str, ...] = (),

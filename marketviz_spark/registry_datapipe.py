@@ -432,6 +432,74 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Trained-weights twin of the quality classifier: the SAME token
+# hash buckets, but the weight lookup is element_at into a float
+# coefficient array literal (the production fastText-shape path).
+# Every demo weight is a dyadic rational k/2^15 — exactly
+# representable in binary floating point — so the decimal literals
+# below parse to bit-identical doubles in both engines, and both
+# sides fold the per-token weights SEQUENTIALLY in token order
+# (Spark F.aggregate left fold from 0.0; DuckDB list_reduce over a
+# 0.0-prepended list): identical IEEE additions in identical order,
+# hash-exact with no integer detour.
+_QT_WEIGHTS_SQL = (
+    "CAST(["
+    + ", ".join(repr(w) for w in quality_model.demo_trained_weights())
+    + "] AS DOUBLE[])"
+)
+
+_QT_CTES = f"""
+qtok AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                       t -> t <> '') AS t
+    FROM documents
+),
+qtw AS (SELECT {_QT_WEIGHTS_SQL} AS w),
+qtsum AS (
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CASE WHEN t IS NULL THEN NULL
+                WHEN len(t) = 0 THEN 0.0
+           ELSE list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(t, tok -> qtw.w[CAST(
+                       ((list_sum(list_transform(string_split(tok, ''),
+                               c -> ascii(c))) * {quality_model.KNUTH_MIX}
+                         + length(tok) * {quality_model.LEN_MIX})
+                        % {quality_model.HASH_DIM}) + 1 AS INT)])),
+               (x, y) -> x + y)
+           END AS w_sum
+    FROM qtok CROSS JOIN qtw
+),
+qtscore AS (
+    SELECT doc_id, n_tokens, w_sum,
+           CASE WHEN n_tokens > 0 THEN
+               floor(w_sum * 1000000.0
+                     / CAST(n_tokens AS DOUBLE) + 0.5)
+               / 1000000.0
+           ELSE 0.0 END AS q_score
+    FROM qtsum
+)
+"""
+
+
+@register(
+    "quality_classifier_trained",
+    f"WITH {_QT_CTES}"
+    + """
+    SELECT doc_id, n_tokens, w_sum, q_score, q_score > 0.0 AS keep
+    FROM qtscore
+    """,
+    survey="hashed-linear quality classifier, TRAINED-coefficient path: float weight array shipped as one literal, element_at lookup, sequential fold (datapipe)",
+)
+def q_quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_model.quality_scores(
+        tables.load(spark, sf_dir, "documents"),
+        weights=quality_model.demo_trained_weights(),
+    )
+
+
 @register(
     "quality_keep_rate",
     f"WITH {_QM_CTES}"

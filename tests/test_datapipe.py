@@ -1224,6 +1224,25 @@ def test_quality_classifier_plan_is_map_only(spark):
     assert plan.count("split(lower(") == 1
 
 
+def test_quality_classifier_trained_plan_is_map_only(spark):
+    """The TRAINED-coefficient registry twin keeps the same plan
+    contract as the pseudo-weight path: one codegen'd scan — no
+    Exchange, no Python eval, the weight array a literal in the
+    plan (no join), and the staged projections intact (one
+    tokenize, one fold)."""
+    from marketviz_spark.registry import QUERIES
+
+    df = QUERIES["quality_classifier_trained"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # no shuffle, no broadcast table
+    assert "Join" not in plan  # weights ride as a literal, not a dim
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert plan.count("aggregate(transform(") == 1
+    assert plan.count("split(lower(") == 1
+
+
 def test_keep_rate_by_source_matches_per_doc_gate(spark):
     from marketviz_spark.datapipe.quality_model import (
         keep_rate_by_source,
