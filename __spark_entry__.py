@@ -42,87 +42,83 @@ def entry(spark: SparkSession) -> DataFrame:
 # curation-plan queries, unchanged since r06, green in multiple
 # prior rounds) and roll to the r10 rotation.
 _FIRST = [
-    # NEW in round 9: hashed-linear quality classifier
-    # (datapipe/quality_model.py), bigram-LM likelihood scorers
-    # (datapipe/lm.py), and winnowing fingerprints (dedup.py) —
-    # never driver-checked before, so these lead.
-    "quality_classifier",
-    "quality_keep_rate",
+    # NEW in round 10: the trained-coefficient quality-classifier
+    # path (datapipe/quality_model.py demo_trained_weights) — never
+    # driver-checked before, so it leads.
+    "quality_classifier_trained",
+    # Changed round 10: the LM per-doc sum was rebuilt order-free
+    # (quantized decimal sum, no collect_list buffer) on BOTH the
+    # Spark and oracle sides — re-prove parity first.
     "lm_doc_likelihood",
     "lm_heldout_score",
-    "dedup_winnowing",
-    # Changed round 9: large-star/small-star components
-    # (dedup.py _star_components) behind these three cluster
-    # queries; floor-half-up rounding unified across the trend-slope
-    # twins and the sketch oracle; Catalyst-chosen join strategy in
-    # the RI audit.
-    "dedup_clusters",
-    "dedup_clusters_multi",
-    "dedup_apply",
-    "agg_approx_sketches",
-    "w_ticker_trend_slope",
-    "w_trend_slope_closed",
-    "dq_referential_integrity",
-    # The r05-stale tail rolled from round 8's rotation — these must
-    # green this round so no registry query's latest green row is
-    # older than r06.
-    "p2_filter_date",
-    "p4_ticker_history",
-    "p6_split_repair",
-    "scalar_bundle",
-    "set_ops",
-    "json_props",
-    "json_props_struct",
-    "split_assign",
-    # Latest green driver row is r06 — multi-join TPC-H, events, and
-    # window/price operators first (highest regression surface).
-    "q2_min_cost_supplier",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_nation_profit",
-    "q10_returned_revenue",
-    "q11_part_value_share",
-    "q12_priority_by_delay",
-    "q14_promo_revenue_pct",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_qty_revenue",
-    "q18_large_order_customers",
-    "q19_bracket_disjunction",
-    "q20_promo_volume_suppliers",
-    "q21_sole_late_supplier",
-    "q22_idle_customer_balance",
-    "grouping_sets_revenue",
-    "events_retention_cohorts",
-    "events_anomaly_days",
-    "events_enrich_static",
-    "events_asof_prev",
-    "events_bars_incremental",
-    "events_bars_gapfill",
-    "events_top_paths",
-    "events_hll_intersection",
-    "ticker_mad_outliers",
-    "price_equidepth_hist",
-    "price_winsorize",
-    "w_max_drawdown",
-    "w_longest_up_streak",
-    "cluster_split",
-    "cluster_size_histogram",
-    "chunk_index_dedup",
+    # The r06-stale rotation tail (round-9 verdict item 2): these 14
+    # queries' latest green row is three rounds old; clearing them
+    # restores the no-row-older-than-two-rounds contract.
     "boilerplate_chunks",
-    "doc_chunks",
-    # Lowest-risk overflow tail — map-only/aggregate curation-plan
-    # queries unchanged since r06: whatever the ~50 budget cuts
-    # lands here and rolls to the r10 rotation.
+    "bpe_merge_pairs",
+    "chunk_index_dedup",
+    "cluster_size_histogram",
+    "cluster_split",
     "corpus_drift",
     "curriculum_order",
-    "sample_pps",
+    "doc_chunks",
+    "mixture_apply",
     "mixture_plan",
     "mixture_plan_weighted",
-    "mixture_apply",
-    "token_coverage_curve",
     "oov_rates",
-    "bpe_merge_pairs",
+    "sample_pps",
+    "token_coverage_curve",
+    # The r9 perf-weak row: code re-measured isolated at 0.97x this
+    # round; a fresh green correctness row retires the weak mark.
+    "emb_cosine_topk",
+    # Oldest remaining green rows (r07) — windows/joins first
+    # (highest regression surface), then curation/dedup, then the
+    # OLAP tail; whatever the ~50 budget cuts rolls to r11.
+    "w3_w4_returns",
+    "w5_w6_composition_changes",
+    "w7_latest_stats",
+    "w8_latest_per_ticker",
+    "w9_topk_per_date",
+    "j1_composition_market_cap",
+    "j2_upsert",
+    "j3_asof_walkback",
+    "a4_a5_summary_metrics",
+    "skew_salted_agg",
+    "dedup_embedding_pairs",
+    "text_repetition",
+    "text_decontaminate",
+    "sample_stratified",
+    "pack_sequences",
+    "pii_stats",
+    "pii_scrub",
+    "vocab_topk",
+    "curation_funnel",
+    "dedup_incremental",
+    "emb_quantize_int8",
+    "text_rarity",
+    "langid_confusion",
+    "jaccard_band_report",
+    "pack_fill_report",
+    "agg_distinct_percentile",
+    "semi_anti_join",
+    "pivot_order_status",
+    "w_moving_stats",
+    "q3_shipping_priority",
+    "p3_point_lookup",
+    "having_big_orders",
+    "unpivot_prices",
+    "events_bars_rollup",
+    "events_hll_cascade",
+    "q4_late_order_priority",
+    "q13_order_histogram",
+    "w_beta_corr",
+    "dq_lineitem_gate",
+    "w_rolling_range_7d",
+    "ts_corr_pairs",
+    "ts_corr_pairs_sketched",
+    "ts_corr_recall",
+    "dq_documents_gate",
+    "stocks_snapshot_diff",
 ]
 
 
