@@ -279,15 +279,17 @@ def serve_background(
 
 def main() -> None:
     """CLI: python -m marketviz_spark.pipelines.dashboard_server
-    [sf_dir] [port]."""
+    [sf_dir] [port]. $MARKETVIZ_HOST overrides the bind address
+    (loopback by default; containers set 0.0.0.0)."""
     import sys
 
     from ..session import get_spark
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     port = int(sys.argv[2]) if len(sys.argv) > 2 else 8501
+    host = os.environ.get("MARKETVIZ_HOST", "127.0.0.1")
     spark = get_spark("dashboard_server")
-    httpd = make_server(spark, sf_dir, port=port)
+    httpd = make_server(spark, sf_dir, host=host, port=port)
     print(f"serving dashboard on http://{httpd.server_address[0]}:"
           f"{httpd.server_address[1]} (sf_dir={sf_dir})")
     httpd.serve_forever()
