@@ -207,6 +207,19 @@ def gen_dataset(seed: int, out: str) -> None:
                                       int(rng.integers(3, 40)))))
     texts[100] = texts[0]      # exact duplicate
     texts[101] = texts[1]
+    # Round-10 adversarial shapes for the explode-stream operators
+    # (winnowing fingerprints, LM bigrams, quality fold):
+    # astral-plane + combining chars — code-point semantics must
+    # agree across engines beyond the BMP — and LONG documents that
+    # make the per-doc k-gram/bigram streams thousands of rows.
+    texts[102] = "😀🚀𝕏 éclair 𝔘𝔫𝔦 😀🚀𝕏 zz"   # astral + combining
+    texts[103] = ("😀" * 50) + " plain tail"           # astral run
+    long_words = [vocab[int(i)] for i in
+                  rng.integers(0, len(vocab), 4000)]
+    texts[104] = " ".join(long_words)                  # ~24k chars
+    texts[105] = "ab" * 10_000                         # 20k-char one-token doc
+    texts[106] = " ".join(long_words[:2000]) + " 😀𝕏 " + " ".join(
+        long_words[:2000])                             # long + internal dup + astral
     langs = ["en", "es", "fr", "zh", "de"]
     pq.write_table(pa.table({
         "doc_id": pa.array(range(len(texts)), pa.int64()),
