@@ -1,0 +1,382 @@
+"""Product quantization (PQ) vector compression + asymmetric-
+distance (ADC) search — the memory-bound ANN tier.
+
+Public technique: Jégou/Douze/Schmid, "Product Quantization for
+Nearest Neighbor Search" (TPAMI 2011) — split each d-dim vector
+into M subvectors, vector-quantize each subspace against its own
+K-entry codebook, store only the M code ids, and answer queries by
+summing per-subspace LOOKUP-TABLE distances (asymmetric: the query
+stays exact, only the database side is coded). This is the tier
+the repo's similarity canon was missing: `cosine_topk` /
+`blas_cosine_topk` are compute-bound exact paths,
+`hyperplane_lsh_topk` / `ivf_topk` bound the CANDIDATE set — PQ
+bounds the BYTES. At 100 TB of raw float32 embeddings (256 B per
+64-dim vector), the PQ code table is M small ints per vector (64x
+smaller here at M=8, K=16), which is the difference between an ANN
+index that fits executor memory and one that doesn't.
+
+Spark-first shapes (the parts that matter at scale):
+
+- **The model is a literal, never a join.** The trained codebooks
+  are M·K·(d/M) integers (1,024 here) — they ship into every plan
+  as ONE nested array literal (the quality-classifier weights
+  pattern: bytes in the task binary), and assignment is a fold
+  against that literal. The subvector stream itself crosses a
+  Generate (posexplode) barrier first, so the quantize/slice work
+  is materialized ONCE per (vector, subspace) row and the K-way
+  distance fold touches only attribute arrays — the CollapseProject
+  staging lesson from winnowing/similarity applied here: lambda
+  bodies don't protect staged projections, Generate outputs do.
+- **Training is the ivf_train driver-loop shape**: a FIXED number
+  of Lloyd refinements, each one map-side assignment + ONE
+  partial-aggregated shuffle of (m, cell, pos) component sums —
+  M·K·(d/M) aggregate rows cross the wire per iteration, never
+  vector data. The model lives driver-side between iterations
+  (same K·d scale pyspark.ml.KMeans keeps internally).
+- **ADC search is one broadcast join + one partial-agg shuffle.**
+  The per-query lookup table (nq·M·K distances) broadcasts; codes
+  join it map-side on (m, cell); partial aggregation collapses the
+  M per-subspace rows per (query, vector) before the shuffle, so
+  the wire carries the N·nq scored candidates themselves, not
+  N·nq·M terms. The final per-query top-k is a window group-limit
+  (the w9 pattern).
+
+Determinism contract (DuckDB oracle parity): EVERYTHING is
+integer-exact. Components are quantized up front
+(``floor(x * 1e6)`` — one IEEE multiply + floor on the
+float32→double widening, bit-identical in both engines); squared
+L2 distances are integer sums of integer squares (order-free);
+argmin ties break by cell id via the order-preserving encode
+``d2 * K + cell`` (K a power of two, encode non-negative, so
+Spark's shiftright and DuckDB's ``//`` agree exactly); centroid
+updates are ``floor(sum/count + 0.5)`` — one IEEE division of
+exact integers — so refined codebooks stay integer vectors. No
+float ever needs a cross-engine summation-order argument. The
+oracle unrolls the identical training as SQL CTEs (the
+emb_ivf_topk pattern).
+
+Reference parity note: /root/reference has no vector search at
+all; this module extends the beyond-reference training-data layer
+(SURVEY §2 datapipe additions) alongside similarity.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import EMB_DIM
+
+PQ_M = 8  # subspaces (codes per vector)
+PQ_DS = EMB_DIM // PQ_M  # dims per subspace
+PQ_K = 16  # codebook entries per subspace (4-bit codes)
+PQ_ITERS = 2  # fixed Lloyd refinements (cross-engine unrollable)
+PQ_NQ = 8  # demo query-set size for the registry ADC query
+PQ_SCALE = 1_000_000  # integer quantization of vector components
+
+# the encode d2*K + cell is split with shiftright/%; both need K a
+# power of two and the encode non-negative (d2, cell >= 0 always)
+_PQ_SHIFT = PQ_K.bit_length() - 1
+assert PQ_K == 1 << _PQ_SHIFT
+
+
+def _per_sub(emb: DataFrame) -> DataFrame:
+    """(vec_id, m, sv): the quantized subvector stream. The
+    posexplode materializes sv as a Generate output attribute, so
+    every downstream fold (K-way assignment, LUT build) touches a
+    plain long array — the quantize+slice work runs once per
+    (vector, subspace), never once per codebook entry."""
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(float(PQ_SCALE))),
+    )
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda m: F.slice(qv, m * PQ_DS + 1, PQ_DS),
+    )
+    return emb.select("vec_id", F.posexplode(subs).alias("m", "sv"))
+
+
+def _d2(a: Column, b: Column) -> Column:
+    """Integer squared L2 distance between two long-array
+    subvectors — an order-free exact sum of integer squares."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _model_lit(model: dict[int, dict[int, list[int]]]) -> Column:
+    """The trained codebooks as ONE nested array literal
+    array<array<struct<cell,cv>>> indexed [m+1] via element_at —
+    cells dropped during training are simply absent from their
+    subspace's list, so the assignment fold never sees them."""
+    return F.array(
+        *[
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(cell).alias("cell"),
+                        F.array(
+                            *[F.lit(int(c)) for c in cv]
+                        ).alias("cv"),
+                    )
+                    for cell, cv in sorted(model.get(m, {}).items())
+                ]
+            )
+            for m in range(PQ_M)
+        ]
+    )
+
+
+def _enc_min(sv: Column, cents_m: Column) -> Column:
+    """min over the subspace codebook of d2(sv, cv) * K + cell —
+    the order-preserving integer encode whose min IS the
+    (distance, cell-id-tiebreak) argmin. One map-side fold."""
+    return F.array_min(
+        F.transform(
+            cents_m,
+            lambda e: _d2(sv, e["cv"]) * F.lit(PQ_K) + e["cell"],
+        )
+    )
+
+
+def _model_empty(model: dict) -> bool:
+    return not any(model.get(m) for m in range(PQ_M))
+
+
+# Model cache, keyed like similarity._IVF_MODEL_CACHE: registry
+# queries over immutable testdata dirs share one training per dir
+# (build-once / serve-many, the persisted-index shape).
+_PQ_MODEL_CACHE: dict[tuple, dict] = {}
+_PQ_CACHE_MAX = 8
+
+
+def pq_train(
+    emb: DataFrame,
+    n_iters: int = PQ_ITERS,
+    cache_key: str | None = None,
+) -> dict[int, dict[int, list[int]]]:
+    """Train the M per-subspace codebooks: seed each subspace with
+    the subvectors of the first K vectors by vec_id (cell = rank),
+    then run `n_iters` integer-exact Lloyd refinements. Returns
+    {m: {cell: [component, ...]}} — M·K·(d/M) ints, driver-side.
+
+    Scale: per iteration ONE map-side assignment (model literal
+    over the Generate-materialized subvector stream) and ONE
+    partial-aggregated shuffle whose reduce output is the
+    M·K·(d/M)-row component-sum table — the only thing collected.
+    Cells that lose all members drop out (both engines agree;
+    their ids are not reused). An empty input yields an empty
+    model; downstream ops return schema-stable empty frames."""
+    if cache_key is not None:
+        memo = (cache_key, n_iters)
+        if memo in _PQ_MODEL_CACHE:
+            return _PQ_MODEL_CACHE[memo]
+
+    seed_rows = (
+        _per_sub(emb.orderBy("vec_id").limit(PQ_K))
+        .orderBy("vec_id", "m")
+        .collect()
+    )  # K quantized seed vectors x M — the model seed, tiny
+    seed_cell = {
+        v: i
+        for i, v in enumerate(
+            sorted({r["vec_id"] for r in seed_rows})
+        )
+    }
+    model: dict[int, dict[int, list[int]]] = {
+        m: {} for m in range(PQ_M)
+    }
+    for r in seed_rows:
+        model[r["m"]][seed_cell[r["vec_id"]]] = [
+            int(c) for c in r["sv"]
+        ]
+
+    ps = _per_sub(emb)
+    for _ in range(n_iters):
+        if _model_empty(model):
+            break
+        cents = _model_lit(model)
+        asg = ps.select(
+            "m",
+            "sv",
+            (
+                _enc_min(
+                    F.col("sv"), F.element_at(cents, F.col("m") + 1)
+                )
+                % F.lit(PQ_K)
+            ).cast("int").alias("cell"),
+        )
+        sums = (
+            asg.select(
+                "m", "cell", F.posexplode("sv").alias("pos", "comp")
+            )
+            .groupBy("m", "cell", "pos")
+            .agg(
+                F.count("*").alias("n_members"),
+                F.sum("comp").alias("s"),  # exact long sum
+            )
+        )
+        nxt: dict[int, dict[int, dict[int, int]]] = {}
+        for r in sums.collect():  # M*K*(d/M) aggregate rows
+            nxt.setdefault(r["m"], {}).setdefault(r["cell"], {})[
+                r["pos"]
+            ] = math.floor(r["s"] / r["n_members"] + 0.5)
+        model = {
+            m: {
+                cell: [dims[p] for p in range(PQ_DS)]
+                for cell, dims in nxt.get(m, {}).items()
+            }
+            for m in range(PQ_M)
+        }
+
+    if cache_key is not None:
+        while len(_PQ_MODEL_CACHE) >= _PQ_CACHE_MAX:
+            _PQ_MODEL_CACHE.pop(next(iter(_PQ_MODEL_CACHE)))
+        _PQ_MODEL_CACHE[(cache_key, n_iters)] = model
+    return model
+
+
+def _assigned(emb: DataFrame, model: dict) -> DataFrame:
+    """(vec_id, m, cell, d2): each vector's code and quantization
+    error per subspace — map-side assignment against the literal
+    model over the materialized subvector stream. The encode is
+    STAGED (one fold, referenced twice) and split exactly:
+    cell = enc % K, d2 = enc >> log2(K)."""
+    if _model_empty(model):
+        return (
+            _per_sub(emb)
+            .select(
+                "vec_id",
+                "m",
+                F.lit(0).cast("int").alias("cell"),
+                F.lit(0).cast("long").alias("d2"),
+            )
+            .where(F.lit(False))
+        )
+    cents = _model_lit(model)
+    staged = _per_sub(emb).select(
+        "vec_id",
+        "m",
+        _enc_min(
+            F.col("sv"), F.element_at(cents, F.col("m") + 1)
+        ).alias("_enc"),
+    )
+    return staged.select(
+        "vec_id",
+        "m",
+        (F.col("_enc") % F.lit(PQ_K)).cast("int").alias("cell"),
+        F.shiftright(F.col("_enc"), _PQ_SHIFT).alias("d2"),
+    )
+
+
+def pq_codes(
+    emb: DataFrame, cache_key: str | None = None
+) -> DataFrame:
+    """The compressed index: (vec_id, code, sq_err) — `code` is the
+    M cell ids hyphen-joined in subspace order (the stored bytes),
+    `sq_err` the vector's total integer quantization error (the
+    distortion an index-build job monitors; units are the
+    1e12-scaled squared component domain).
+
+    Scale: assignment is map-side; the per-vector regroup is one
+    partial-aggregated shuffle keyed on vec_id whose in-aggregate
+    buffer is exactly M (8) structs — bounded by the model shape,
+    not by data."""
+    a = _assigned(emb, pq_train(emb, cache_key=cache_key))
+    return a.groupBy("vec_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "cell"))),
+                lambda s: s["cell"].cast("string"),
+            ),
+            "-",
+        ).alias("code"),
+        F.sum("d2").cast("long").alias("sq_err"),
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    k: int = 3,
+    nq: int = PQ_NQ,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """ADC search: the first `nq` vectors by vec_id act as the
+    query set (asymmetric — queries stay EXACT integer subvectors,
+    only the database side is coded). Output: (q_id, neighbor_id,
+    adc_dist, rank) — integer approximate squared L2, rank 1..k
+    per query with a neighbor-id tiebreak; the query itself is
+    excluded.
+
+    Scale: the lookup table is nq·M·K rows (1,024 at the defaults)
+    built from the queries' exact subvectors against the codebooks
+    — it BROADCASTS; codes join it map-side on (m, cell); partial
+    aggregation collapses the M subspace terms per (query, vector)
+    before the one shuffle, whose payload is the N·nq scored
+    candidates themselves. The per-query top-k is a window
+    group-limit (k rows per query survive each map partition)."""
+    model = pq_train(emb, cache_key=cache_key)
+    qids = F.broadcast(
+        emb.orderBy("vec_id")
+        .limit(nq)
+        .select(F.col("vec_id").alias("q_id"))
+    )
+    if _model_empty(model):
+        return (
+            qids.select(
+                "q_id",
+                F.lit(0).cast("long").alias("neighbor_id"),
+                F.lit(0).cast("long").alias("adc_dist"),
+                F.lit(0).cast("int").alias("rank"),
+            )
+            .where(F.lit(False))
+        )
+    cents = _model_lit(model)
+    qsub = (
+        _per_sub(emb)
+        .join(qids, F.col("vec_id") == F.col("q_id"))
+        .select("q_id", "m", "sv")
+    )
+    lut = qsub.select(
+        "q_id",
+        "m",
+        F.explode(
+            F.transform(
+                F.element_at(cents, F.col("m") + 1),
+                lambda e: F.struct(
+                    e["cell"].alias("cell"),
+                    _d2(F.col("sv"), e["cv"]).alias("d2"),
+                ),
+            )
+        ).alias("e"),
+    ).select(
+        "q_id",
+        "m",
+        F.col("e.cell").alias("cell"),
+        F.col("e.d2").alias("d2"),
+    )
+    codes = _assigned(emb, model).select("vec_id", "m", "cell")
+    scored = (
+        codes.join(F.broadcast(lut), ["m", "cell"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d2").cast("long").alias("adc_dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "adc_dist",
+            "rank",
+        )
+    )

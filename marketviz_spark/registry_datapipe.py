@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import tables
-from .datapipe import dedup, lm, quality_model
+from .datapipe import dedup, lm, pq, quality_model
 from .datapipe.dedup import (
     BAND_SIZE,
     HEX,
@@ -2047,6 +2047,142 @@ _Q_RMSE = rnd_sql(
 )
 def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_int8(tables.load(spark, sf_dir, "embeddings"))
+
+
+# ----------------------------------------------------------------------
+# Product quantization (datapipe/pq.py) — the memory-bound ANN tier.
+# The oracle UNROLLS the identical integer-exact training as CTEs
+# (the emb_ivf_topk pattern): quantized subvector stream, seed
+# codebooks from the first K vectors, PQ_ITERS Lloyd refinements
+# where every distance is an integer sum of integer squares, argmin
+# ties break through the encode d2*K + cell (non-negative, K a
+# power of two, so Spark shiftright == DuckDB //), and centroid
+# updates are floor(sum/count + 0.5) on exact integers. Both sides
+# are bit-identical by construction — no float comparison anywhere.
+# ----------------------------------------------------------------------
+
+
+def _pq_d2_sql(s: str, c: str) -> str:
+    return " + ".join(
+        f"({s}.sv[{i}]-{c}.cv[{i}])*({s}.sv[{i}]-{c}.cv[{i}])"
+        for i in range(1, pq.PQ_DS + 1)
+    )
+
+
+_PQ_SV = f"""
+pq_sv AS (
+    SELECT vec_id, mm.m AS m,
+           list_transform(
+               embedding[mm.m*{pq.PQ_DS}+1 : mm.m*{pq.PQ_DS}+{pq.PQ_DS}],
+               x -> CAST(floor(CAST(x AS DOUBLE) * {float(pq.PQ_SCALE)})
+                         AS BIGINT)) AS sv
+    FROM embeddings
+    CROSS JOIN (SELECT unnest(range({pq.PQ_M})) AS m) mm
+),
+pq_seed AS (
+    SELECT vec_id,
+           CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+    FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {pq.PQ_K})
+),
+pq_c0 AS (
+    SELECT s.m, d.cell, s.sv AS cv
+    FROM pq_sv s JOIN pq_seed d USING (vec_id)
+)"""
+
+
+def _pq_assign_sql(c: str, a: str) -> str:
+    return f"""
+, {a} AS (
+    SELECT vec_id, m, CAST(min(enc) % {pq.PQ_K} AS INT) AS cell,
+           CAST(min(enc) // {pq.PQ_K} AS BIGINT) AS d2
+    FROM (
+        SELECT s.vec_id, s.m,
+               ({_pq_d2_sql('s', 'c')}) * {pq.PQ_K} + c.cell AS enc
+        FROM pq_sv s JOIN {c} c ON c.m = s.m
+    ) GROUP BY vec_id, m
+)"""
+
+
+def _pq_mean_sql(a: str, c: str) -> str:
+    return f"""
+, {c} AS (
+    SELECT m, cell, list(comp ORDER BY pos) AS cv
+    FROM (
+        SELECT a.m, a.cell, pp.pos,
+               CAST(floor(CAST(sum(s.sv[pp.pos]) AS DOUBLE)
+                          / count(*) + 0.5) AS BIGINT) AS comp
+        FROM {a} a
+        JOIN pq_sv s ON s.vec_id = a.vec_id AND s.m = a.m
+        CROSS JOIN (SELECT unnest(range(1, {pq.PQ_DS + 1})) AS pos) pp
+        GROUP BY a.m, a.cell, pp.pos
+    ) GROUP BY m, cell
+)"""
+
+
+_PQ_CTE = (
+    _PQ_SV
+    + _pq_assign_sql("pq_c0", "pq_a0")
+    + _pq_mean_sql("pq_a0", "pq_c1")
+    + _pq_assign_sql("pq_c1", "pq_a1")
+    + _pq_mean_sql("pq_a1", "pq_c2")
+    + _pq_assign_sql("pq_c2", "pq_af")
+)
+assert pq.PQ_ITERS == 2  # the oracle unrolls exactly two refinements
+
+
+@register(
+    "emb_pq_codes",
+    f"WITH {_PQ_CTE}"
+    + """
+    SELECT vec_id,
+           string_agg(CAST(cell AS VARCHAR), '-' ORDER BY m) AS code,
+           CAST(sum(d2) AS BIGINT) AS sq_err
+    FROM pq_af GROUP BY vec_id
+    """,
+    survey="product-quantization codes + per-vector distortion (Jegou TPAMI'11; the memory-bound ANN index build, datapipe)",
+)
+def q_emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pq.pq_codes(
+        tables.load(spark, sf_dir, "embeddings"), cache_key=sf_dir
+    )
+
+
+@register(
+    "emb_pq_topk",
+    f"WITH {_PQ_CTE}"
+    + f"""
+, pq_q AS (
+    SELECT vec_id AS q_id FROM embeddings ORDER BY vec_id LIMIT {pq.PQ_NQ}
+)
+, pq_lut AS (
+    SELECT s.vec_id AS q_id, c.m, c.cell,
+           ({_pq_d2_sql('s', 'c')}) AS d2
+    FROM pq_sv s
+    JOIN pq_q ON pq_q.q_id = s.vec_id
+    JOIN pq_c2 c ON c.m = s.m
+)
+, pq_scored AS (
+    SELECT l.q_id, a.vec_id AS neighbor_id,
+           CAST(sum(l.d2) AS BIGINT) AS adc_dist
+    FROM pq_af a JOIN pq_lut l ON l.m = a.m AND l.cell = a.cell
+    WHERE a.vec_id <> l.q_id
+    GROUP BY l.q_id, a.vec_id
+)
+SELECT q_id, neighbor_id, adc_dist, CAST(rank AS INT) AS rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY q_id ORDER BY adc_dist, neighbor_id
+    ) AS rank
+    FROM pq_scored
+)
+WHERE rank <= 3
+""",
+    survey="PQ asymmetric-distance (ADC) top-k search over the coded index (datapipe)",
+)
+def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pq.pq_adc_topk(
+        tables.load(spark, sf_dir, "embeddings"), k=3, cache_key=sf_dir
+    )
 
 
 # ----------------------------------------------------------------------

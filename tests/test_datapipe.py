@@ -1649,3 +1649,134 @@ def test_winnowing_guarantee_and_edges(spark):
     assert rep and all(
         r["n_docs"] == 2 and r["rep_doc_id"] == 0 for r in rep
     )
+
+
+# ----------------------------------------------------------------------
+# Product quantization (datapipe/pq.py)
+# ----------------------------------------------------------------------
+
+
+def _emb(spark, vecs):
+    from marketviz_spark.datapipe.pq import EMB_DIM
+
+    rows = [
+        (i, [float(x) for x in v] + [0.0] * (EMB_DIM - len(v)), 0)
+        for i, v in enumerate(vecs)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_pq_codes_known_clusters(spark):
+    """Two tight clusters of vectors, K seeds drawn from them: after
+    training, same-cluster vectors must share a code and the
+    distortion of an exact seed copy must be ~0 in its subspaces.
+    The mirror is hand-derivable: with <=K distinct vectors every
+    vector IS a centroid after refinement, so sq_err == 0."""
+    from marketviz_spark.datapipe.pq import pq_codes
+
+    emb = _emb(
+        spark,
+        [[1.0] * 8, [1.0] * 8, [-1.0] * 8, [-1.0] * 8],
+    )
+    rows = {r["vec_id"]: r for r in pq_codes(emb).collect()}
+    assert rows[0]["code"] == rows[1]["code"]  # identical vectors
+    assert rows[2]["code"] == rows[3]["code"]
+    assert rows[0]["code"] != rows[2]["code"]  # opposite clusters
+    # every distinct vector seeds its own cell -> zero distortion
+    assert all(r["sq_err"] == 0 for r in rows.values())
+
+
+def test_pq_adc_prefers_true_neighbors(spark):
+    """ADC ranking must put the geometrically-near vector first:
+    query 0's nearest by construction is vector 1 (identical), then
+    the slightly-perturbed 2, with the far cluster last."""
+    from marketviz_spark.datapipe.pq import pq_adc_topk
+
+    emb = _emb(
+        spark,
+        [
+            [1.0] * 8,
+            [1.0] * 8,          # identical to the query
+            [1.1] * 8,          # near
+            [-9.0] * 8,         # far
+        ],
+    )
+    got = {
+        (r["q_id"], r["rank"]): r["neighbor_id"]
+        for r in pq_adc_topk(emb, k=3, nq=1).collect()
+    }
+    assert got[(0, 1)] == 1
+    assert got[(0, 2)] == 2
+    assert got[(0, 3)] == 3
+    # the query itself never appears
+    assert 0 not in got.values()
+
+
+def test_pq_degenerate_inputs(spark):
+    """Schema-stable empties: an empty corpus trains an empty model
+    and every downstream op returns zero rows with the contract
+    schema; a single-vector corpus yields one code row and an empty
+    top-k (the only candidate is the query itself)."""
+    from marketviz_spark.datapipe.pq import pq_adc_topk, pq_codes
+
+    empty = _emb(spark, []).limit(0)
+    assert pq_codes(empty).count() == 0
+    assert [f.name for f in pq_codes(empty).schema.fields] == [
+        "vec_id", "code", "sq_err",
+    ]
+    tk = pq_adc_topk(empty, k=3)
+    assert tk.count() == 0
+    assert [f.name for f in tk.schema.fields] == [
+        "q_id", "neighbor_id", "adc_dist", "rank",
+    ]
+
+    one = _emb(spark, [[0.5] * 8])
+    assert pq_codes(one).count() == 1
+    assert pq_adc_topk(one, k=3, nq=1).count() == 0
+
+
+def test_pq_codes_plan_map_side_model_literal(spark):
+    """The 100 TB contract of the PQ encoder: the model rides as a
+    LITERAL (no join anywhere in the plan), assignment is map-side
+    behind the subvector Generate barrier, and the only wide stage
+    is the per-vector regroup — exactly ONE shuffle exchange, no
+    Python eval."""
+    from marketviz_spark.registry import QUERIES
+
+    plan = (
+        QUERIES["emb_pq_codes"]
+        .fn(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+    assert "Generate posexplode" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_pq_topk_plan_broadcast_lut_partial_agg(spark):
+    """ADC search scale shape: the LUT join is BROADCAST (never a
+    sort-merge shuffle of the code table), the M subspace terms
+    collapse in a partial aggregate BEFORE the (q, vec) exchange,
+    and the per-query top-k pre-filters map-side via
+    WindowGroupLimit."""
+    from marketviz_spark.registry import QUERIES
+
+    plan = (
+        QUERIES["emb_pq_topk"]
+        .fn(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
+    assert "WindowGroupLimit" in plan
+    # wide stages: the (q,vec) sum + the per-query window, nothing else
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
