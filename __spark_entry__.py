@@ -46,6 +46,8 @@ _FIRST = [
     # path (datapipe/quality_model.py demo_trained_weights) — never
     # driver-checked before, so it leads.
     "quality_classifier_trained",
+    "emb_pq_codes",
+    "emb_pq_topk",
     # Changed round 10: the LM per-doc sum was rebuilt order-free
     # (quantized decimal sum, no collect_list buffer) on BOTH the
     # Spark and oracle sides — re-prove parity first.
