@@ -20,6 +20,7 @@ PKG = pathlib.Path(__file__).resolve().parent.parent / "marketviz_spark"
 ALLOWED = {
     "pipelines/presentation.py",  # the helper itself
     "datapipe/similarity.py",  # IVF model + capped eval slice
+    "datapipe/pq.py",  # PQ model: K seed vectors + M*K*(d/M) sums
 }
 
 
