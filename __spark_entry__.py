@@ -48,6 +48,9 @@ _FIRST = [
     "quality_classifier_trained",
     "emb_pq_codes",
     "emb_pq_topk",
+    "pq_recall",
+    "emb_pq_rerank_topk",
+    "pq_rerank_recall",
     # Changed round 10: the LM per-doc sum was rebuilt order-free
     # (quantized decimal sum, no collect_list buffer) on BOTH the
     # Spark and oracle sides — re-prove parity first.

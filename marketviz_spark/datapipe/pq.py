@@ -75,6 +75,7 @@ PQ_K = 16  # codebook entries per subspace (4-bit codes)
 PQ_ITERS = 2  # fixed Lloyd refinements (cross-engine unrollable)
 PQ_NQ = 8  # demo query-set size for the registry ADC query
 PQ_SCALE = 1_000_000  # integer quantization of vector components
+PQ_SHORTLIST = 64  # ADC shortlist size the exact re-rank rescores
 
 # the encode d2*K + cell is split with shiftright/%; both need K a
 # power of two and the encode non-negative (d2, cell >= 0 always)
@@ -300,6 +301,142 @@ def pq_codes(
     )
 
 
+def pq_exact_topk(
+    emb: DataFrame, k: int = 3, nq: int = PQ_NQ
+) -> DataFrame:
+    """Ground truth for the ADC audit: EXACT integer squared-L2
+    top-k for the first `nq` queries over the full (uncoded)
+    quantized vectors — the same integer domain the codes
+    approximate, so recall losses measure QUANTIZATION error only,
+    not float noise. Output: (q_id, neighbor_id, dist, rank).
+
+    Scale: deliberately brute — nq·N scored pairs — but bounded by
+    the audit's query-set size, the same contract as ann_recall's
+    exact arm; the subspace stream joins the broadcast query
+    subvectors on m and one partial-agg shuffle carries the nq·N
+    scored candidates."""
+    ps = _per_sub(emb)
+    qids = F.broadcast(
+        emb.orderBy("vec_id")
+        .limit(nq)
+        .select(F.col("vec_id").alias("q_id"))
+    )
+    qsub = (
+        ps.join(qids, F.col("vec_id") == F.col("q_id"))
+        .select("q_id", "m", F.col("sv").alias("qsv"))
+    )
+    exact = (
+        ps.join(F.broadcast(qsub), "m")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "vec_id", _d2(F.col("sv"), F.col("qsv")).alias("d2")
+        )
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d2").cast("long").alias("dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id", F.col("vec_id").alias("neighbor_id"), "dist", "rank"
+        )
+    )
+
+
+def pq_recall(
+    emb: DataFrame,
+    k: int = 3,
+    nq: int = PQ_NQ,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """The PQ accuracy audit (the ann_recall shape for the coded
+    index): recall@k of ADC search against the exact integer
+    ground truth over the same queries. One report row:
+    (n_queries, n_exact, n_hits, recall_ppm) — recall in exact
+    integer parts-per-million, so the row hashes cross-engine."""
+    exact = pq_exact_topk(emb, k=k, nq=nq).select(
+        "q_id", "neighbor_id"
+    )
+    adc = pq_adc_topk(emb, k=k, nq=nq, cache_key=cache_key).select(
+        "q_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    joined = exact.join(adc, ["q_id", "neighbor_id"], "left")
+    return joined.agg(
+        F.countDistinct("q_id").cast("long").alias("n_queries"),
+        F.count("*").cast("long").alias("n_exact"),
+        F.coalesce(F.sum("hit"), F.lit(0))
+        .cast("long")
+        .alias("n_hits"),
+        # empty-corpus guard: 0 exact rows is a defined 0-recall
+        # report, never a divide-by-zero (ANSI mode would throw)
+        F.when(
+            F.count("*") > 0,
+            F.floor(
+                F.coalesce(F.sum("hit"), F.lit(0))
+                * F.lit(1_000_000)
+                / F.count("*")
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("recall_ppm"),
+    )
+
+
+def _query_ids(emb: DataFrame, nq: int) -> DataFrame:
+    return F.broadcast(
+        emb.orderBy("vec_id")
+        .limit(nq)
+        .select(F.col("vec_id").alias("q_id"))
+    )
+
+
+def _query_subs(emb: DataFrame, nq: int) -> DataFrame:
+    """(q_id, m, sv): the query set's exact quantized subvectors."""
+    return (
+        _per_sub(emb)
+        .join(_query_ids(emb, nq), F.col("vec_id") == F.col("q_id"))
+        .select("q_id", "m", "sv")
+    )
+
+
+def _adc_scored(
+    emb: DataFrame, model: dict, nq: int
+) -> DataFrame:
+    """(q_id, vec_id, adc_dist): every (query, vector) candidate
+    scored through the code lookup table — the shared core of the
+    plain ADC top-k and the re-ranked variant."""
+    cents = _model_lit(model)
+    lut = _query_subs(emb, nq).select(
+        "q_id",
+        "m",
+        F.explode(
+            F.transform(
+                F.element_at(cents, F.col("m") + 1),
+                lambda e: F.struct(
+                    e["cell"].alias("cell"),
+                    _d2(F.col("sv"), e["cv"]).alias("d2"),
+                ),
+            )
+        ).alias("e"),
+    ).select(
+        "q_id",
+        "m",
+        F.col("e.cell").alias("cell"),
+        F.col("e.d2").alias("d2"),
+    )
+    codes = _assigned(emb, model).select("vec_id", "m", "cell")
+    return (
+        codes.join(F.broadcast(lut), ["m", "cell"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d2").cast("long").alias("adc_dist"))
+    )
+
+
 def pq_adc_topk(
     emb: DataFrame,
     k: int = 3,
@@ -321,14 +458,10 @@ def pq_adc_topk(
     candidates themselves. The per-query top-k is a window
     group-limit (k rows per query survive each map partition)."""
     model = pq_train(emb, cache_key=cache_key)
-    qids = F.broadcast(
-        emb.orderBy("vec_id")
-        .limit(nq)
-        .select(F.col("vec_id").alias("q_id"))
-    )
     if _model_empty(model):
         return (
-            qids.select(
+            _query_ids(emb, nq)
+            .select(
                 "q_id",
                 F.lit(0).cast("long").alias("neighbor_id"),
                 F.lit(0).cast("long").alias("adc_dist"),
@@ -336,37 +469,7 @@ def pq_adc_topk(
             )
             .where(F.lit(False))
         )
-    cents = _model_lit(model)
-    qsub = (
-        _per_sub(emb)
-        .join(qids, F.col("vec_id") == F.col("q_id"))
-        .select("q_id", "m", "sv")
-    )
-    lut = qsub.select(
-        "q_id",
-        "m",
-        F.explode(
-            F.transform(
-                F.element_at(cents, F.col("m") + 1),
-                lambda e: F.struct(
-                    e["cell"].alias("cell"),
-                    _d2(F.col("sv"), e["cv"]).alias("d2"),
-                ),
-            )
-        ).alias("e"),
-    ).select(
-        "q_id",
-        "m",
-        F.col("e.cell").alias("cell"),
-        F.col("e.d2").alias("d2"),
-    )
-    codes = _assigned(emb, model).select("vec_id", "m", "cell")
-    scored = (
-        codes.join(F.broadcast(lut), ["m", "cell"])
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .groupBy("q_id", "vec_id")
-        .agg(F.sum("d2").cast("long").alias("adc_dist"))
-    )
+    scored = _adc_scored(emb, model, nq)
     w = Window.partitionBy("q_id").orderBy(
         F.col("adc_dist").asc(), F.col("vec_id").asc()
     )
@@ -379,4 +482,119 @@ def pq_adc_topk(
             "adc_dist",
             "rank",
         )
+    )
+
+
+def pq_rerank_topk(
+    emb: DataFrame,
+    k: int = 3,
+    nq: int = PQ_NQ,
+    shortlist: int = PQ_SHORTLIST,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """ADC shortlist + EXACT re-rank — the production PQ serving
+    pattern (FAISS's refine step): the coded index prunes N
+    candidates to `shortlist` per query at lookup-table cost, then
+    only those nq·shortlist vectors are rescored with the exact
+    integer distance. Output: (q_id, neighbor_id, dist, rank) with
+    `dist` the EXACT quantized squared L2.
+
+    Scale: the ADC pass is the pq_adc_topk plan (broadcast LUT,
+    partial-agg shuffle of N·nq candidates, group-limit shortlist);
+    the refine joins the corpus subvector stream against the
+    BROADCAST shortlist (nq·shortlist rows), so exact scoring
+    touches nq·shortlist·M rows no matter how large N grows —
+    recall improves from the shortlist's depth, not from rescoring
+    the corpus."""
+    model = pq_train(emb, cache_key=cache_key)
+    if _model_empty(model):
+        return (
+            _query_ids(emb, nq)
+            .select(
+                "q_id",
+                F.lit(0).cast("long").alias("neighbor_id"),
+                F.lit(0).cast("long").alias("dist"),
+                F.lit(0).cast("int").alias("rank"),
+            )
+            .where(F.lit(False))
+        )
+    scored = _adc_scored(emb, model, nq)
+    ws = Window.partitionBy("q_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    short = (
+        scored.withColumn("_r", F.row_number().over(ws))
+        .filter(F.col("_r") <= shortlist)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    qsub = _query_subs(emb, nq).select(
+        F.col("q_id").alias("_qq"),
+        F.col("m").alias("_qm"),
+        F.col("sv").alias("qsv"),
+    )
+    exact = (
+        _per_sub(emb)
+        .join(
+            F.broadcast(short),
+            F.col("vec_id") == F.col("neighbor_id"),
+        )
+        .join(
+            F.broadcast(qsub),
+            (F.col("q_id") == F.col("_qq"))
+            & (F.col("m") == F.col("_qm")),
+        )
+        .select(
+            "q_id",
+            "neighbor_id",
+            _d2(F.col("sv"), F.col("qsv")).alias("d2"),
+        )
+        .groupBy("q_id", "neighbor_id")
+        .agg(F.sum("d2").cast("long").alias("dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "dist", "rank")
+    )
+
+
+def pq_rerank_recall(
+    emb: DataFrame,
+    k: int = 3,
+    nq: int = PQ_NQ,
+    shortlist: int = PQ_SHORTLIST,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Recall@k of the re-ranked PQ pipeline against the exact
+    ground truth — the companion audit to pq_recall that shows what
+    the refine step buys back (a true neighbor is recovered iff it
+    survives into the ADC shortlist; the exact re-rank then orders
+    it correctly). Same one-row integer report as pq_recall."""
+    exact = pq_exact_topk(emb, k=k, nq=nq).select(
+        "q_id", "neighbor_id"
+    )
+    rr = pq_rerank_topk(
+        emb, k=k, nq=nq, shortlist=shortlist, cache_key=cache_key
+    ).select("q_id", "neighbor_id", F.lit(1).alias("hit"))
+    joined = exact.join(rr, ["q_id", "neighbor_id"], "left")
+    return joined.agg(
+        F.countDistinct("q_id").cast("long").alias("n_queries"),
+        F.count("*").cast("long").alias("n_exact"),
+        F.coalesce(F.sum("hit"), F.lit(0))
+        .cast("long")
+        .alias("n_hits"),
+        F.when(
+            F.count("*") > 0,
+            F.floor(
+                F.coalesce(F.sum("hit"), F.lit(0))
+                * F.lit(1_000_000)
+                / F.count("*")
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("recall_ppm"),
     )

@@ -2160,10 +2160,7 @@ def q_emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "emb_pq_topk",
-    f"WITH {_PQ_CTE}"
-    + f"""
+_PQ_ADC_CTES = f"""
 , pq_q AS (
     SELECT vec_id AS q_id FROM embeddings ORDER BY vec_id LIMIT {pq.PQ_NQ}
 )
@@ -2181,19 +2178,164 @@ def q_emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE a.vec_id <> l.q_id
     GROUP BY l.q_id, a.vec_id
 )
-SELECT q_id, neighbor_id, adc_dist, CAST(rank AS INT) AS rank
-FROM (
+, pq_adc AS (
     SELECT *, row_number() OVER (
         PARTITION BY q_id ORDER BY adc_dist, neighbor_id
-    ) AS rank
+    ) AS rnk
     FROM pq_scored
-)
-WHERE rank <= 3
-""",
+)"""
+
+
+@register(
+    "emb_pq_topk",
+    f"WITH {_PQ_CTE}{_PQ_ADC_CTES}"
+    + """
+    SELECT q_id, neighbor_id, adc_dist, CAST(rnk AS INT) AS rank
+    FROM pq_adc WHERE rnk <= 3
+    """,
     survey="PQ asymmetric-distance (ADC) top-k search over the coded index (datapipe)",
 )
 def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.pq_adc_topk(
+        tables.load(spark, sf_dir, "embeddings"), k=3, cache_key=sf_dir
+    )
+
+
+def _pq_sv_d2_sql(a: str, b: str) -> str:
+    """Squared L2 between two subvector streams (sv vs sv)."""
+    return " + ".join(
+        f"({a}.sv[{i}]-{b}.sv[{i}])*({a}.sv[{i}]-{b}.sv[{i}])"
+        for i in range(1, pq.PQ_DS + 1)
+    )
+
+
+@register(
+    "pq_recall",
+    f"WITH {_PQ_CTE}{_PQ_ADC_CTES}"
+    + f"""
+, pq_qsub AS (
+    SELECT s.vec_id AS q_id, s.m, s.sv
+    FROM pq_sv s JOIN pq_q ON pq_q.q_id = s.vec_id
+)
+, pq_exact AS (
+    SELECT q_id, vec_id, CAST(sum(d2) AS BIGINT) AS dist
+    FROM (
+        SELECT qs.q_id, s.vec_id, ({_pq_sv_d2_sql('s', 'qs')}) AS d2
+        FROM pq_sv s
+        JOIN pq_qsub qs ON qs.m = s.m AND s.vec_id <> qs.q_id
+    ) GROUP BY q_id, vec_id
+)
+, pq_exact_top AS (
+    SELECT q_id, neighbor_id FROM (
+        SELECT q_id, vec_id AS neighbor_id, row_number() OVER (
+            PARTITION BY q_id ORDER BY dist, vec_id
+        ) AS xr
+        FROM pq_exact
+    ) WHERE xr <= 3
+)
+SELECT CAST(count(DISTINCT e.q_id) AS BIGINT) AS n_queries,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_hits,
+       CAST(CASE WHEN count(*) > 0 THEN
+                floor(coalesce(sum(hit), 0) * 1000000 / count(*))
+            ELSE 0 END AS BIGINT) AS recall_ppm
+FROM pq_exact_top e
+LEFT JOIN (
+    SELECT q_id, neighbor_id, 1 AS hit FROM pq_adc WHERE rnk <= 3
+) a USING (q_id, neighbor_id)
+""",
+    survey="PQ accuracy audit: ADC recall@k vs exact integer ground truth (datapipe)",
+)
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pq.pq_recall(
+        tables.load(spark, sf_dir, "embeddings"), k=3, cache_key=sf_dir
+    )
+
+
+_PQ_QSUB_CTE = """
+, pq_qsub AS (
+    SELECT s.vec_id AS q_id, s.m, s.sv
+    FROM pq_sv s JOIN pq_q ON pq_q.q_id = s.vec_id
+)"""
+
+
+_PQ_RERANK_CTES = (
+    _PQ_QSUB_CTE
+    + f"""
+, pq_short AS (
+    SELECT q_id, neighbor_id FROM pq_adc WHERE rnk <= {pq.PQ_SHORTLIST}
+)
+, pq_rr AS (
+    SELECT q_id, neighbor_id, CAST(sum(d2) AS BIGINT) AS dist
+    FROM (
+        SELECT sh.q_id, sh.neighbor_id,
+               ({_pq_sv_d2_sql('s', 'qs')}) AS d2
+        FROM pq_short sh
+        JOIN pq_sv s ON s.vec_id = sh.neighbor_id
+        JOIN pq_qsub qs ON qs.q_id = sh.q_id AND qs.m = s.m
+    ) GROUP BY q_id, neighbor_id
+)
+, pq_rr_top AS (
+    SELECT q_id, neighbor_id, dist, row_number() OVER (
+        PARTITION BY q_id ORDER BY dist, neighbor_id
+    ) AS rr
+    FROM pq_rr
+)"""
+)
+
+
+@register(
+    "emb_pq_rerank_topk",
+    f"WITH {_PQ_CTE}{_PQ_ADC_CTES}{_PQ_RERANK_CTES}"
+    + """
+    SELECT q_id, neighbor_id, dist, CAST(rr AS INT) AS rank
+    FROM pq_rr_top WHERE rr <= 3
+    """,
+    survey="PQ ADC shortlist + exact re-rank top-k (the FAISS refine serving pattern, datapipe)",
+)
+def q_emb_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pq.pq_rerank_topk(
+        tables.load(spark, sf_dir, "embeddings"), k=3, cache_key=sf_dir
+    )
+
+
+@register(
+    "pq_rerank_recall",
+    f"WITH {_PQ_CTE}{_PQ_ADC_CTES}{_PQ_RERANK_CTES}"
+    + """
+, pq_x AS (
+    SELECT q_id, vec_id, CAST(sum(d2) AS BIGINT) AS dist
+    FROM (
+        SELECT qs.q_id, s.vec_id, ("""
+    + _pq_sv_d2_sql("s", "qs")
+    + """) AS d2
+        FROM pq_sv s
+        JOIN pq_qsub qs ON qs.m = s.m AND s.vec_id <> qs.q_id
+    ) GROUP BY q_id, vec_id
+)
+, pq_x_top AS (
+    SELECT q_id, neighbor_id FROM (
+        SELECT q_id, vec_id AS neighbor_id, row_number() OVER (
+            PARTITION BY q_id ORDER BY dist, vec_id
+        ) AS xr
+        FROM pq_x
+    ) WHERE xr <= 3
+)
+SELECT CAST(count(DISTINCT e.q_id) AS BIGINT) AS n_queries,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_hits,
+       CAST(CASE WHEN count(*) > 0 THEN
+                floor(coalesce(sum(hit), 0) * 1000000 / count(*))
+            ELSE 0 END AS BIGINT) AS recall_ppm
+FROM pq_x_top e
+LEFT JOIN (
+    SELECT q_id, neighbor_id, 1 AS hit FROM pq_rr_top WHERE rr <= 3
+) a USING (q_id, neighbor_id)
+""",
+    survey="PQ re-ranked recall@k audit: what the exact refine step buys back (datapipe)",
+)
+def q_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pq.pq_rerank_recall(
         tables.load(spark, sf_dir, "embeddings"), k=3, cache_key=sf_dir
     )
 

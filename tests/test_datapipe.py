@@ -1780,3 +1780,76 @@ def test_pq_topk_plan_broadcast_lut_partial_agg(spark):
     # wide stages: the (q,vec) sum + the per-query window, nothing else
     assert plan.count("Exchange hashpartitioning") == 2
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_pq_recall_tiny_and_empty(spark):
+    """With <= K distinct vectors every vector seeds its own cell,
+    so ADC distances equal exact distances and recall@k is exactly
+    1.0 (1,000,000 ppm). The empty corpus is a defined zero report
+    — never an ANSI divide-by-zero."""
+    from marketviz_spark.datapipe.pq import pq_recall
+
+    emb = _emb(
+        spark, [[1.0] * 8, [1.0] * 8, [-1.0] * 8, [2.0] * 8]
+    )
+    r = pq_recall(emb, k=2, nq=2).collect()[0]
+    assert r["n_queries"] == 2 and r["n_exact"] == 4
+    assert r["n_hits"] == 4 and r["recall_ppm"] == 1_000_000
+
+    e = pq_recall(_emb(spark, []).limit(0), k=3).collect()[0]
+    assert tuple(e) == (0, 0, 0, 0)
+
+
+def test_pq_rerank_orders_exactly_and_lifts_recall(spark):
+    """The refine step's contract: whatever survives the ADC
+    shortlist is ordered by EXACT distance — with a shortlist
+    covering the whole corpus, rerank output must equal the exact
+    top-k; and reranked recall is never below plain-ADC recall."""
+    from marketviz_spark.datapipe.pq import (
+        pq_exact_topk,
+        pq_recall,
+        pq_rerank_recall,
+        pq_rerank_topk,
+    )
+
+    emb = _emb(
+        spark,
+        [[float(i)] * 8 for i in range(6)],  # a 1-d line of vectors
+    )
+    exact = [
+        (r["q_id"], r["neighbor_id"], r["dist"], r["rank"])
+        for r in pq_exact_topk(emb, k=3, nq=2)
+        .orderBy("q_id", "rank")
+        .collect()
+    ]
+    rr = [
+        (r["q_id"], r["neighbor_id"], r["dist"], r["rank"])
+        for r in pq_rerank_topk(emb, k=3, nq=2, shortlist=100)
+        .orderBy("q_id", "rank")
+        .collect()
+    ]
+    assert rr == exact  # full-corpus shortlist == exact search
+    adc = pq_recall(emb, k=3, nq=2).collect()[0]["recall_ppm"]
+    ref = pq_rerank_recall(emb, k=3, nq=2, shortlist=100).collect()[0][
+        "recall_ppm"
+    ]
+    assert ref == 1_000_000 and ref >= adc
+
+
+def test_pq_rerank_plan_broadcast_refine(spark):
+    """Refine-step scale shape: every join is broadcast (the
+    shortlist and query subvectors are audit-sized), never a
+    sort-merge shuffle of the corpus; no Python eval."""
+    from marketviz_spark.registry import QUERIES
+
+    plan = (
+        QUERIES["emb_pq_rerank_topk"]
+        .fn(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
