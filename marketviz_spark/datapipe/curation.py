@@ -1064,6 +1064,78 @@ def mixture_plan_weighted(
     )
 
 
+def mixture_plan_temperature(docs: DataFrame) -> DataFrame:
+    """Temperature-smoothed mixture plan — the alpha-sampling shape
+    of multilingual/multi-source pipelines (XLM-R, mT5: sample
+    source s with probability proportional to n_s^alpha, alpha < 1,
+    so small sources are up-weighted without drowning large ones).
+    Here alpha = 1/2: w_rel = floor(sqrt(n_tokens)) DERIVES the
+    relative weights from the inventory in-plan, then the
+    rebalance arithmetic is mixture_plan_weighted's (w_ppm, binding
+    corpus size C from the first source to run out, kept/keep_ppm).
+
+    alpha = 1/2 is the one smoothing exponent that stays
+    CROSS-ENGINE EXACT: IEEE 754 requires sqrt (unlike pow/exp) to
+    be correctly rounded, so floor(sqrt(bigint)) is bit-identical
+    in Spark and DuckDB — a general alpha would route through pow's
+    libm variance. Other exponents ride the identical dataflow via
+    mixture_plan_weighted(weights=...) with driver-computed
+    weights (the mixture spec is configuration).
+
+    Scale: one partial-aggregated shuffle on source for the
+    inventory; two 1-row broadcasts (weight total, binding C);
+    |sources| output rows.
+    """
+    tok = docs.select("source", F.explode(tokens()).alias("token"))
+    inv = tok.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_tokens")
+    )
+    with_rel = inv.select(
+        "source",
+        "n_tokens",
+        F.floor(F.sqrt(F.col("n_tokens"))).cast("long").alias("w_rel"),
+    )
+    tot = F.broadcast(with_rel.agg(F.sum("w_rel").alias("w_tot")))
+    with_ppm = with_rel.crossJoin(tot).select(
+        "source",
+        "n_tokens",
+        F.floor(F.col("w_rel") * F.lit(1_000_000) / F.col("w_tot"))
+        .cast("long")
+        .alias("w_ppm"),
+    )
+    # a source so dominated its smoothed share floors to 0 ppm must
+    # not bind C (and would be an ANSI divide-by-zero): it simply
+    # keeps nothing
+    c = F.broadcast(
+        with_ppm.agg(
+            F.min(
+                F.when(
+                    F.col("w_ppm") > 0,
+                    F.floor(
+                        F.col("n_tokens")
+                        * F.lit(1_000_000)
+                        / F.col("w_ppm")
+                    ),
+                )
+            )
+            .cast("long")
+            .alias("c_total")
+        )
+    )
+    kept = F.floor(
+        F.col("c_total") * F.col("w_ppm") / F.lit(1_000_000)
+    ).cast("long")
+    return with_ppm.crossJoin(c).select(
+        "source",
+        "n_tokens",
+        "w_ppm",
+        kept.alias("kept_tokens"),
+        F.floor(kept * F.lit(1_000_000) / F.col("n_tokens"))
+        .cast("long")
+        .alias("keep_ppm"),
+    )
+
+
 def chunk_index_dedup(docs: DataFrame) -> DataFrame:
     """Chunk-level dedup for the retrieval index: each distinct
     chunk fingerprint is indexed ONCE, represented by its first

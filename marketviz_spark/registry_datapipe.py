@@ -2980,6 +2980,46 @@ def q_mixture_plan_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mixture_plan_temperature",
+    """
+    WITH tok AS (
+        SELECT source,
+               unnest(list_filter(string_split(text, ' '),
+                                  x -> x <> '')) AS token
+        FROM documents),
+    inv AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(floor(sqrt(CAST(count(*) AS BIGINT))) AS BIGINT)
+                   AS w_rel
+        FROM tok GROUP BY source),
+    t AS (SELECT sum(w_rel) AS w_tot FROM inv),
+    p AS (
+        SELECT source, n_tokens,
+               CAST(floor(w_rel * 1000000 / w_tot) AS BIGINT) AS w_ppm
+        FROM inv, t),
+    c AS (SELECT CAST(min(CASE WHEN w_ppm > 0 THEN
+                   floor(n_tokens * 1000000 / w_ppm) END) AS BIGINT)
+              AS c_total FROM p)
+    SELECT source, n_tokens, w_ppm,
+           CAST(floor(c_total * w_ppm / 1000000) AS BIGINT)
+               AS kept_tokens,
+           CAST(floor(floor(c_total * w_ppm / 1000000) * 1000000
+                      / n_tokens) AS BIGINT) AS keep_ppm
+    FROM p, c
+    """,
+    survey="temperature-smoothed (alpha=1/2) mixture plan: XLM-R/mT5 alpha-sampling shape, weights derived from the inventory in-plan, IEEE-exact via correctly-rounded sqrt (datapipe curation)",
+)
+def q_mixture_plan_temperature(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .datapipe.curation import mixture_plan_temperature
+
+    return mixture_plan_temperature(
+        tables.load(spark, sf_dir, "documents")
+    )
+
+
+@register(
     "cluster_size_histogram",
     _MINHASH_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
     + f""", stacked AS ({_BAND_STACK}),{_CAPPED_PAIRS}, edges AS (

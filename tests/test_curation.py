@@ -838,3 +838,48 @@ def test_curriculum_order_interleaves_sources(spark):
         for rk, p in lst if rk == 1
     )
     assert firsts == [0, 1, 2]
+
+
+def test_mixture_plan_temperature_upweights_small_sources(spark):
+    """alpha=1/2 smoothing: a source with 4x the tokens gets only
+    2x the weight (sqrt), so the small source's kept SHARE rises
+    vs its raw share — and every integer column is reproducible
+    arithmetic on the inventory. Verified against a hand mirror."""
+    import math
+
+    from marketviz_spark.datapipe.curation import (
+        mixture_plan_temperature,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a " * 400, "en", "big", 800),
+            (1, "b " * 100, "en", "small", 200),
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    rows = {
+        r["source"]: r
+        for r in mixture_plan_temperature(docs).collect()
+    }
+    # hand mirror: n = {big: 400, small: 100}; w_rel = {20, 10}
+    w_tot = 30
+    for src, n, w in (("big", 400, 20), ("small", 100, 10)):
+        ppm = math.floor(w * 1_000_000 / w_tot)
+        assert rows[src]["n_tokens"] == n
+        assert rows[src]["w_ppm"] == ppm
+    c = min(
+        math.floor(400 * 1_000_000 / rows["big"]["w_ppm"]),
+        math.floor(100 * 1_000_000 / rows["small"]["w_ppm"]),
+    )
+    for src, n in (("big", 400), ("small", 100)):
+        kept = math.floor(c * rows[src]["w_ppm"] / 1_000_000)
+        assert rows[src]["kept_tokens"] == kept
+        assert rows[src]["keep_ppm"] == math.floor(
+            kept * 1_000_000 / n
+        )
+    # the smoothed plan keeps a LARGER share of the small source
+    assert (
+        rows["small"]["keep_ppm"] > rows["big"]["keep_ppm"]
+    )
