@@ -226,3 +226,86 @@ def stream_documents_jsonl(
         .outputMode("append")
         .start()
     )
+
+
+def stream_quality_gated_jsonl(
+    spark: SparkSession,
+    path: str,
+    keep_dir: str,
+    reject_dir: str,
+    bad_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    weights: list[float] | None = None,
+):
+    """Curation at ingest time: the full streaming quality-gated
+    pipeline — JSONL landing dir → parse/contract gate
+    (:func:`split_channels`) → learned quality gate
+    (`quality_model.quality_scores`, optionally the trained
+    ``weights=`` path) — routed into THREE sinks: kept documents
+    (with their n_tokens/q_score audit columns), rejected documents
+    (same columns, the curation-reject channel a pipeline keeps for
+    threshold tuning), and the (reason, raw) bad-line channel.
+    Returns the started StreamingQuery.
+
+    This is a pure composition of verified pieces: the quality
+    scorer is a map-only column projection (no shuffle, no state),
+    so it applies to a micro-batch exactly as to a batch —
+    stream == batch parity is pinned by test. Idempotence across
+    retries AND restarts is the same persisted-run-token
+    (run, epoch) partition-overwrite scheme as
+    :func:`stream_documents_jsonl`.
+
+    Scale: per micro-batch one codegen'd scan (gate + scorer are
+    column expressions); the three sinks partition by (run, epoch)
+    for generation-pruned downstream compaction. The keep/reject
+    decision rides WITH the rows (q_score, keep), so downstream
+    re-thresholding needs no recompute.
+    """
+    from ..pipelines.upsert import upsert_by_date_partition
+    from .quality_model import quality_scores
+
+    run_token = _persisted_run_token(spark, checkpoint_dir)
+    doc_cols = [f.name for f in DOC_FIELDS]
+
+    def route(batch_df: DataFrame, epoch_id: int) -> None:
+        bspark = batch_df.sparkSession
+        batch_df.persist()
+        try:
+            good, bad = split_channels(batch_df)
+            scored = quality_scores(
+                good, passthrough=tuple(c for c in doc_cols if c != "doc_id"),
+                weights=weights,
+            ).select(
+                *doc_cols, "n_tokens", "q_score", "keep"
+            )
+            kept = scored.filter(F.col("keep")).drop("keep")
+            rejected = scored.filter(~F.col("keep")).drop("keep")
+            for frame, dest in (
+                (kept, keep_dir),
+                (rejected, reject_dir),
+                (bad, bad_dir),
+            ):
+                upsert_by_date_partition(
+                    bspark,
+                    frame.withColumn("run", F.lit(run_token))
+                    .withColumn("epoch", F.lit(int(epoch_id))),
+                    dest,
+                    ["run", "epoch"],
+                )
+        finally:
+            batch_df.unpersist()
+
+    src = (
+        spark.readStream.schema(DOC_JSONL_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", _CORRUPT)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(path)
+    )
+    return (
+        src.writeStream.foreachBatch(route)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )

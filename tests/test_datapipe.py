@@ -1853,3 +1853,76 @@ def test_pq_rerank_plan_broadcast_refine(spark):
     assert "BroadcastHashJoin" in plan
     assert "WindowGroupLimit" in plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_stream_quality_gated_jsonl_matches_batch(spark, tmp_path):
+    """Curation-at-ingest parity: the streaming quality-gated
+    pipeline's three sinks must equal the batch composition of the
+    same gates (split_channels -> quality_scores -> keep split),
+    with the audit columns riding along and the usual (run, epoch)
+    idempotence columns on every sink."""
+    from marketviz_spark.datapipe.ingest import (
+        read_documents_jsonl,
+        stream_quality_gated_jsonl,
+    )
+    from marketviz_spark.datapipe.quality_model import quality_scores
+
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "a.jsonl").write_text(
+        '{"doc_id": 1, "text": "the quick brown fox jumps high",'
+        ' "lang": "en", "source": "s", "n_chars": 30}\n'
+        '{"doc_id": 2, "text": "zzz", "lang": "en", "source": "s",'
+        ' "n_chars": 3}\n'
+        '{"doc_id": 9, "text": "broken...\n'
+    )
+    (land / "b.jsonl").write_text(
+        '{"doc_id": 3, "text": "alpha beta gamma delta common",'
+        ' "lang": "en", "source": "s", "n_chars": 29}\n'
+    )
+
+    keep_dir = str(tmp_path / "keep")
+    reject_dir = str(tmp_path / "reject")
+    bad_dir = str(tmp_path / "bad")
+    q = stream_quality_gated_jsonl(
+        spark, str(land), keep_dir, reject_dir, bad_dir,
+        str(tmp_path / "ck"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # batch twin over the same landing dir
+    good, bad = read_documents_jsonl(spark, str(land))
+    scored = quality_scores(
+        good, passthrough=("text", "lang", "source", "n_chars")
+    )
+    want_keep = {
+        (r["doc_id"], r["q_score"])
+        for r in scored.filter("keep").collect()
+    }
+    want_rej = {
+        (r["doc_id"], r["q_score"])
+        for r in scored.filter("NOT keep").collect()
+    }
+    assert want_keep or want_rej  # the fixture exercises the gate
+
+    got_keep_df = spark.read.parquet(keep_dir)
+    got_keep = {
+        (r["doc_id"], r["q_score"]) for r in got_keep_df.collect()
+    }
+    got_rej = (
+        {
+            (r["doc_id"], r["q_score"])
+            for r in spark.read.parquet(reject_dir).collect()
+        }
+        if want_rej
+        else set()
+    )
+    assert got_keep == want_keep
+    assert got_rej == want_rej
+    assert spark.read.parquet(bad_dir).count() == 1  # the broken line
+    # audit + idempotence columns ride with the kept rows
+    names = set(got_keep_df.columns)
+    assert {"n_tokens", "q_score", "run", "epoch"} <= names
