@@ -52,6 +52,7 @@ _FIRST = [
     "emb_pq_rerank_topk",
     "pq_rerank_recall",
     "mixture_plan_temperature",
+    "bpe_train_merges",
     # Changed round 10: the LM per-doc sum was rebuilt order-free
     # (quantized decimal sum, no collect_list buffer) on BOTH the
     # Spark and oracle sides — re-prove parity first.

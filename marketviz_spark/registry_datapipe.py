@@ -3019,6 +3019,76 @@ def q_mixture_plan_temperature(
     )
 
 
+# ----------------------------------------------------------------------
+# BPE tokenizer training (datapipe/bpe.py) — the oracle unrolls the
+# SAME K merge steps as CTE chains (the emb_pq/emb_ivf pattern):
+# exact integer pair counts over the word-frequency table, argmax
+# with (cnt DESC, lhs, rhs) binary-collation tiebreak, and the
+# probed-identical left-to-right non-rescanning replace applying
+# each merge. The coalesce(chr(30)) guard makes a dried-up step a
+# no-op instead of a NULL replace (chr(30)/chr(31) words are
+# excluded from training on both sides).
+# ----------------------------------------------------------------------
+
+from .datapipe import bpe as bpe_mod  # noqa: E402
+
+
+def _bpe_step_sql(i: int) -> str:
+    prev = f"bpe_s{i - 1}"
+    return f"""
+, bpe_p{i} AS MATERIALIZED (
+    SELECT t[pos] AS s1, t[pos + 1] AS s2,
+           CAST(sum(wc) AS BIGINT) AS cnt
+    FROM (
+        SELECT wc, unnest(generate_series(1, len(t) - 1)) AS pos, t
+        FROM (SELECT wc, string_split(seq, chr(31)) AS t FROM {prev})
+        WHERE len(t) >= 2
+    ) GROUP BY s1, s2
+)
+, bpe_b{i} AS MATERIALIZED (
+    SELECT s1, s2, cnt FROM bpe_p{i} ORDER BY cnt DESC, s1, s2 LIMIT 1
+)
+, bpe_s{i} AS MATERIALIZED (
+    SELECT wc, replace(seq,
+        coalesce((SELECT s1 || chr(31) || s2 FROM bpe_b{i}), chr(30)),
+        coalesce((SELECT s1 || s2 FROM bpe_b{i}), chr(30))) AS seq
+    FROM {prev}
+)"""
+
+
+_BPE_CTE = (
+    """
+bpe_w AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+        SELECT unnest(list_filter(string_split(text, ' '),
+                                  x -> x <> '')) AS w
+        FROM documents
+    ) WHERE NOT contains(w, chr(31)) AND NOT contains(w, chr(30))
+    GROUP BY w
+),
+bpe_s0 AS MATERIALIZED (
+    SELECT wc, array_to_string(string_split(w, ''), chr(31)) AS seq
+    FROM bpe_w
+)"""
+    + "".join(_bpe_step_sql(i) for i in range(1, bpe_mod.BPE_K + 1))
+)
+
+_BPE_SELECT = "\nUNION ALL ".join(
+    f"SELECT CAST({i} AS INT) AS step, s1 AS lhs, s2 AS rhs,"
+    f" cnt AS pair_count FROM bpe_b{i}"
+    for i in range(1, bpe_mod.BPE_K + 1)
+)
+
+
+@register(
+    "bpe_train_merges",
+    f"WITH {_BPE_CTE}\n{_BPE_SELECT}",
+    survey="BPE tokenizer TRAINING: the full K-step merge loop over the word-frequency table (Sennrich ACL'16), merge table = the model (datapipe)",
+)
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_mod.bpe_train(tables.load(spark, sf_dir, "documents"))
+
+
 @register(
     "cluster_size_histogram",
     _MINHASH_CTES.replace("WITH ", "WITH RECURSIVE ", 1)

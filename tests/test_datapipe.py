@@ -1926,3 +1926,36 @@ def test_stream_quality_gated_jsonl_matches_batch(spark, tmp_path):
     # audit + idempotence columns ride with the kept rows
     names = set(got_keep_df.columns)
     assert {"n_tokens", "q_score", "run", "epoch"} <= names
+
+
+def test_bpe_train_hand_example(spark):
+    """Hand-derivable BPE run: corpus 'aa aa ab' -> word table
+    {aa: 2, ab: 1}; step 1 merges (a, a) with weight 2, step 2
+    merges (a, b) with weight 1, then the pair space is dry and the
+    loop stops early — greedy left-to-right semantics included
+    ('aaa' would become [aa, a])."""
+    from marketviz_spark.datapipe.bpe import bpe_train
+
+    docs = _docs(spark, ["aa aa ab"])
+    got = [
+        (r["step"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe_train(docs, k=8).orderBy("step").collect()
+    ]
+    assert got == [(1, "a", "a", 2), (2, "a", "b", 1)]
+
+    # greedy non-rescanning merge: 'aaa' under merge (a,a) is
+    # [aa, a], so step 2 of 'aaa aaa' counts (aa, a), not (a, aa)
+    got2 = [
+        (r["step"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in bpe_train(_docs(spark, ["aaa aaa"]), k=2)
+        .orderBy("step")
+        .collect()
+    ]
+    assert got2 == [(1, "a", "a", 4), (2, "aa", "a", 2)]
+
+    # empty corpus -> empty merge table with the contract schema
+    empty = bpe_train(_docs(spark, []).limit(0), k=3)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "step", "lhs", "rhs", "pair_count",
+    ]

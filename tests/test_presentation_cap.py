@@ -21,6 +21,7 @@ ALLOWED = {
     "pipelines/presentation.py",  # the helper itself
     "datapipe/similarity.py",  # IVF model + capped eval slice
     "datapipe/pq.py",  # PQ model: K seed vectors + M*K*(d/M) sums
+    "datapipe/bpe.py",  # BPE model: ONE argmax row per merge step
 }
 
 
