@@ -143,3 +143,36 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "step int, lhs string, rhs string, pair_count long"
     )
+
+
+def bpe_apply_vocab(
+    docs: DataFrame, k: int = BPE_K
+) -> DataFrame:
+    """Apply a trained merge table to the vocabulary — the
+    tokenizer's OUTPUT side: (w, wc, n_subwords, subwords) per
+    distinct word, `subwords` the space-joined segmentation
+    (words cannot contain spaces — they were split on them).
+
+    Scale: training is :func:`bpe_train` (the merge list is the
+    driver-resident model); application is K chained map-side
+    replaces over the vocabulary — encoding the full corpus stream
+    is the same projection applied per token, so the vocab-level
+    output IS the tokenizer table a 100 TB encode job broadcasts."""
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_train(docs, k=k).orderBy("step").collect()
+    ]
+    seq = F.array_join(F.split(F.col("w"), ""), BPE_SEP)
+    for a, b in merges:
+        seq = F.replace(seq, F.lit(a + BPE_SEP + b), F.lit(a + b))
+    staged = _word_inventory(docs).select(
+        "w", "wc", seq.alias("_seq")
+    )
+    return staged.select(
+        "w",
+        "wc",
+        F.size(F.split(F.col("_seq"), BPE_SEP))
+        .cast("long")
+        .alias("n_subwords"),
+        F.translate(F.col("_seq"), BPE_SEP, " ").alias("subwords"),
+    )

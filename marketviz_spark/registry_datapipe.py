@@ -3049,7 +3049,7 @@ def _bpe_step_sql(i: int) -> str:
     SELECT s1, s2, cnt FROM bpe_p{i} ORDER BY cnt DESC, s1, s2 LIMIT 1
 )
 , bpe_s{i} AS MATERIALIZED (
-    SELECT wc, replace(seq,
+    SELECT w, wc, replace(seq,
         coalesce((SELECT s1 || chr(31) || s2 FROM bpe_b{i}), chr(30)),
         coalesce((SELECT s1 || s2 FROM bpe_b{i}), chr(30))) AS seq
     FROM {prev}
@@ -3067,7 +3067,7 @@ bpe_w AS (
     GROUP BY w
 ),
 bpe_s0 AS MATERIALIZED (
-    SELECT wc, array_to_string(string_split(w, ''), chr(31)) AS seq
+    SELECT w, wc, array_to_string(string_split(w, ''), chr(31)) AS seq
     FROM bpe_w
 )"""
     + "".join(_bpe_step_sql(i) for i in range(1, bpe_mod.BPE_K + 1))
@@ -3087,6 +3087,24 @@ _BPE_SELECT = "\nUNION ALL ".join(
 )
 def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_mod.bpe_train(tables.load(spark, sf_dir, "documents"))
+
+
+@register(
+    "bpe_apply_vocab",
+    f"WITH {_BPE_CTE}"
+    + f"""
+    SELECT w, wc,
+           CAST(len(string_split(seq, chr(31))) AS BIGINT)
+               AS n_subwords,
+           replace(seq, chr(31), ' ') AS subwords
+    FROM bpe_s{bpe_mod.BPE_K}
+    """,
+    survey="BPE tokenizer APPLY: the trained merge table segmenting the vocabulary — (word, count, n_subwords, segmentation) (datapipe)",
+)
+def q_bpe_apply_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_mod.bpe_apply_vocab(
+        tables.load(spark, sf_dir, "documents")
+    )
 
 
 @register(

@@ -1959,3 +1959,26 @@ def test_bpe_train_hand_example(spark):
     assert [f.name for f in empty.schema.fields] == [
         "step", "lhs", "rhs", "pair_count",
     ]
+
+
+def test_bpe_apply_vocab_segmentation(spark):
+    """Apply-side contract: after training on 'aa aa ab', the word
+    'aa' segments to one subword and 'ab' to one ('a b' merged at
+    step 2); an untrained rare word stays at its post-merge
+    granularity. Subword joins use spaces (impossible inside
+    words)."""
+    from marketviz_spark.datapipe.bpe import bpe_apply_vocab
+
+    got = {
+        r["w"]: (r["n_subwords"], r["subwords"])
+        for r in bpe_apply_vocab(
+            _docs(spark, ["aa aa ab xyz"]), k=8
+        ).collect()
+    }
+    assert got["aa"] == (1, "aa")
+    assert got["ab"] == (1, "ab")
+    # 'xyz': pairs (x,y), (y,z) each weight 1 — merged in lhs/rhs
+    # tiebreak order after the higher-weight merges; whatever the
+    # exact order, the result must reassemble the word
+    n, seg = got["xyz"]
+    assert seg.replace(" ", "") == "xyz" and 1 <= n <= 3
