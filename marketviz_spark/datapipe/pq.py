@@ -403,14 +403,11 @@ def _query_subs(emb: DataFrame, nq: int) -> DataFrame:
     )
 
 
-def _adc_scored(
-    emb: DataFrame, model: dict, nq: int
-) -> DataFrame:
-    """(q_id, vec_id, adc_dist): every (query, vector) candidate
-    scored through the code lookup table — the shared core of the
-    plain ADC top-k and the re-ranked variant."""
+def _adc_lut(emb: DataFrame, model: dict, nq: int) -> DataFrame:
+    """(q_id, m, cell, d2): the per-query subspace lookup table —
+    nq·M·K rows, always broadcastable."""
     cents = _model_lit(model)
-    lut = _query_subs(emb, nq).select(
+    return _query_subs(emb, nq).select(
         "q_id",
         "m",
         F.explode(
@@ -428,6 +425,15 @@ def _adc_scored(
         F.col("e.cell").alias("cell"),
         F.col("e.d2").alias("d2"),
     )
+
+
+def _adc_scored(
+    emb: DataFrame, model: dict, nq: int
+) -> DataFrame:
+    """(q_id, vec_id, adc_dist): every (query, vector) candidate
+    scored through the code lookup table — the shared core of the
+    plain ADC top-k and the re-ranked variant."""
+    lut = _adc_lut(emb, model, nq)
     codes = _assigned(emb, model).select("vec_id", "m", "cell")
     return (
         codes.join(F.broadcast(lut), ["m", "cell"])
@@ -597,4 +603,78 @@ def pq_rerank_recall(
         .otherwise(F.lit(0))
         .cast("long")
         .alias("recall_ppm"),
+    )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    k: int = 3,
+    nq: int = PQ_NQ,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """IVF-PQ: the composed production index (FAISS's IndexIVFPQ) —
+    the IVF coarse quantizer prunes the CANDIDATE set (each query
+    probes its nprobe nearest cells; candidates are indexed by home
+    cell), and PQ codes bound the BYTES scored inside those cells
+    via the ADC lookup table. Output matches pq_adc_topk:
+    (q_id, neighbor_id, adc_dist, rank), self excluded.
+
+    Both trainings are the repo's existing verified loops
+    (similarity.ivf_train, pq_train), shared per data dir through
+    their model caches — the build-once/serve-many shape.
+
+    Scale: the probe list (nq·nprobe rows) broadcasts; the
+    candidate pair list is |cell-members| x |queries probing the
+    cell| — the IVF contract that keeps scored work ~nprobe/K of
+    the corpus; the ADC LUT broadcasts; one partial-agg shuffle
+    carries the candidate scores and a window group-limit takes
+    the per-query top-k."""
+    from .similarity import N_IVF_PROBE, _assign_to, ivf_train, with_norm
+
+    model = pq_train(emb, cache_key=cache_key)
+    qids = _query_ids(emb, nq)
+    if _model_empty(model):
+        return (
+            qids.select(
+                "q_id",
+                F.lit(0).cast("long").alias("neighbor_id"),
+                F.lit(0).cast("long").alias("adc_dist"),
+                F.lit(0).cast("int").alias("rank"),
+            )
+            .where(F.lit(False))
+        )
+    n = with_norm(emb).select("vec_id", "_v", "_norm")
+    assigned = _assign_to(
+        n, ivf_train(emb, cache_key=cache_key), nprobe=N_IVF_PROBE
+    )
+    homes = assigned.select("vec_id", "cell")
+    probes = (
+        assigned.join(qids, F.col("vec_id") == F.col("q_id"))
+        .select("q_id", F.explode("probe_cells").alias("cell"))
+    )
+    pairs = (
+        homes.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+    )
+    lut = _adc_lut(emb, model, nq)
+    codes = _assigned(emb, model).select("vec_id", "m", "cell")
+    scored = (
+        pairs.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["q_id", "m", "cell"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d2").cast("long").alias("adc_dist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "adc_dist",
+            "rank",
+        )
     )

@@ -2160,7 +2160,7 @@ def q_emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PQ_ADC_CTES = f"""
+_PQ_Q_LUT_CTES = f"""
 , pq_q AS (
     SELECT vec_id AS q_id FROM embeddings ORDER BY vec_id LIMIT {pq.PQ_NQ}
 )
@@ -2170,7 +2170,10 @@ _PQ_ADC_CTES = f"""
     FROM pq_sv s
     JOIN pq_q ON pq_q.q_id = s.vec_id
     JOIN pq_c2 c ON c.m = s.m
-)
+)"""
+
+
+_PQ_ADC_CTES = _PQ_Q_LUT_CTES + f"""
 , pq_scored AS (
     SELECT l.q_id, a.vec_id AS neighbor_id,
            CAST(sum(l.d2) AS BIGINT) AS adc_dist
@@ -2336,6 +2339,46 @@ LEFT JOIN (
 )
 def q_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.pq_rerank_recall(
+        tables.load(spark, sf_dir, "embeddings"), k=3, cache_key=sf_dir
+    )
+
+
+@register(
+    "emb_ivfpq_topk",
+    f"WITH {_VEC_CTE}"
+    + _IVF_CTE
+    + ","
+    + _PQ_CTE
+    + _PQ_Q_LUT_CTES
+    + """
+, ivfpq_pairs AS (
+    SELECT p.vec_id AS q_id, a.vec_id
+    FROM probes p
+    JOIN pq_q ON pq_q.q_id = p.vec_id
+    JOIN assigned a ON a.cell = p.cell
+    WHERE a.vec_id <> p.vec_id
+)
+, ivfpq_scored AS (
+    SELECT pr.q_id, pr.vec_id AS neighbor_id,
+           CAST(sum(l.d2) AS BIGINT) AS adc_dist
+    FROM ivfpq_pairs pr
+    JOIN pq_af a ON a.vec_id = pr.vec_id
+    JOIN pq_lut l ON l.q_id = pr.q_id AND l.m = a.m AND l.cell = a.cell
+    GROUP BY pr.q_id, pr.vec_id
+)
+SELECT q_id, neighbor_id, adc_dist, CAST(rank AS INT) AS rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY q_id ORDER BY adc_dist, neighbor_id
+    ) AS rank
+    FROM ivfpq_scored
+)
+WHERE rank <= 3
+""",
+    survey="IVF-PQ composed index: coarse cells bound candidates, PQ codes bound bytes, ADC inside probed cells (FAISS IndexIVFPQ shape, datapipe)",
+)
+def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pq.ivfpq_topk(
         tables.load(spark, sf_dir, "embeddings"), k=3, cache_key=sf_dir
     )
 

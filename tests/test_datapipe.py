@@ -1982,3 +1982,48 @@ def test_bpe_apply_vocab_segmentation(spark):
     # exact order, the result must reassemble the word
     n, seg = got["xyz"]
     assert seg.replace(" ", "") == "xyz" and 1 <= n <= 3
+
+
+def test_ivfpq_subset_of_adc_and_plan(spark):
+    """IVF-PQ is plain ADC restricted to probed cells: every
+    (q, neighbor) it returns must carry the SAME adc_dist the
+    unrestricted ADC scorer assigns, and the plan must stay
+    broadcast-only (probe list + LUT), never a sort-merge shuffle,
+    with the group-limit top-k."""
+    from marketviz_spark.datapipe.pq import (
+        _adc_scored,
+        ivfpq_topk,
+        pq_train,
+    )
+    from marketviz_spark.registry import QUERIES
+
+    # +1 offsets keep every vector off the zero point: cosine (the
+    # IVF coarse quantizer's metric) is undefined for zero vectors
+    emb = _emb(
+        spark,
+        [
+            [float(i % 5) + 1.0, float(i // 5) + 1.0] + [0.0] * 6
+            for i in range(20)
+        ],
+    )
+    model = pq_train(emb)
+    full = {
+        (r["q_id"], r["vec_id"]): r["adc_dist"]
+        for r in _adc_scored(emb, model, 4).collect()
+    }
+    got = ivfpq_topk(emb, k=3, nq=4).collect()
+    assert got  # probed cells produce candidates on this grid
+    for r in got:
+        assert full[(r["q_id"], r["neighbor_id"])] == r["adc_dist"]
+
+    plan = (
+        QUERIES["emb_ivfpq_topk"]
+        .fn(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan
