@@ -55,6 +55,7 @@ _FIRST = [
     "bpe_train_merges",
     "bpe_apply_vocab",
     "emb_ivfpq_topk",
+    "ivfpq_recall",
     # Changed round 10: the LM per-doc sum was rebuilt order-free
     # (quantized decimal sum, no collect_list buffer) on BOTH the
     # Spark and oracle sides — re-prove parity first.

@@ -301,6 +301,30 @@ def pq_codes(
     )
 
 
+def _recall_report(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """One-row integer recall report shared by every audit:
+    (n_queries, n_exact, n_hits, recall_ppm), empty-input-safe."""
+    joined = exact.join(approx, ["q_id", "neighbor_id"], "left")
+    return joined.agg(
+        F.countDistinct("q_id").cast("long").alias("n_queries"),
+        F.count("*").cast("long").alias("n_exact"),
+        F.coalesce(F.sum("hit"), F.lit(0))
+        .cast("long")
+        .alias("n_hits"),
+        F.when(
+            F.count("*") > 0,
+            F.floor(
+                F.coalesce(F.sum("hit"), F.lit(0))
+                * F.lit(1_000_000)
+                / F.count("*")
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("recall_ppm"),
+    )
+
+
 def pq_exact_topk(
     emb: DataFrame, k: int = 3, nq: int = PQ_NQ
 ) -> DataFrame:
@@ -363,27 +387,7 @@ def pq_recall(
     adc = pq_adc_topk(emb, k=k, nq=nq, cache_key=cache_key).select(
         "q_id", "neighbor_id", F.lit(1).alias("hit")
     )
-    joined = exact.join(adc, ["q_id", "neighbor_id"], "left")
-    return joined.agg(
-        F.countDistinct("q_id").cast("long").alias("n_queries"),
-        F.count("*").cast("long").alias("n_exact"),
-        F.coalesce(F.sum("hit"), F.lit(0))
-        .cast("long")
-        .alias("n_hits"),
-        # empty-corpus guard: 0 exact rows is a defined 0-recall
-        # report, never a divide-by-zero (ANSI mode would throw)
-        F.when(
-            F.count("*") > 0,
-            F.floor(
-                F.coalesce(F.sum("hit"), F.lit(0))
-                * F.lit(1_000_000)
-                / F.count("*")
-            ),
-        )
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("recall_ppm"),
-    )
+    return _recall_report(exact, adc)
 
 
 def _query_ids(emb: DataFrame, nq: int) -> DataFrame:
@@ -585,25 +589,7 @@ def pq_rerank_recall(
     rr = pq_rerank_topk(
         emb, k=k, nq=nq, shortlist=shortlist, cache_key=cache_key
     ).select("q_id", "neighbor_id", F.lit(1).alias("hit"))
-    joined = exact.join(rr, ["q_id", "neighbor_id"], "left")
-    return joined.agg(
-        F.countDistinct("q_id").cast("long").alias("n_queries"),
-        F.count("*").cast("long").alias("n_exact"),
-        F.coalesce(F.sum("hit"), F.lit(0))
-        .cast("long")
-        .alias("n_hits"),
-        F.when(
-            F.count("*") > 0,
-            F.floor(
-                F.coalesce(F.sum("hit"), F.lit(0))
-                * F.lit(1_000_000)
-                / F.count("*")
-            ),
-        )
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("recall_ppm"),
-    )
+    return _recall_report(exact, rr)
 
 
 def ivfpq_topk(
@@ -678,3 +664,23 @@ def ivfpq_topk(
             "rank",
         )
     )
+
+
+def ivfpq_recall(
+    emb: DataFrame,
+    k: int = 3,
+    nq: int = PQ_NQ,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Recall@k of the composed IVF-PQ index against the exact
+    ground truth — the audit that closes the family (ann_recall for
+    LSH, pq_recall for plain ADC, pq_rerank_recall for the refine
+    step): losses here combine CELL misses (the true neighbor's
+    home cell was not probed) with CODE distortion."""
+    exact = pq_exact_topk(emb, k=k, nq=nq).select(
+        "q_id", "neighbor_id"
+    )
+    ap = ivfpq_topk(emb, k=k, nq=nq, cache_key=cache_key).select(
+        "q_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return _recall_report(exact, ap)

@@ -2212,10 +2212,10 @@ def _pq_sv_d2_sql(a: str, b: str) -> str:
     )
 
 
-@register(
-    "pq_recall",
-    f"WITH {_PQ_CTE}{_PQ_ADC_CTES}"
-    + f"""
+def _pq_exact_ctes() -> str:
+    """pq_qsub + exact integer ground-truth top-3 — shared by every
+    recall audit (requires pq_sv and pq_q to be in scope)."""
+    return f"""
 , pq_qsub AS (
     SELECT s.vec_id AS q_id, s.m, s.sv
     FROM pq_sv s JOIN pq_q ON pq_q.q_id = s.vec_id
@@ -2235,7 +2235,10 @@ def _pq_sv_d2_sql(a: str, b: str) -> str:
         ) AS xr
         FROM pq_exact
     ) WHERE xr <= 3
-)
+)"""
+
+
+_PQ_RECALL_SELECT = """
 SELECT CAST(count(DISTINCT e.q_id) AS BIGINT) AS n_queries,
        CAST(count(*) AS BIGINT) AS n_exact,
        CAST(coalesce(sum(hit), 0) AS BIGINT) AS n_hits,
@@ -2243,10 +2246,18 @@ SELECT CAST(count(DISTINCT e.q_id) AS BIGINT) AS n_queries,
                 floor(coalesce(sum(hit), 0) * 1000000 / count(*))
             ELSE 0 END AS BIGINT) AS recall_ppm
 FROM pq_exact_top e
-LEFT JOIN (
-    SELECT q_id, neighbor_id, 1 AS hit FROM pq_adc WHERE rnk <= 3
-) a USING (q_id, neighbor_id)
-""",
+LEFT JOIN ({approx_hits}) a USING (q_id, neighbor_id)
+"""
+
+
+@register(
+    "pq_recall",
+    f"WITH {_PQ_CTE}{_PQ_ADC_CTES}"
+    + _pq_exact_ctes()
+    + _PQ_RECALL_SELECT.format(
+        approx_hits="SELECT q_id, neighbor_id, 1 AS hit"
+        " FROM pq_adc WHERE rnk <= 3"
+    ),
     survey="PQ accuracy audit: ADC recall@k vs exact integer ground truth (datapipe)",
 )
 def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2379,6 +2390,49 @@ WHERE rank <= 3
 )
 def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.ivfpq_topk(
+        tables.load(spark, sf_dir, "embeddings"), k=3, cache_key=sf_dir
+    )
+
+
+@register(
+    "ivfpq_recall",
+    f"WITH {_VEC_CTE}"
+    + _IVF_CTE
+    + ","
+    + _PQ_CTE
+    + _PQ_Q_LUT_CTES
+    + """
+, ivfpq_pairs AS (
+    SELECT p.vec_id AS q_id, a.vec_id
+    FROM probes p
+    JOIN pq_q ON pq_q.q_id = p.vec_id
+    JOIN assigned a ON a.cell = p.cell
+    WHERE a.vec_id <> p.vec_id
+)
+, ivfpq_scored AS (
+    SELECT pr.q_id, pr.vec_id AS neighbor_id,
+           CAST(sum(l.d2) AS BIGINT) AS adc_dist
+    FROM ivfpq_pairs pr
+    JOIN pq_af a ON a.vec_id = pr.vec_id
+    JOIN pq_lut l ON l.q_id = pr.q_id AND l.m = a.m AND l.cell = a.cell
+    GROUP BY pr.q_id, pr.vec_id
+)
+, ivfpq_top AS (
+    SELECT q_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY adc_dist, neighbor_id
+        ) AS rnk
+        FROM ivfpq_scored
+    ) WHERE rnk <= 3
+)"""
+    + _pq_exact_ctes()
+    + _PQ_RECALL_SELECT.format(
+        approx_hits="SELECT q_id, neighbor_id, 1 AS hit FROM ivfpq_top"
+    ),
+    survey="IVF-PQ recall@k audit: cell-miss + code-distortion losses vs exact ground truth (datapipe)",
+)
+def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pq.ivfpq_recall(
         tables.load(spark, sf_dir, "embeddings"), k=3, cache_key=sf_dir
     )
 
