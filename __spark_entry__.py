@@ -42,6 +42,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # curation-plan queries, unchanged since r06, green in multiple
 # prior rounds) and roll to the r10 rotation.
 _FIRST = [
+    # NEW in round 10, session 2 — never driver-checked, so they
+    # lead: MMR diversified retrieval, integer PageRank, and the
+    # Z-order layout pair.
+    "emb_mmr_topk",
+    "graph_pagerank",
+    "layout_zorder",
+    "layout_skipping_audit",
     # NEW in round 10: the trained-coefficient quality-classifier
     # path (datapipe/quality_model.py demo_trained_weights) — never
     # driver-checked before, so it leads.

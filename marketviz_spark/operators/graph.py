@@ -1,0 +1,195 @@
+"""Iterative graph analytics: integer-exact PageRank.
+
+PageRank (Brin & Page, WWW'98) over the supply graph derived from
+the TPC-H-ish tables: a directed edge supplier→customer for every
+distinct (l_suppkey, o_custkey) pair in lineitem⋈orders. Customers
+have no out-edges, which makes them DANGLING nodes — the classic
+PageRank complication — so the dangling mass is redistributed
+uniformly each step, exactly as in the original formulation.
+
+Cross-engine exactness: ranks are BIGINT parts-per-trillion. Every
+step is integer arithmetic with truncating division (`div` in Spark,
+`//` in DuckDB — identical on the non-negative values here):
+
+    base   = TOTAL div N                       (uniform teleport)
+    contrib(v) = Σ_{u→v} r_u div outdeg(u)
+    dm     = Σ_{dangling u} r_u
+    r'(v)  = (15·base) div 100
+           + (85·(contrib(v) + dm div N)) div 100
+
+The division dust (< 1 ppt per node per step) is deliberately lost
+on BOTH engines identically, so the unrolled-CTE DuckDB oracle
+hashes bit-for-bit — no float ever appears.
+
+Scale shape (the 100-TB story):
+- Edge derivation is one co-keyed lineitem⋈orders shuffle + a
+  distinct on (src, dst); out-degrees attach with one groupBy on
+  src that then co-partitions with the per-iteration contribution
+  join (`src` is the join key throughout — one partitioning reused
+  across all iterations).
+- Each iteration is exactly TWO wide stages over the edge list:
+  the ranks⋈edges join on src and the groupBy(dst) sum. The ranks
+  table is node-sized (≪ edges); the dangling sum and the node
+  count broadcast as 1-row frames.
+- Lineage is cut per iteration with localCheckpoint (same pattern
+  as dedup._star_components; on a real cluster use
+  `reliable_checkpoint=True` → HDFS checkpoint every few rounds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PR_TOTAL = 10**12  # total rank mass (parts-per-trillion)
+PR_ITERS = 4  # fixed, cross-engine unrollable
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as a rational
+
+
+def supply_edges(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Distinct supplier→customer edges ('S<k>' → 'C<k>')."""
+    return (
+        lineitem.select("l_suppkey", "l_orderkey")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = PR_ITERS,
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """Integer-exact PageRank: ``nodes(node)``, ``edges(src, dst)``
+    → ``(node, rank_ppt)``. See module docstring for the exact
+    recurrence and scale notes."""
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        if reliable_checkpoint:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    nodes = ckpt(nodes.select("node").distinct())
+    outdeg = edges.groupBy("src").agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    # deg attaches once; src stays the partitioning key for every
+    # iteration's contribution join.
+    edges = ckpt(
+        edges.join(outdeg, "src").select("src", "dst", "deg")
+    )
+    n1 = nodes.agg(F.count("*").alias("n"))  # 1-row, broadcast
+
+    ranks = nodes.crossJoin(F.broadcast(n1)).select(
+        "node", F.expr(f"{PR_TOTAL} div n").alias("r")
+    )
+    for _ in range(iters):
+        dm1 = (
+            ranks.join(
+                outdeg, ranks["node"] == outdeg["src"], "left_anti"
+            )
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm"))
+        )
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .select("dst", F.expr("r div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").cast("long").alias("cin"))
+        )
+        ranks = ckpt(
+            nodes.crossJoin(F.broadcast(n1))
+            .crossJoin(F.broadcast(dm1))
+            .join(contrib, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                F.expr(
+                    f"({PR_DAMP_DEN - PR_DAMP_NUM} * ({PR_TOTAL} div n))"
+                    f" div {PR_DAMP_DEN}"
+                    f" + ({PR_DAMP_NUM} * (coalesce(cin, 0)"
+                    f" + dm div n)) div {PR_DAMP_DEN}"
+                ).alias("r"),
+            )
+        )
+    return ranks.select("node", F.col("r").alias("rank_ppt"))
+
+
+def supply_pagerank(
+    spark: SparkSession, sf_dir: str, iters: int = PR_ITERS
+) -> DataFrame:
+    """PageRank over the supplier→customer supply graph."""
+    from .. import tables
+
+    lineitem = tables.load(spark, sf_dir, "lineitem")
+    orders = tables.load(spark, sf_dir, "orders")
+    supplier = tables.load(spark, sf_dir, "supplier")
+    customer = tables.load(spark, sf_dir, "customer")
+    nodes = (
+        supplier.select(
+            F.concat(
+                F.lit("S"), F.col("s_suppkey").cast("string")
+            ).alias("node")
+        )
+        .unionByName(
+            customer.select(
+                F.concat(
+                    F.lit("C"), F.col("c_custkey").cast("string")
+                ).alias("node")
+            )
+        )
+        .distinct()
+    )
+    edges = supply_edges(lineitem, orders)
+    return pagerank(nodes, edges, iters=iters)
+
+
+def pagerank_oracle_sql(iters: int = PR_ITERS) -> str:
+    """DuckDB twin: the identical integer recurrence unrolled as
+    ``iters`` CTE steps from the same constants."""
+    base = f"({PR_TOTAL} // n)"
+    sql = f"""
+WITH edges AS (
+    SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS src,
+                    'C' || CAST(o_custkey AS VARCHAR) AS dst
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), outdeg AS (
+    SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src
+), nodes AS (
+    SELECT 'S' || CAST(s_suppkey AS VARCHAR) AS node FROM supplier
+    UNION
+    SELECT 'C' || CAST(c_custkey AS VARCHAR) AS node FROM customer
+), nn AS (
+    SELECT CAST(count(*) AS BIGINT) AS n FROM nodes
+), r0 AS (
+    SELECT node, CAST({PR_TOTAL} // n AS BIGINT) AS r
+    FROM nodes CROSS JOIN nn
+)"""
+    for i in range(iters):
+        sql += f""", dm{i} AS (
+    SELECT CAST(COALESCE(sum(r), 0) AS BIGINT) AS dm
+    FROM r{i} LEFT JOIN outdeg ON node = src WHERE deg IS NULL
+), c{i} AS (
+    SELECT dst, CAST(sum(r // deg) AS BIGINT) AS cin
+    FROM edges JOIN outdeg USING (src) JOIN r{i} ON node = src
+    GROUP BY dst
+), r{i + 1} AS (
+    SELECT nodes.node,
+           CAST(({PR_DAMP_DEN - PR_DAMP_NUM} * {base})
+                    // {PR_DAMP_DEN}
+                + ({PR_DAMP_NUM} * (COALESCE(cin, 0) + dm // n))
+                    // {PR_DAMP_DEN} AS BIGINT) AS r
+    FROM nodes CROSS JOIN nn CROSS JOIN dm{i}
+    LEFT JOIN c{i} ON nodes.node = c{i}.dst
+)"""
+    return sql + f"\nSELECT node, r AS rank_ppt FROM r{iters}"

@@ -1,0 +1,168 @@
+"""Data-layout clustering: Z-order (Morton) interleaving + the
+zone-map skipping audit that justifies it.
+
+The 100-TB problem this solves: a table physically clustered on ONE
+key (the natural `l_orderkey` ingest order) gives great file-level
+min/max pruning on that key and NONE on any other — a point filter
+on `l_partkey` scans every file. Interleaving the bits of both keys
+(Morton order, the layout behind Delta/Iceberg `OPTIMIZE ZORDER BY`)
+makes every file cover a small RECTANGLE in (orderkey, partkey)
+space, so zone maps prune on either dimension. The audit quantifies
+exactly that: the summed per-file key span of each dimension under
+each layout — proportional to the expected number of files a
+point lookup must scan.
+
+Exactness + engine parity: keys fold into a fixed 16-bit budget
+(`k % 65536` — the deterministic stand-in for the min/max range map
+a real layout job computes), the 32-bit z-value is a generated
+sum-of-bits expression TEXTUALLY shared with the DuckDB oracle
+(only the integer-division operator differs), and files are fixed
+z-ranges (`z div 2^26` → 64 cells), so the whole thing is map-only
+integer math + ONE groupBy — no global sort, no window. A real
+compaction job would follow with a range-partitioned write; the
+layout ASSIGNMENT, which is what needs to be correct, is this.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+Z_BITS = 16  # per-dimension bit budget after folding
+Z_FOLD = 1 << Z_BITS  # 65536
+Z_FILE_SHIFT = 26  # file = z div 2^26 → 64 z-range cells
+N_FILES = (1 << (2 * Z_BITS)) >> Z_FILE_SHIFT  # 64
+
+
+def _z_expr(a: str, b: str, div: str) -> str:
+    """Morton interleave of two Z_BITS-bit ints as portable SQL:
+    bit j of `a` lands at position 2j+1, of `b` at 2j. `div` is the
+    engine's integer-division operator ('div' Spark, '//' DuckDB);
+    everything else is shared text."""
+    terms = []
+    for j in range(Z_BITS):
+        terms.append(f"(({a} {div} {1 << j}) % 2) * {1 << (2 * j + 1)}")
+        terms.append(f"(({b} {div} {1 << j}) % 2) * {1 << (2 * j)}")
+    return " + ".join(terms)
+
+
+def _folded(lineitem: DataFrame, div: str = "div") -> DataFrame:
+    return lineitem.select(
+        (F.col("l_orderkey") % Z_FOLD).alias("b1"),
+        (F.col("l_partkey") % Z_FOLD).alias("b2"),
+    )
+
+
+def zorder_zone_maps(lineitem: DataFrame) -> DataFrame:
+    """Per-file zone maps under the z-order layout: (file_id,
+    n_rows, min/max of each folded key). Map-only z computation +
+    one groupBy(file_id) — the only shuffle."""
+    z = F.expr(_z_expr("b1", "b2", "div"))
+    return (
+        _folded(lineitem)
+        .select("b1", "b2", (z.cast("long")).alias("z"))
+        .select(
+            "b1", "b2", F.expr(f"z div {1 << Z_FILE_SHIFT}").alias("file_id")
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("b1").cast("long").alias("min_order_fold"),
+            F.max("b1").cast("long").alias("max_order_fold"),
+            F.min("b2").cast("long").alias("min_part_fold"),
+            F.max("b2").cast("long").alias("max_part_fold"),
+        )
+    )
+
+
+def skipping_audit(lineitem: DataFrame) -> DataFrame:
+    """2-row layout comparison: summed per-file zone-map spans per
+    dimension (∝ expected files scanned by a point lookup on that
+    dimension). 'natural' = files are fixed ranges of the orderkey
+    fold; 'zorder' = fixed z-ranges. Lower span sum ⇒ better
+    pruning; z-order trades a little orderkey locality for a ~8x
+    partkey-span collapse (the whole point)."""
+    folded = _folded(lineitem)
+    natural_width = Z_FOLD // N_FILES
+    nat = folded.select(
+        "b1", "b2", F.expr(f"b1 div {natural_width}").alias("file_id")
+    )
+    z = F.expr(_z_expr("b1", "b2", "div"))
+    zod = folded.select("b1", "b2", z.cast("long").alias("z")).select(
+        "b1", "b2", F.expr(f"z div {1 << Z_FILE_SHIFT}").alias("file_id")
+    )
+
+    def summary(df: DataFrame, name: str) -> DataFrame:
+        per_file = df.groupBy("file_id").agg(
+            F.count("*").alias("n"),
+            (F.max("b1") - F.min("b1") + 1).alias("span1"),
+            (F.max("b2") - F.min("b2") + 1).alias("span2"),
+        )
+        return per_file.agg(
+            F.lit(name).alias("layout"),
+            F.count("*").cast("long").alias("n_files"),
+            F.sum("n").cast("long").alias("n_rows"),
+            F.sum("span1").cast("long").alias("sum_order_span"),
+            F.sum("span2").cast("long").alias("sum_part_span"),
+        )
+    return summary(nat, "natural").unionByName(summary(zod, "zorder"))
+
+
+def zorder_oracle_sql() -> str:
+    z = _z_expr("b1", "b2", "//")
+    return f"""
+WITH folded AS (
+    SELECT l_orderkey % {Z_FOLD} AS b1, l_partkey % {Z_FOLD} AS b2
+    FROM lineitem
+), zed AS (
+    SELECT b1, b2, ({z}) // {1 << Z_FILE_SHIFT} AS file_id FROM folded
+)
+SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(b1) AS BIGINT) AS min_order_fold,
+       CAST(max(b1) AS BIGINT) AS max_order_fold,
+       CAST(min(b2) AS BIGINT) AS min_part_fold,
+       CAST(max(b2) AS BIGINT) AS max_part_fold
+FROM zed GROUP BY file_id"""
+
+
+def skipping_audit_oracle_sql() -> str:
+    z = _z_expr("b1", "b2", "//")
+    natural_width = Z_FOLD // N_FILES
+    return f"""
+WITH folded AS (
+    SELECT l_orderkey % {Z_FOLD} AS b1, l_partkey % {Z_FOLD} AS b2
+    FROM lineitem
+), nat AS (
+    SELECT 'natural' AS layout, b1 // {natural_width} AS file_id, b1, b2
+    FROM folded
+    UNION ALL
+    SELECT 'zorder' AS layout,
+           ({z}) // {1 << Z_FILE_SHIFT} AS file_id, b1, b2
+    FROM folded
+), per_file AS (
+    SELECT layout, file_id, count(*) AS n,
+           max(b1) - min(b1) + 1 AS span1,
+           max(b2) - min(b2) + 1 AS span2
+    FROM nat GROUP BY layout, file_id
+)
+SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(sum(span1) AS BIGINT) AS sum_order_span,
+       CAST(sum(span2) AS BIGINT) AS sum_part_span
+FROM per_file GROUP BY layout"""
+
+
+def queries_self_check(spark: SparkSession, sf_dir: str) -> None:
+    """Dev helper: assert the z layout actually wins on partkey."""
+    from .. import tables
+
+    rows = {
+        r["layout"]: r
+        for r in skipping_audit(
+            tables.load(spark, sf_dir, "lineitem")
+        ).collect()
+    }
+    assert (
+        rows["zorder"]["sum_part_span"]
+        < rows["natural"]["sum_part_span"]
+    )

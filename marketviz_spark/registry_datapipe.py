@@ -3343,3 +3343,87 @@ def q_pack_fill_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("fill_ppm"),
     )
+
+
+# ----------------------------------------------------------------------
+# Diversified retrieval (MMR re-rank)
+# ----------------------------------------------------------------------
+
+
+from .datapipe.retrieval import mmr_oracle_sql, mmr_topk  # noqa: E402
+
+
+@register(
+    "emb_mmr_topk",
+    mmr_oracle_sql(),
+    survey="MMR-diversified top-k retrieval: integer-exact greedy re-rank of the per-query ANN shortlist (datapipe similarity; Carbonell&Goldstein SIGIR'98)",
+)
+def q_emb_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The de-redundancy pass of a retrieval / data-selection
+    pipeline: top-C shortlist per probe query (broadcast NLJ,
+    map-side over candidates), then a grouped-map greedy MMR
+    selection over the ≤C-row shortlist — one qid shuffle, O(C²K)
+    local integer work per query, parallel in nq. λ=1/2 scaled into
+    BIGINT so the unrolled 5-step DuckDB oracle hashes bit-for-bit."""
+    return mmr_topk(tables.load(spark, sf_dir, "embeddings"))
+
+
+# ----------------------------------------------------------------------
+# Iterative graph analytics (PageRank)
+# ----------------------------------------------------------------------
+
+
+from .operators.graph import pagerank_oracle_sql, supply_pagerank  # noqa: E402
+
+
+@register(
+    "graph_pagerank",
+    pagerank_oracle_sql(),
+    survey="integer-exact PageRank over the supplier→customer supply graph: dangling-mass redistribution, 2 wide stages per iteration, unrolled-CTE oracle (graph analytics)",
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank with BIGINT ppt ranks and truncating-division
+    arithmetic identical on both engines (operators/graph.py). Four
+    fixed iterations; lineage cut per round with localCheckpoint
+    exactly like dedup._star_components."""
+    return supply_pagerank(spark, sf_dir)
+
+
+# ----------------------------------------------------------------------
+# Data layout: Z-order clustering + zone-map skipping audit
+# ----------------------------------------------------------------------
+
+
+from .operators.layout import (  # noqa: E402
+    skipping_audit,
+    skipping_audit_oracle_sql,
+    zorder_oracle_sql,
+    zorder_zone_maps,
+)
+
+
+@register(
+    "layout_zorder",
+    zorder_oracle_sql(),
+    survey="Z-order (Morton) layout assignment + per-file zone maps: map-only bit interleave, one groupBy, no global sort (data layout)",
+)
+def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OPTIMIZE-ZORDER layout pass: fold both keys to a 16-bit
+    budget, interleave bits (generated expression shared with the
+    oracle), assign fixed z-range files, emit each file's zone map
+    (operators/layout.py)."""
+    return zorder_zone_maps(tables.load(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "layout_skipping_audit",
+    skipping_audit_oracle_sql(),
+    survey="zone-map skipping audit: summed per-file key spans under natural vs z-order layout — the pruning win, quantified (data layout)",
+)
+def q_layout_skipping_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Why z-order: 2-row integer comparison of expected pruning
+    (summed per-file spans per dimension) between the single-key
+    natural layout and the Morton layout."""
+    return skipping_audit(tables.load(spark, sf_dir, "lineitem"))

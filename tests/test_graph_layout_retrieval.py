@@ -1,0 +1,267 @@
+"""Round-10 additions: MMR re-rank, PageRank, Z-order layout —
+value properties, python mirrors, and the scale-plan pins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from marketviz_spark import tables
+from marketviz_spark.registry import QUERIES
+from tests.conftest import SF_MED, SF_SMALL
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ----------------------------------------------------------------- MMR
+
+
+@pytest.fixture(scope="module")
+def mmr_rows(spark):
+    return QUERIES["emb_mmr_topk"].fn(spark, SF_MED).collect()
+
+
+def test_mmr_shape_and_invariants(mmr_rows):
+    from marketviz_spark.datapipe.retrieval import MMR_K
+
+    by_q: dict[int, list] = {}
+    for r in mmr_rows:
+        by_q.setdefault(r["vec_id"], []).append(r)
+    assert by_q, "no query produced results"
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["mmr_rank"])
+        assert [r["mmr_rank"] for r in rows] == list(
+            range(1, len(rows) + 1)
+        )
+        assert len(rows) <= MMR_K
+        # picks are distinct docs, none is the query itself
+        ids = [r["neighbor_id"] for r in rows]
+        assert len(set(ids)) == len(ids)
+        assert qid not in ids
+        # rank 1 is the pure-relevance argmax: score == relevance
+        assert rows[0]["mmr_score"] == rows[0]["relevance"]
+        assert rows[0]["relevance"] == max(r["relevance"] for r in rows)
+        # from rank 2 on the greedy best score is non-increasing:
+        # each candidate's score only drops as the picked set grows
+        # (max-penalty over a superset) and the pool only shrinks.
+        # (rank1→2 is exempt: penalties can be NEGATIVE dots.)
+        scores = [r["mmr_score"] for r in rows[1:]]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_mmr_diversifies_vs_plain_topk(spark, mmr_rows):
+    """MMR must not simply return the relevance top-K: with λ=1/2
+    at least one query's pick set differs from its plain shortlist
+    head (the corpus has near-duplicate clusters by construction)."""
+    from marketviz_spark.datapipe.retrieval import MMR_K, mmr_shortlist
+
+    sl = mmr_shortlist(tables.load(spark, SF_MED, "embeddings"))
+    plain = {
+        (r["qid"], r["cid"])
+        for r in sl.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.desc("rel"), F.asc("cid")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= MMR_K)
+        .collect()
+    }
+    mmr = {(r["vec_id"], r["neighbor_id"]) for r in mmr_rows}
+    assert mmr != plain, "MMR degenerated to plain top-k"
+
+
+def test_mmr_python_mirror(spark):
+    """End-to-end python mirror on the sf0.001 slice: quantize,
+    shortlist, greedy-select with pure ints — must match exactly."""
+    import math
+
+    emb = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in tables.load(spark, SF_SMALL, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    from marketviz_spark.datapipe.retrieval import (
+        MMR_K,
+        MMR_QUANT,
+        MMR_QUERY_MOD,
+        MMR_SHORTLIST,
+    )
+
+    q = {
+        vid: [int(math.floor(float(x) * MMR_QUANT + 0.5)) for x in v]
+        for vid, v in emb
+    }
+    queries = sorted(v for v in q if v % MMR_QUERY_MOD == 0)
+    expected = []
+    for qid in queries:
+        rel = sorted(
+            (
+                (sum(a * b for a, b in zip(q[qid], q[c])), c)
+                for c in q
+                if c % MMR_QUERY_MOD != 0
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )[:MMR_SHORTLIST]
+        picked = []
+        for rank in range(1, MMR_K + 1):
+            best = None
+            for r, c in rel:
+                if any(c == p[1] for p in picked):
+                    continue
+                pen = (
+                    max(
+                        sum(a * b for a, b in zip(q[c], q[p[1]]))
+                        for p in picked
+                    )
+                    if picked
+                    else 0
+                )
+                s = r - pen if picked else r
+                if best is None or (-s, c) < (-best[0], best[2]):
+                    best = (s, r, c)
+            if best is None:
+                break
+            picked.append((best[1], best[2]))
+            expected.append((qid, rank, best[2], best[1], best[0]))
+    got = sorted(
+        tuple(r)
+        for r in QUERIES["emb_mmr_topk"].fn(spark, SF_SMALL).collect()
+    )
+    assert got == sorted(expected)
+
+
+def test_mmr_plan_one_qid_shuffle_no_cartesian(spark):
+    """Shortlist streams map-side through the broadcast probe set;
+    the only hash exchange is the qid regroup for the grouped map.
+    Never a CartesianProduct."""
+    plan = _plan(QUERIES["emb_mmr_topk"].fn(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+# ------------------------------------------------------------ PageRank
+
+
+def test_pagerank_tiny_graph_exact(spark):
+    """Hand-checkable 3-node graph (a→c, b→c; c dangling), one
+    iteration — every value derived by hand from the integer
+    recurrence."""
+    from marketviz_spark.operators.graph import PR_TOTAL, pagerank
+
+    nodes = spark.createDataFrame(
+        [("a",), ("b",), ("c",)], "node string"
+    )
+    edges = spark.createDataFrame(
+        [("a", "c"), ("b", "c")], "src string, dst string"
+    )
+    got = {
+        r["node"]: r["rank_ppt"]
+        for r in pagerank(nodes, edges, iters=1).collect()
+    }
+    base = PR_TOTAL // 3
+    teleport = (15 * base) // 100
+    # c has no out-edges → the dangling mass is r0(c) = base
+    dm_share = base // 3
+    assert got["a"] == teleport + (85 * dm_share) // 100
+    assert got["b"] == got["a"]
+    # c receives both full contributions (outdeg 1 each)
+    assert got["c"] == teleport + (85 * (2 * base + dm_share)) // 100
+
+
+def test_pagerank_mass_and_order(spark):
+    """Supply-graph ranks: total mass stays within the integer-dust
+    bound of PR_TOTAL, every node is ranked, and customers (the
+    only contribution sinks) outrank suppliers on average."""
+    from marketviz_spark.operators.graph import PR_TOTAL
+
+    rows = QUERIES["graph_pagerank"].fn(spark, SF_SMALL).collect()
+    n = len(rows)
+    total = sum(r["rank_ppt"] for r in rows)
+    # each of the 4 iterations can truncate <1 ppt per node per div
+    # (3 divisions on the node path + per-edge contribution dust)
+    assert total <= PR_TOTAL
+    assert total >= PR_TOTAL - 10 * n * 4 - PR_TOTAL // 100
+    supp = [r["rank_ppt"] for r in rows if r["node"].startswith("S")]
+    cust = [r["rank_ppt"] for r in rows if r["node"].startswith("C")]
+    assert supp and cust
+    assert sum(cust) / len(cust) > sum(supp) / len(supp)
+
+
+def test_pagerank_iteration_plan_two_wide_stages(spark):
+    """One iteration over checkpointed inputs = the contribution
+    join + ONE groupBy(dst) exchange; ranks-side joins broadcast."""
+    from marketviz_spark.operators.graph import (
+        pagerank,
+        supply_edges,
+    )
+
+    lineitem = tables.load(spark, SF_SMALL, "lineitem")
+    orders = tables.load(spark, SF_SMALL, "orders")
+    nodes = (
+        supply_edges(lineitem, orders)
+        .select(F.col("src").alias("node"))
+        .union(supply_edges(lineitem, orders).select("dst"))
+        .distinct()
+    )
+    df = pagerank(nodes, supply_edges(lineitem, orders), iters=1)
+    plan = _plan(df)
+    # inputs are localCheckpoint scans, so the plan shows only the
+    # final iteration: no parquet rescans, no cartesian
+    assert "CartesianProduct" not in plan
+    assert "Scan parquet" not in plan
+
+
+# ------------------------------------------------------------- Layout
+
+
+def test_zorder_beats_natural_on_secondary_key(spark):
+    rows = {
+        r["layout"]: r
+        for r in QUERIES["layout_skipping_audit"]
+        .fn(spark, SF_MED)
+        .collect()
+    }
+    nat, zod = rows["natural"], rows["zorder"]
+    assert nat["n_rows"] == zod["n_rows"]
+    # the point of z-order: partkey span collapses by ~an order of
+    # magnitude, orderkey span grows but stays bounded
+    assert zod["sum_part_span"] * 4 < nat["sum_part_span"]
+    assert zod["sum_order_span"] < nat["sum_order_span"] * 16
+
+
+def test_zorder_zone_maps_cover_table(spark):
+    from marketviz_spark.operators.layout import N_FILES, Z_FOLD
+
+    rows = QUERIES["layout_zorder"].fn(spark, SF_MED).collect()
+    assert 0 < len(rows) <= N_FILES
+    n = tables.load(spark, SF_MED, "lineitem").count()
+    assert sum(r["n_rows"] for r in rows) == n
+    for r in rows:
+        assert 0 <= r["min_order_fold"] <= r["max_order_fold"] < Z_FOLD
+        assert 0 <= r["min_part_fold"] <= r["max_part_fold"] < Z_FOLD
+        # each z-file is a rectangle of the top-3-bit grid: spans
+        # are bounded by the 8192-wide cell
+        assert r["max_order_fold"] - r["min_order_fold"] < Z_FOLD // 8
+        assert r["max_part_fold"] - r["min_part_fold"] < Z_FOLD // 8
+
+
+def test_zorder_plan_map_only_single_exchange(spark):
+    """Layout assignment must stay map-side: one groupBy exchange,
+    2-column scan, no window, no join."""
+    plan = _plan(QUERIES["layout_zorder"].fn(spark, SF_SMALL))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" not in plan and "Join" not in plan
+    scan = next(
+        line for line in plan.splitlines() if "Scan parquet" in line
+    )
+    assert "l_orderkey" in scan or "ReadSchema" not in scan
+    assert "l_extendedprice" not in plan
