@@ -49,6 +49,7 @@ _FIRST = [
     "graph_pagerank",
     "layout_zorder",
     "layout_skipping_audit",
+    "bm25_topk",
     # NEW in round 10: the trained-coefficient quality-classifier
     # path (datapipe/quality_model.py demo_trained_weights) — never
     # driver-checked before, so it leads.

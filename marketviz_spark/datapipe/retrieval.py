@@ -87,6 +87,15 @@ def mmr_shortlist(
         F.col("vec_id").alias("cid"),
         _quantized(F.col("embedding")).alias("cq"),
     ).filter(F.col("cid") % query_mod != 0)
+    # The relevance pass is (candidate partitions) wide: a corpus
+    # that fits one file split would score all nq·N dots in a single
+    # task (the cosine_topk lesson, similarity.py:90-101). Fan the
+    # streamed candidate side out to cluster parallelism first; at
+    # real scale the scan is already wide and this gate is a no-op.
+    sc = emb.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if c.rdd.getNumPartitions() < target:
+        c = c.repartition(target)
     pairs = c.crossJoin(F.broadcast(q)).select(
         "qid", "cid", "cq", _idot("qq", "cq").alias("rel")
     )
@@ -176,17 +185,22 @@ def mmr_oracle_sql(
             f"CAST({b} AS DOUBLE[])) AS BIGINT)"
         )
 
+    # Every step CTE references its predecessors several times;
+    # DuckDB's default CTE inlining would re-evaluate the nq·N
+    # cross join once per reference (the compounding the BPE oracle
+    # documents — and at sf1 it spills temp storage to death).
+    # MATERIALIZED pins each to one evaluation.
     sql = f"""
-WITH qv AS (
+WITH qv AS MATERIALIZED (
     SELECT vec_id,
            list_transform(CAST(embedding AS DOUBLE[]),
                x -> CAST(floor(x * {float(MMR_QUANT)} + 0.5) AS BIGINT)) AS q
     FROM embeddings
-), qs AS (
+), qs AS MATERIALIZED (
     SELECT vec_id AS qid, q AS qq FROM qv WHERE vec_id % {query_mod} = 0
-), cs AS (
+), cs AS MATERIALIZED (
     SELECT vec_id AS cid, q AS cq FROM qv WHERE vec_id % {query_mod} <> 0
-), sl AS (
+), sl AS MATERIALIZED (
     SELECT qid, cid, cq, rel FROM (
         SELECT qid, cid, cq, rel,
                row_number() OVER (
@@ -195,7 +209,7 @@ WITH qv AS (
                      {dot('qs.qq', 'cs.cq')} AS rel
               FROM qs CROSS JOIN cs)
     ) WHERE rn <= {shortlist}
-), s1 AS (
+), s1 AS MATERIALIZED (
     SELECT qid, cid, cq, rel, rel AS score FROM (
         SELECT *, row_number() OVER (
             PARTITION BY qid ORDER BY rel DESC, cid) AS rn FROM sl
@@ -205,7 +219,7 @@ WITH qv AS (
         union = " UNION ALL ".join(
             f"SELECT qid, cid, cq FROM s{i}" for i in range(1, r)
         )
-        sql += f""", p{r} AS (
+        sql += f""", p{r} AS MATERIALIZED (
     SELECT r.qid, r.cid, r.rel,
            r.rel - max({dot('r.cq', 's.cq')}) AS score
     FROM sl r JOIN ({union}) s ON r.qid = s.qid
@@ -213,7 +227,7 @@ WITH qv AS (
         SELECT 1 FROM ({union}) x
         WHERE x.qid = r.qid AND x.cid = r.cid)
     GROUP BY r.qid, r.cid, r.rel
-), s{r} AS (
+), s{r} AS MATERIALIZED (
     SELECT p.qid, p.cid, sl.cq, p.rel, p.score
     FROM (SELECT qid, cid, rel, score FROM (
               SELECT *, row_number() OVER (

@@ -3427,3 +3427,24 @@ def q_layout_skipping_audit(
     (summed per-file spans per dimension) between the single-key
     natural layout and the Morton layout."""
     return skipping_audit(tables.load(spark, sf_dir, "lineitem"))
+
+
+# ----------------------------------------------------------------------
+# Lexical retrieval (BM25)
+# ----------------------------------------------------------------------
+
+
+from .datapipe.bm25 import bm25_oracle_sql, bm25_topk  # noqa: E402
+
+
+@register(
+    "bm25_topk",
+    bm25_oracle_sql(),
+    survey="BM25 lexical top-k: map-side query-term filter (no inverted index materialized), integer-exact rational idf/saturation (datapipe retrieval; Robertson TREC-3)",
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword retrieval beside the embedding ANN tiers: postings
+    for the probe terms only (filter inside the explode map stage),
+    1-row corpus stats broadcast, integer ppm scoring, per-query
+    top-k window (datapipe/bm25.py)."""
+    return bm25_topk(tables.load(spark, sf_dir, "documents"))

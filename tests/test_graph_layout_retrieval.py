@@ -265,3 +265,58 @@ def test_zorder_plan_map_only_single_exchange(spark):
     )
     assert "l_orderkey" in scan or "ReadSchema" not in scan
     assert "l_extendedprice" not in plan
+
+
+# --------------------------------------------------------------- BM25
+
+
+def test_bm25_invariants(spark):
+    from marketviz_spark.datapipe.bm25 import BM25_QUERIES, BM25_TOPK
+
+    rows = QUERIES["bm25_topk"].fn(spark, SF_MED).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {qid for qid, _ in BM25_QUERIES}
+    for rows_q in by_q.values():
+        rows_q.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows_q] == list(
+            range(1, len(rows_q) + 1)
+        )
+        assert len(rows_q) <= BM25_TOPK
+        scores = [r["score_ppm"] for r in rows_q]
+        assert scores == sorted(scores, reverse=True)
+        assert all(s > 0 for s in scores)
+
+
+def test_bm25_top_doc_matches_terms(spark):
+    """The rank-1 doc for the 2-term query must actually contain
+    both query terms (with every corpus doc sharing the vocabulary,
+    a top-ranked doc missing a term would mean broken tf math)."""
+    top = (
+        QUERIES["bm25_topk"]
+        .fn(spark, SF_MED)
+        .filter("query_id = 1 and rank = 1")
+        .collect()[0]
+    )
+    text = (
+        tables.load(spark, SF_MED, "documents")
+        .filter(F.col("doc_id") == top["doc_id"])
+        .collect()[0]["text"]
+    )
+    toks = set(text.split())
+    assert "hash" in toks and "join" in toks
+
+
+def test_bm25_plan_no_full_index_and_pruned_scan(spark):
+    """The term filter must run map-side (postings shuffle carries
+    only query terms) and the scan must prune to doc_id+text."""
+    plan = _plan(QUERIES["bm25_topk"].fn(spark, SF_SMALL))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Scan parquet" in line:
+            assert "lang" not in line and "source" not in line, line
+    # the explode feeds a Filter on the literal term set BEFORE any
+    # exchange: the filter condition must mention a query term
+    assert "hash" in plan and "INSET" in plan or "IN (" in plan
