@@ -50,6 +50,9 @@ _FIRST = [
     "layout_zorder",
     "layout_skipping_audit",
     "bm25_topk",
+    "basket_pairs",
+    "profile_lineitem",
+    "cms_heavy_hitters",
     # NEW in round 10: the trained-coefficient quality-classifier
     # path (datapipe/quality_model.py demo_trained_weights) — never
     # driver-checked before, so it leads.

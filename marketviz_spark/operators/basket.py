@@ -1,0 +1,155 @@
+"""Market-basket mining: A-priori frequent pairs with
+confidence / lift (Agrawal & Srikant, VLDB'94).
+
+Baskets are orders, items are parts (distinct (l_orderkey,
+l_partkey)). The classic distributed shape:
+
+1. Item supports first (one small groupBy), then the A-PRIORI PRUNE:
+   only items that are individually frequent can appear in a
+   frequent pair, so the basket stream is semi-joined against the
+   broadcast frequent-item set BEFORE any pair is generated — the
+   candidate-space collapse that makes the algorithm viable at
+   scale (pair generation on the unpruned stream is the naive
+   quadratic everyone regrets).
+2. Within-basket pair generation is a self-equi-join on the basket
+   key with ``i1 < i2`` — co-partitioned (both sides shuffle once,
+   same key), never a cross join. Per-basket cost is size², so
+   baskets are capped at BASKET_CAP items (rank by item id,
+   deterministic) — the same refuse-the-blowup contract as
+   dedup.MAX_BUCKET; the cap is a no-op on this data (max basket
+   13) but the guard rides in the plan.
+3. Support filter, then confidence/lift against the broadcast item
+   supports and the 1-row basket count.
+
+Exactness: supports are counts; confidence and lift are single
+BIGINT ppm divisions (truncating on both engines). No floats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+MIN_SUPPORT = 2  # pair must co-occur in >= 2 baskets
+BASKET_CAP = 256  # max items per basket entering pair generation
+
+
+def basket_pairs(lineitem: DataFrame) -> DataFrame:
+    """(item_a, item_b, support, conf_ab_ppm, lift_ppm) for every
+    frequent pair. conf_ab = P(b ∈ basket | a ∈ basket);
+    lift = support·n_baskets / (sup_a·sup_b), both ppm-truncated."""
+    baskets = (
+        lineitem.select(
+            F.col("l_orderkey").alias("basket"),
+            F.col("l_partkey").alias("item"),
+        )
+        .distinct()
+    )
+    n1 = baskets.agg(
+        F.countDistinct("basket").cast("long").alias("n_baskets")
+    )
+    item_sup = baskets.groupBy("item").agg(
+        F.count("*").cast("long").alias("sup_i")
+    )
+    frequent = item_sup.filter(F.col("sup_i") >= MIN_SUPPORT)
+    # A-priori prune: drop never-frequent items BEFORE pairing.
+    pruned = baskets.join(
+        F.broadcast(frequent.select("item")), "item", "left_semi"
+    )
+    capped = (
+        pruned.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("basket").orderBy("item")
+            ),
+        )
+        .filter(F.col("rn") <= BASKET_CAP)
+        .drop("rn")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.basket") == F.col("b.basket"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("item_a"),
+            F.col("b.item").alias("item_b"),
+        )
+        .agg(F.count("*").cast("long").alias("support"))
+        .filter(F.col("support") >= MIN_SUPPORT)
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                item_sup.select(
+                    F.col("item").alias("item_a"),
+                    F.col("sup_i").alias("sup_a"),
+                )
+            ),
+            "item_a",
+        )
+        .join(
+            F.broadcast(
+                item_sup.select(
+                    F.col("item").alias("item_b"),
+                    F.col("sup_i").alias("sup_b"),
+                )
+            ),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "item_a",
+            "item_b",
+            "support",
+            F.expr("(support * 1000000) div sup_a").alias(
+                "conf_ab_ppm"
+            ),
+            F.expr(
+                "(support * n_baskets * 1000000) div (sup_a * sup_b)"
+            ).alias("lift_ppm"),
+        )
+    )
+
+
+def basket_pairs_oracle_sql() -> str:
+    return f"""
+WITH baskets AS (
+    SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+    FROM lineitem
+), n1 AS (
+    SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_baskets
+    FROM baskets
+), item_sup AS (
+    SELECT item, CAST(count(*) AS BIGINT) AS sup_i
+    FROM baskets GROUP BY item
+), pruned AS (
+    SELECT basket, item FROM baskets
+    WHERE item IN (SELECT item FROM item_sup
+                   WHERE sup_i >= {MIN_SUPPORT})
+), capped AS (
+    SELECT basket, item FROM (
+        SELECT basket, item, row_number() OVER (
+            PARTITION BY basket ORDER BY item) AS rn
+        FROM pruned
+    ) WHERE rn <= {BASKET_CAP}
+), pairs AS (
+    SELECT a.item AS item_a, b.item AS item_b,
+           CAST(count(*) AS BIGINT) AS support
+    FROM capped a JOIN capped b
+      ON a.basket = b.basket AND a.item < b.item
+    GROUP BY a.item, b.item
+    HAVING count(*) >= {MIN_SUPPORT}
+)
+SELECT item_a, item_b, support,
+       (support * 1000000) // sa.sup_i AS conf_ab_ppm,
+       (support * n_baskets * 1000000) // (sa.sup_i * sb.sup_i)
+           AS lift_ppm
+FROM pairs
+JOIN item_sup sa ON sa.item = item_a
+JOIN item_sup sb ON sb.item = item_b
+CROSS JOIN n1"""

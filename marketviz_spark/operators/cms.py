@@ -1,0 +1,127 @@
+"""Count-min sketch heavy-hitter audit (Cormode & Muthukrishnan,
+J.Algorithms'05) — the mergeable fixed-size frequency sketch, built
+distributed and audited against exact counts in the same plan.
+
+Why it matters at 100 TB: exact per-key counts of a high-cardinality
+column need a key-grain shuffle; a CMS is a d×w INTEGER grid that
+partial-aggregates map-side and merges by cell-wise addition —
+constant size regardless of cardinality, streamable, unionable
+across days. The sketch never under-counts; the audit quantifies the
+collision overestimate on the true heavy hitters.
+
+Engine parity: the d hash rows use the same LCG family as the PPS
+sampler (`sample_pps`): h_t(x) = ((x % P)·A + t·B) % P % w — pure
+BIGINT, identical text on both engines. Cells, estimates (min over
+rows), and overestimate ppm are all integers.
+
+Plan shape: exact counts groupBy(item) once; the sketch derives
+FROM those pre-aggregated counts (map-side combine — each item
+contributes once per row, not once per occurrence), collapsing to
+d·w rows; the audit joins the top-k exact items against the
+broadcast d·w cell table. One key-grain shuffle total; everything
+downstream is sketch-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_P = 2_147_483_647
+CMS_A = 48_271
+CMS_B = 9_973
+CMS_TOPK = 20
+
+
+def _col_expr(item: str, t: int) -> str:
+    """Row-t column index, textually identical on both engines."""
+    return (
+        f"(((({item}) % {CMS_P}) * {CMS_A} + {t} * {CMS_B})"
+        f" % {CMS_P}) % {CMS_WIDTH}"
+    )
+
+
+def cms_heavy_hitters(
+    lineitem: DataFrame, k: int = CMS_TOPK
+) -> DataFrame:
+    """(rank, item, exact_cnt, cms_est, over_ppm) for the top-k
+    exact heavy hitters of l_partkey. cms_est >= exact_cnt always
+    (the CMS one-sided error); over_ppm is the collision cost."""
+    counts = lineitem.groupBy(
+        F.col("l_partkey").alias("item")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+
+    # d cells per item via ONE explode (a union of d branches would
+    # recompute the counts subtree — and rescan the fact — d times)
+    hash_cols = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                F.expr(_col_expr("item", t)).alias("col"),
+            )
+            for t in range(CMS_DEPTH)
+        ]
+    )
+    hashed = counts.select(
+        "item", "cnt", F.explode(hash_cols).alias("h")
+    ).select("item", "cnt", "h.t", "h.col")
+    cells = hashed.groupBy("t", "col").agg(
+        F.sum("cnt").cast("long").alias("cell")
+    )
+
+    top = counts.orderBy(F.desc("cnt"), F.asc("item")).limit(k)
+    probes = top.select(
+        "item", "cnt", F.explode(hash_cols).alias("h")
+    ).select("item", "cnt", "h.t", "h.col")
+    est = (
+        probes.join(F.broadcast(cells), ["t", "col"])
+        .groupBy("item", "cnt")
+        .agg(F.min("cell").cast("long").alias("cms_est"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("cnt"), F.asc("item"))
+    return est.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "item",
+        F.col("cnt").alias("exact_cnt"),
+        "cms_est",
+        F.expr("((cms_est - cnt) * 1000000) div cnt").alias(
+            "over_ppm"
+        ),
+    )
+
+
+def cms_oracle_sql(k: int = CMS_TOPK) -> str:
+    hash_rows = "\n    UNION ALL\n".join(
+        f"    SELECT {t} AS t, ({_col_expr('item', t).replace(' div ', ' // ')})"
+        f" AS col, item, cnt FROM counts"
+        for t in range(CMS_DEPTH)
+    )
+    return f"""
+WITH counts AS MATERIALIZED (
+    SELECT l_partkey AS item, CAST(count(*) AS BIGINT) AS cnt
+    FROM lineitem GROUP BY l_partkey
+), hashed AS MATERIALIZED (
+{hash_rows}
+), cells AS (
+    SELECT t, col, CAST(sum(cnt) AS BIGINT) AS cell
+    FROM hashed GROUP BY t, col
+), top AS (
+    SELECT item, cnt FROM counts
+    ORDER BY cnt DESC, item LIMIT {k}
+), est AS (
+    SELECT h.item, h.cnt,
+           CAST(min(cell) AS BIGINT) AS cms_est
+    FROM hashed h
+    JOIN top USING (item)
+    JOIN cells ON cells.t = h.t AND cells.col = h.col
+    GROUP BY h.item, h.cnt
+)
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, item) AS INT)
+           AS rank,
+       item, cnt AS exact_cnt, cms_est,
+       ((cms_est - cnt) * 1000000) // cnt AS over_ppm
+FROM est"""

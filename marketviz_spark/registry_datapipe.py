@@ -3448,3 +3448,62 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row corpus stats broadcast, integer ppm scoring, per-query
     top-k window (datapipe/bm25.py)."""
     return bm25_topk(tables.load(spark, sf_dir, "documents"))
+
+
+# ----------------------------------------------------------------------
+# Market-basket mining (A-priori frequent pairs)
+# ----------------------------------------------------------------------
+
+
+from .operators.basket import basket_pairs, basket_pairs_oracle_sql  # noqa: E402
+
+
+@register(
+    "basket_pairs",
+    basket_pairs_oracle_sql(),
+    survey="A-priori frequent item pairs with confidence/lift: broadcast frequent-item prune BEFORE pair generation, co-partitioned within-basket self-join, capped basket size (operators/basket.py; Agrawal&Srikant VLDB'94)",
+)
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent (part, part) co-purchase pairs over orders with
+    integer ppm confidence/lift — the candidate space is pruned by
+    the A-priori property before any pair exists."""
+    return basket_pairs(tables.load(spark, sf_dir, "lineitem"))
+
+
+# ----------------------------------------------------------------------
+# Column profiling (ANALYZE-style exact stats)
+# ----------------------------------------------------------------------
+
+
+from .operators.profile import profile_columns, profile_oracle_sql  # noqa: E402
+
+
+@register(
+    "profile_lineitem",
+    profile_oracle_sql(),
+    survey="ANALYZE-style column profile: exact per-column row/null/NDV stats in one Expand pass — the exact tier the HLL sketch family is audited against (operators/profile.py)",
+)
+def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CBO/data-quality stats for 7 lineitem columns: one scan, one
+    wide aggregate (Expand + partial distinct sets), 7 output rows."""
+    return profile_columns(tables.load(spark, sf_dir, "lineitem"))
+
+
+# ----------------------------------------------------------------------
+# Count-min sketch heavy-hitter audit
+# ----------------------------------------------------------------------
+
+
+from .operators.cms import cms_heavy_hitters, cms_oracle_sql  # noqa: E402
+
+
+@register(
+    "cms_heavy_hitters",
+    cms_oracle_sql(),
+    survey="count-min sketch heavy-hitter audit: fixed d*w integer grid built from pre-aggregated counts (map-side combine), min-over-rows estimate vs exact, one-sided error quantified (operators/cms.py; Cormode&Muthukrishnan '05)",
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable frequency sketch beside the HLL family: exact
+    top-20 l_partkey counts joined against the broadcast 4x256 cell
+    grid; cms_est >= exact always, over_ppm is the collision cost."""
+    return cms_heavy_hitters(tables.load(spark, sf_dir, "lineitem"))

@@ -320,3 +320,92 @@ def test_bm25_plan_no_full_index_and_pruned_scan(spark):
     # the explode feeds a Filter on the literal term set BEFORE any
     # exchange: the filter condition must mention a query term
     assert "hash" in plan and "INSET" in plan or "IN (" in plan
+
+
+# ------------------------------------------------- basket + profile
+
+
+def test_basket_pairs_invariants(spark):
+    from marketviz_spark.operators.basket import MIN_SUPPORT
+
+    rows = QUERIES["basket_pairs"].fn(spark, SF_MED).collect()
+    assert rows
+    li = tables.load(spark, SF_MED, "lineitem")
+    n_baskets = li.select("l_orderkey").distinct().count()
+    for r in rows:
+        assert r["item_a"] < r["item_b"]
+        assert r["support"] >= MIN_SUPPORT
+        # confidence is a probability (ppm), truncated
+        assert 0 < r["conf_ab_ppm"] <= 1_000_000
+        assert r["lift_ppm"] > 0
+    # spot-check one pair's support against a direct count
+    top = max(rows, key=lambda r: (r["support"], -r["item_a"]))
+    direct = (
+        li.filter(F.col("l_partkey").isin(top["item_a"], top["item_b"]))
+        .groupBy("l_orderkey")
+        .agg(F.countDistinct("l_partkey").alias("k"))
+        .filter("k = 2")
+        .count()
+    )
+    assert direct == top["support"]
+    assert n_baskets > 0
+
+
+def test_basket_pairs_plan_prunes_before_pairing(spark):
+    """The A-priori semi-join must be a broadcast and pair
+    generation an equi-join on the basket key — never cartesian."""
+    plan = _plan(QUERIES["basket_pairs"].fn(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    # the 1-row n_baskets crossJoin is the only permissible NLJ
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "LeftSemi" in plan, plan
+
+
+def test_profile_matches_direct_counts(spark):
+    rows = {
+        r["column"]: r
+        for r in QUERIES["profile_lineitem"].fn(spark, SF_MED).collect()
+    }
+    li = tables.load(spark, SF_MED, "lineitem")
+    n = li.count()
+    assert all(r["n_rows"] == n for r in rows.values())
+    direct_ndv = li.select("l_returnflag").distinct().count()
+    assert rows["l_returnflag"]["ndv"] == direct_ndv
+    assert rows["l_orderkey"]["n_null"] == 0
+
+
+def test_profile_plan_single_scan_expand(spark):
+    plan = _plan(QUERIES["profile_lineitem"].fn(spark, SF_SMALL))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" in plan
+
+
+# ----------------------------------------------------------------- CMS
+
+
+def test_cms_one_sided_error_and_ranks(spark):
+    from marketviz_spark.operators.cms import CMS_TOPK
+
+    rows = sorted(
+        QUERIES["cms_heavy_hitters"].fn(spark, SF_MED).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert len(rows) == CMS_TOPK
+    assert [r["rank"] for r in rows] == list(range(1, CMS_TOPK + 1))
+    cnts = [r["exact_cnt"] for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    for r in rows:
+        # CMS never under-counts
+        assert r["cms_est"] >= r["exact_cnt"]
+        assert r["over_ppm"] >= 0
+
+
+def test_cms_plan_single_fact_shuffle(spark):
+    """The only key-grain shuffle is groupBy(item); the sketch and
+    audit stages run over count-sized / sketch-sized data."""
+    plan = _plan(QUERIES["cms_heavy_hitters"].fn(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    # counts subtree is shared between cells and top-k: Spark must
+    # not rescan the fact more than twice (adaptive reuse usually
+    # makes it one real scan + ReusedExchange)
+    assert plan.count("Scan parquet") <= 2, plan
