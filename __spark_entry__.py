@@ -29,18 +29,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver checks queries in dict insertion order and stops at a
-# ~50-query budget. Round-9 rotation (staleness is computed against
-# CORRECTNESS_r0{5..8}):
-# first the 12 queries whose CODE is new or changed in round 9
-# (the quality-classifier pair, the bigram-LM pair, winnowing;
-# star connected components, trend-slope rounding
-# unification, RI-audit join-strategy change), then the 8-query
-# r05-stale overflow tail round 8 explicitly rolled forward, then
-# the r06-stale set (44 queries) ordered join/window-complex first.
-# 12 + 8 + 44 = 64 overflows a 50 budget by ~14, so the LAST
-# positions are the lowest-risk overflow (map-only/aggregate
-# curation-plan queries, unchanged since r06, green in multiple
-# prior rounds) and roll to the r10 rotation.
+# ~50-query budget. Round-10 rotation: the 21 never-driver-checked
+# queries lead (10 session-2 operator families, then the 11
+# session-1 PQ/BPE/mixture/quality adds), then the two LM queries
+# whose code changed this round, then the r06-stale tail (verdict
+# item 2), then the oldest (r07) green rows ordered by regression
+# surface. Whatever the ~50 budget cuts rolls to r11.
 _FIRST = [
     # NEW in round 10, session 2 — never driver-checked, so they
     # lead: MMR diversified retrieval, integer PageRank, and the
@@ -53,6 +47,8 @@ _FIRST = [
     "basket_pairs",
     "profile_lineitem",
     "cms_heavy_hitters",
+    "events_cms_cells",
+    "layout_rle_audit",
     # NEW in round 10: the trained-coefficient quality-classifier
     # path (datapipe/quality_model.py demo_trained_weights) — never
     # driver-checked before, so it leads.

@@ -125,3 +125,46 @@ SELECT CAST(row_number() OVER (ORDER BY cnt DESC, item) AS INT)
        item, cnt AS exact_cnt, cms_est,
        ((cms_est - cnt) * 1000000) // cnt AS over_ppm
 FROM est"""
+
+
+def with_cms_cells(
+    events: DataFrame, key: str = "user_id"
+) -> DataFrame:
+    """Attach the d (t, col) sketch coordinates of ``key`` to each
+    event (one explode, map-only) — the shared core of the batch
+    and streaming windowed-CMS builds."""
+    hash_cols = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                F.expr(_col_expr(key, t)).alias("col"),
+            )
+            for t in range(CMS_DEPTH)
+        ]
+    )
+    return events.select(
+        "ts", F.explode(hash_cols).alias("h")
+    ).select("ts", "h.t", "h.col")
+
+
+def events_cms_cells(events: DataFrame) -> DataFrame:
+    """Hourly CMS cell grid of user_id frequencies — the batch twin
+    of streaming.windows.cms_cells (stream==batch is asserted in
+    tests/test_streaming-style equality). Each hour's d×w grid is a
+    complete, mergeable sketch: summing grids across hours/days IS
+    the union sketch, which is the operational point — a streaming
+    job maintains per-window heavy-hitter state in O(d·w) instead
+    of per-key state."""
+    return (
+        with_cms_cells(events)
+        .groupBy(F.window("ts", "1 hour"), "t", "col")
+        .agg(F.count("*").cast("long").alias("cell"))
+        .select(
+            F.date_format(
+                "window.start", "yyyy-MM-dd HH:mm:ss"
+            ).alias("window_start"),
+            "t",
+            "col",
+            "cell",
+        )
+    )

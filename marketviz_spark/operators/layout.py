@@ -166,3 +166,106 @@ def queries_self_check(spark: SparkSession, sf_dir: str) -> None:
         rows["zorder"]["sum_part_span"]
         < rows["natural"]["sum_part_span"]
     )
+
+
+def rle_audit(lineitem: DataFrame) -> DataFrame:
+    """Encoding audit: how many RLE value-runs each layout produces
+    per key dimension. Rows sorted by a layout's key are collapsed
+    to distinct (file, b1, b2) groups FIRST (equal rows are one run
+    segment, and a total order over distinct pairs is deterministic
+    where a raw-row tiebreak would not be — the engine's dedup-
+    before-window trick); run boundaries are then lag-compares over
+    the collapsed sequence. Result: 2 rows (layout, n_files,
+    n_rows, n_groups, runs_order_fold, runs_part_fold). Natural
+    layout RLE-compresses its own key and shreds the other; z-order
+    pays a bounded premium on both — the encoding face of the same
+    tradeoff `skipping_audit` shows for zone maps.
+
+    Shuffles: one groupBy on (file, b1, b2) — which collapses the
+    stream before anything wide — then a per-file window and a
+    2-row rollup."""
+    folded = _folded(lineitem)
+    natural_width = Z_FOLD // N_FILES
+    z = F.expr(_z_expr("b1", "b2", "div"))
+
+    def runs(df: DataFrame, name: str, order_col: str) -> DataFrame:
+        g = df.groupBy("file_id", "b1", "b2").agg(
+            F.count("*").cast("long").alias("n")
+        )
+        if order_col == "z":
+            g = g.withColumn("z", z.cast("long"))
+            order = [F.asc("z")]
+        else:
+            order = [F.asc("b1"), F.asc("b2")]
+        w = Window.partitionBy("file_id").orderBy(*order)
+        with_lag = g.select(
+            "file_id",
+            "n",
+            (F.lag("b1").over(w).isNull()
+             | (F.lag("b1").over(w) != F.col("b1")))
+            .cast("long")
+            .alias("nb1"),
+            (F.lag("b2").over(w).isNull()
+             | (F.lag("b2").over(w) != F.col("b2")))
+            .cast("long")
+            .alias("nb2"),
+        )
+        return with_lag.agg(
+            F.lit(name).alias("layout"),
+            F.countDistinct("file_id").cast("long").alias("n_files"),
+            F.sum("n").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_groups"),
+            F.sum("nb1").cast("long").alias("runs_order_fold"),
+            F.sum("nb2").cast("long").alias("runs_part_fold"),
+        )
+
+    from pyspark.sql.window import Window
+
+    nat = folded.withColumn(
+        "file_id", F.expr(f"b1 div {natural_width}")
+    )
+    zod = folded.withColumn("file_id", z.cast("long")).withColumn(
+        "file_id", F.expr(f"file_id div {1 << Z_FILE_SHIFT}")
+    )
+    return runs(nat, "natural", "b1").unionByName(
+        runs(zod, "zorder", "z")
+    )
+
+
+def rle_audit_oracle_sql() -> str:
+    z = _z_expr("b1", "b2", "//")
+    natural_width = Z_FOLD // N_FILES
+
+    def side(name: str, file_expr: str, order: str) -> str:
+        return f"""
+    SELECT '{name}' AS layout,
+           CAST(count(DISTINCT file_id) AS BIGINT) AS n_files,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(nb1) AS BIGINT) AS runs_order_fold,
+           CAST(sum(nb2) AS BIGINT) AS runs_part_fold
+    FROM (
+        SELECT file_id, n,
+               CASE WHEN lag(b1) OVER w IS NULL
+                         OR lag(b1) OVER w <> b1
+                    THEN 1 ELSE 0 END AS nb1,
+               CASE WHEN lag(b2) OVER w IS NULL
+                         OR lag(b2) OVER w <> b2
+                    THEN 1 ELSE 0 END AS nb2
+        FROM (
+            SELECT {file_expr} AS file_id, b1, b2,
+                   CAST(count(*) AS BIGINT) AS n,
+                   {z} AS zv
+            FROM folded GROUP BY 1, 2, 3
+        )
+        WINDOW w AS (PARTITION BY file_id ORDER BY {order})
+    )"""
+
+    return f"""
+WITH folded AS (
+    SELECT l_orderkey % {Z_FOLD} AS b1, l_partkey % {Z_FOLD} AS b2
+    FROM lineitem
+)
+{side('natural', f'b1 // {natural_width}', 'b1, b2')}
+UNION ALL
+{side('zorder', f'({z}) // {1 << Z_FILE_SHIFT}', 'zv')}"""

@@ -3507,3 +3507,58 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-20 l_partkey counts joined against the broadcast 4x256 cell
     grid; cms_est >= exact always, over_ppm is the collision cost."""
     return cms_heavy_hitters(tables.load(spark, sf_dir, "lineitem"))
+
+
+# ----------------------------------------------------------------------
+# Streaming-mergeable CMS: hourly cell grid (batch twin)
+# ----------------------------------------------------------------------
+
+
+from .operators.cms import (  # noqa: E402
+    CMS_DEPTH,
+    _col_expr,
+    events_cms_cells,
+)
+
+
+def _cms_cells_oracle() -> str:
+    hash_rows = "\n    UNION ALL\n".join(
+        f"    SELECT ts, {t} AS t, ({_col_expr('user_id', t)}) AS col"
+        " FROM events"
+        for t in range(CMS_DEPTH)
+    )
+    return f"""
+WITH hashed AS (
+{hash_rows}
+)
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+           AS window_start,
+       t, col, CAST(count(*) AS BIGINT) AS cell
+FROM hashed GROUP BY 1, 2, 3"""
+
+
+@register(
+    "events_cms_cells",
+    _cms_cells_oracle(),
+    survey="hourly count-min cell grid over the event stream: the windowed-sketch state a streaming heavy-hitter job maintains in O(d*w) — batch twin of streaming.windows.cms_cells, stream==batch pinned (operators/cms.py)",
+)
+def q_events_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour 4x256 user_id CMS: a plain windowed count over the
+    (t, col) explode — mergeable across windows by cell addition,
+    which is exactly why the streaming twin needs no custom state."""
+    return events_cms_cells(tables.load_events(spark, sf_dir))
+
+
+from .operators.layout import rle_audit, rle_audit_oracle_sql  # noqa: E402
+
+
+@register(
+    "layout_rle_audit",
+    rle_audit_oracle_sql(),
+    survey="RLE encoding audit: value-run counts per key dimension under natural vs z-order layout — the encoding face of the zone-map tradeoff (data layout)",
+)
+def q_layout_rle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many RLE runs each layout's files store per dimension:
+    dedup-before-window run counting over the collapsed (file, key)
+    groups (deterministic without a raw-row tiebreak)."""
+    return rle_audit(tables.load(spark, sf_dir, "lineitem"))

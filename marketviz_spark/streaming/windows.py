@@ -204,3 +204,29 @@ def stream_to_partitioned_table(
         .outputMode("update")
         .start()
     )
+
+
+def cms_cells(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming hourly count-min grid of user_id frequencies: the
+    sketch is a plain windowed count over the (t, col) explode, so
+    the built-in streaming agg maintains it with O(d·w) state per
+    window — no custom stateful operator, and cell-wise addition
+    across windows is the union sketch (operators/cms.py)."""
+    from ..operators.cms import with_cms_cells
+
+    return (
+        with_cms_cells(events)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "t", "col")
+        .agg(F.count("*").cast("long").alias("cell"))
+        .select(
+            F.date_format(
+                "window.start", "yyyy-MM-dd HH:mm:ss"
+            ).alias("window_start"),
+            "t",
+            "col",
+            "cell",
+        )
+    )

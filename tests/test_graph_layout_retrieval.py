@@ -409,3 +409,22 @@ def test_cms_plan_single_fact_shuffle(spark):
     # not rescan the fact more than twice (adaptive reuse usually
     # makes it one real scan + ReusedExchange)
     assert plan.count("Scan parquet") <= 2, plan
+
+
+def test_rle_audit_tradeoff(spark):
+    """Natural layout must RLE-compress its own key dramatically
+    and shred the secondary; z-order lands in between on both."""
+    rows = {
+        r["layout"]: r
+        for r in QUERIES["layout_rle_audit"].fn(spark, SF_MED).collect()
+    }
+    nat, zod = rows["natural"], rows["zorder"]
+    assert nat["n_rows"] == zod["n_rows"]
+    # sorting by b1 makes b1 runs ~= ndv (tiny vs groups)
+    assert nat["runs_order_fold"] * 4 < nat["n_groups"]
+    # z-order: fewer secondary-key runs than natural's shredded b2
+    assert zod["runs_part_fold"] < nat["runs_part_fold"]
+    # and run counts are valid bounds
+    for r in (nat, zod):
+        assert 0 < r["runs_order_fold"] <= r["n_groups"]
+        assert 0 < r["runs_part_fold"] <= r["n_groups"]

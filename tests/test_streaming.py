@@ -1217,3 +1217,16 @@ def test_stateful_identical_under_rocksdb_state_store(spark):
     default = replay("t_default_provider")
     # 4 emissions: users 1+2 in batch 1, users 1+3 in batch 2
     assert rocks == default and len(rocks) == 4
+
+
+def test_cms_cells_stream_equals_batch(spark, events_dir):
+    """The windowed count-min grid is a plain streaming agg (the
+    mergeability claim made operational): complete-mode stream
+    output must equal the batch twin cell-for-cell."""
+    from marketviz_spark.streaming.windows import cms_cells
+
+    stream = read_events_stream(spark, events_dir)
+    run_to_memory(cms_cells(stream), "t_cms_cells", "complete")
+    got = _rows(spark.sql("SELECT * FROM t_cms_cells"))
+    want = _rows(QUERIES["events_cms_cells"].fn(spark, SF_SMALL))
+    assert got == want
