@@ -25,7 +25,7 @@ layout ASSIGNMENT, which is what needs to be correct, is this.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 Z_BITS = 16  # per-dimension bit budget after folding
@@ -104,6 +104,10 @@ def skipping_audit(lineitem: DataFrame) -> DataFrame:
             F.sum("n").cast("long").alias("n_rows"),
             F.sum("span1").cast("long").alias("sum_order_span"),
             F.sum("span2").cast("long").alias("sum_part_span"),
+        ).filter(
+            # empty input: match the oracle's GROUP BY semantics
+            # (no layouts to report), not the 1-row global agg
+            F.col("n_rows").isNotNull()
         )
     return summary(nat, "natural").unionByName(summary(zod, "zorder"))
 
@@ -150,22 +154,6 @@ SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
        CAST(sum(span1) AS BIGINT) AS sum_order_span,
        CAST(sum(span2) AS BIGINT) AS sum_part_span
 FROM per_file GROUP BY layout"""
-
-
-def queries_self_check(spark: SparkSession, sf_dir: str) -> None:
-    """Dev helper: assert the z layout actually wins on partkey."""
-    from .. import tables
-
-    rows = {
-        r["layout"]: r
-        for r in skipping_audit(
-            tables.load(spark, sf_dir, "lineitem")
-        ).collect()
-    }
-    assert (
-        rows["zorder"]["sum_part_span"]
-        < rows["natural"]["sum_part_span"]
-    )
 
 
 def rle_audit(lineitem: DataFrame) -> DataFrame:

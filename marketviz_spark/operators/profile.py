@@ -45,7 +45,11 @@ def profile_columns(
     aggs = [F.count("*").cast("long").alias("n_rows")]
     for c in cols:
         aggs.append(
-            F.sum(F.col(c).isNull().cast("long"))
+            # coalesce: sum over ZERO rows is NULL; the oracle's
+            # count(*)-count(c) is 0 on an empty table
+            F.coalesce(
+                F.sum(F.col(c).isNull().cast("long")), F.lit(0)
+            )
             .cast("long")
             .alias(f"null_{c}")
         )
