@@ -35,7 +35,7 @@ Scale shape (the 100-TB story):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -173,3 +173,95 @@ FROM (SELECT *, row_number() OVER (
           ORDER BY score_ppm DESC, doc_id) AS rank
       FROM scored)
 WHERE rank <= {k}"""
+
+
+# Phrase queries: exact n-gram matches, lengths 2 and 3. A phrase
+# of length n is matched against the map-side n-gram stream (the
+# same construction as the dedup shingles), so there is NO
+# positional-postings join at all: the filter on the literal phrase
+# set runs inside the explode stage and the only shuffle is the
+# final per-phrase rollup — at 100 TB the bytes that move are the
+# matching n-grams only.
+PHRASE_QUERIES: list[tuple[int, str]] = [
+    (1, "hash join"),
+    (2, "window agg"),
+    (3, "fast table scan"),
+    (4, "key value"),
+]
+
+
+def _ngrams(n: int) -> Column:
+    """n-gram strings of the token array `t` (SHINGLES_CTE shape)."""
+    return F.when(
+        F.size("t") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("t", i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def phrase_match(docs: DataFrame) -> DataFrame:
+    """(phrase_id, phrase, n_docs, n_occurrences) for each literal
+    phrase — exact consecutive-token matches."""
+    lens = sorted({len(p.split()) for _, p in PHRASE_QUERIES})
+    toks = docs.select("doc_id", tokens().alias("t"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.concat(*[_ngrams(n) for n in lens])
+        ).alias("gram"),
+    ).filter(F.col("gram").isin([p for _, p in PHRASE_QUERIES]))
+    spark = docs.sparkSession
+    phrases = spark.createDataFrame(
+        PHRASE_QUERIES, "phrase_id int, phrase string"
+    )
+    return (
+        grams.join(
+            F.broadcast(phrases),
+            grams["gram"] == phrases["phrase"],
+        )
+        .groupBy("phrase_id", "phrase")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_occurrences"),
+        )
+    )
+
+
+def phrase_match_oracle_sql() -> str:
+    lens = sorted({len(p.split()) for _, p in PHRASE_QUERIES})
+    phrase_rows = ", ".join(
+        f"({pid}, '{p}')" for pid, p in PHRASE_QUERIES
+    )
+
+    def gram_cte(n: int) -> str:
+        parts = " || ' ' || ".join(
+            f"t[i + {j}]" for j in range(n)
+        )
+        return (
+            f"SELECT doc_id, unnest(list_transform("
+            f"generate_series(1, len(t) - {n - 1}),"
+            f" i -> {parts})) AS gram FROM toks"
+            f" WHERE len(t) >= {n}"
+        )
+
+    grams = "\n    UNION ALL\n    ".join(gram_cte(n) for n in lens)
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS t
+    FROM documents
+), grams AS (
+    {grams}
+), phrases(phrase_id, phrase) AS (
+    SELECT CAST(phrase_id AS INT), phrase
+    FROM (VALUES {phrase_rows}) v(phrase_id, phrase)
+)
+SELECT phrase_id, phrase,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM grams JOIN phrases ON gram = phrase
+GROUP BY phrase_id, phrase"""

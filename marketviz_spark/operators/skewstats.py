@@ -1,0 +1,127 @@
+"""Skew diagnosis: per-join-key distribution report.
+
+The operational question behind every salting/AQE decision in this
+repo (`skew_salted_join`, `skew_salted_agg`, AQE skew-join): HOW
+skewed is a key, measured — not guessed. For each audited key
+column this emits the key count, the heaviest key and its share,
+the top-10 share, and the Gini coefficient of the count
+distribution, all integer-exact (ppm divisions):
+
+    gini_ppm = ((2·Σ i·c_i − (n+1)·S) · 10⁶) div (n·S)
+
+with counts ranked ascending (i = 1..n; rank ties between equal
+counts cannot change Σ i·c_i, so the tiebreak only pins the
+engines to the same top_key). 0 = uniform, → 10⁶ = one key owns
+everything. A pipeline reads this BEFORE choosing a join strategy:
+gini near 0 and top-1 share under a few percent → plain hash join;
+high gini or a fat top key → salt it or broadcast the other side.
+
+Scale: the per-key count table is the groupBy output (≪ data);
+ranking it is one global sort of n_keys rows — the honest cost of
+an exact Gini, same league as the equi-depth histogram. At extreme
+key cardinality swap the exact rank for an approx-quantile Lorenz
+curve; the report schema is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# (output label, table, key column)
+SKEW_COLUMNS: list[tuple[str, str, str]] = [
+    ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+    ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ("orders.o_custkey", "orders", "o_custkey"),
+]
+
+
+def _report_one(df: DataFrame, label: str, key: str) -> DataFrame:
+    counts = df.groupBy(F.col(key).alias("k")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    ranked = counts.select(
+        "k",
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.asc("cnt"), F.asc("k")))
+        .cast("long")
+        .alias("i"),
+        F.count("*")
+        .over(Window.partitionBy(F.lit(1)))
+        .cast("long")
+        .alias("n_all"),
+    )
+    return ranked.agg(
+        F.lit(label).alias("source_col"),
+        F.sum("cnt").cast("long").alias("s"),
+        F.count("*").cast("long").alias("n"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+        F.max(F.when(F.col("i") == F.col("n_all"), F.col("k")))
+        .cast("long")
+        .alias("top_key"),
+        F.sum(F.col("i") * F.col("cnt")).cast("long").alias("ic"),
+        F.sum(
+            F.when(F.col("i") > F.col("n_all") - 10, F.col("cnt"))
+        )
+        .cast("long")
+        .alias("top10"),
+    ).select(
+        "source_col",
+        F.col("s").alias("n_rows"),
+        F.col("n").alias("n_keys"),
+        "max_cnt",
+        "top_key",
+        F.expr("(max_cnt * 1000000) div s").alias("top1_share_ppm"),
+        F.expr("(top10 * 1000000) div s").alias("top10_share_ppm"),
+        F.expr(
+            "((2 * ic - (n + 1) * s) * 1000000) div (n * s)"
+        ).alias("gini_ppm"),
+    )
+
+
+def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import tables
+
+    outs = [
+        _report_one(tables.load(spark, sf_dir, table), label, key)
+        for label, table, key in SKEW_COLUMNS
+    ]
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def skew_report_oracle_sql() -> str:
+    def side(label: str, table: str, key: str) -> str:
+        return f"""
+    SELECT '{label}' AS source_col,
+           CAST(s AS BIGINT) AS n_rows,
+           CAST(n AS BIGINT) AS n_keys,
+           CAST(max_cnt AS BIGINT) AS max_cnt,
+           CAST(top_key AS BIGINT) AS top_key,
+           (max_cnt * 1000000) // s AS top1_share_ppm,
+           (top10 * 1000000) // s AS top10_share_ppm,
+           ((2 * ic - (n + 1) * s) * 1000000) // (n * s) AS gini_ppm
+    FROM (
+        SELECT sum(cnt) AS s, count(*) AS n, max(cnt) AS max_cnt,
+               max(CASE WHEN i = n_all THEN k END) AS top_key,
+               sum(i * cnt) AS ic,
+               sum(CASE WHEN i > n_all - 10 THEN cnt END) AS top10
+        FROM (
+            SELECT k, cnt,
+                   CAST(row_number() OVER (ORDER BY cnt, k) AS BIGINT)
+                       AS i,
+                   count(*) OVER () AS n_all
+            FROM (SELECT {key} AS k,
+                         CAST(count(*) AS BIGINT) AS cnt
+                  FROM {table} GROUP BY {key})
+        )
+    )"""
+
+    return "\nUNION ALL\n".join(
+        side(label, table, key)
+        for label, table, key in SKEW_COLUMNS
+    )

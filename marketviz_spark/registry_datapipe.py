@@ -3562,3 +3562,34 @@ def q_layout_rle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup-before-window run counting over the collapsed (file, key)
     groups (deterministic without a raw-row tiebreak)."""
     return rle_audit(tables.load(spark, sf_dir, "lineitem"))
+
+
+from .datapipe.bm25 import phrase_match, phrase_match_oracle_sql  # noqa: E402
+
+
+@register(
+    "phrase_match",
+    phrase_match_oracle_sql(),
+    survey="exact phrase queries via map-side n-gram streams: no positional-postings join, only matching n-grams shuffle (datapipe retrieval)",
+)
+def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-token phrase matching (lengths 2-3) against the
+    shingle-shaped n-gram stream; the literal-phrase filter runs
+    inside the explode stage (datapipe/bm25.py)."""
+    return phrase_match(tables.load(spark, sf_dir, "documents"))
+
+
+from .operators.skewstats import skew_report, skew_report_oracle_sql  # noqa: E402
+
+
+@register(
+    "skew_report",
+    skew_report_oracle_sql(),
+    survey="join-key skew diagnosis: exact Gini + top-1/top-10 shares per audited key column — the measurement behind the salting/AQE decisions (operators/skewstats.py)",
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What to check before picking a join strategy: integer-exact
+    Gini and heavy-key shares of the per-key count distribution for
+    three join keys; the global rank runs over the count table, not
+    the data."""
+    return skew_report(spark, sf_dir)

@@ -428,3 +428,65 @@ def test_rle_audit_tradeoff(spark):
     for r in (nat, zod):
         assert 0 < r["runs_order_fold"] <= r["n_groups"]
         assert 0 < r["runs_part_fold"] <= r["n_groups"]
+
+
+# ------------------------------------------------ phrase + skew report
+
+
+def test_phrase_match_counts(spark):
+    """Cross-check each phrase's doc count against a LIKE scan
+    (single-space corpus makes LIKE equivalent to token n-grams)."""
+    from marketviz_spark.datapipe.bm25 import PHRASE_QUERIES
+
+    rows = {
+        r["phrase"]: r
+        for r in QUERIES["phrase_match"].fn(spark, SF_MED).collect()
+    }
+    docs = tables.load(spark, SF_MED, "documents")
+    for _, phrase in PHRASE_QUERIES:
+        direct = docs.filter(
+            F.col("text").like(f"%{phrase}%")
+        ).count()
+        got = rows[phrase]["n_docs"] if phrase in rows else 0
+        assert got == direct, phrase
+        if phrase in rows:
+            assert rows[phrase]["n_occurrences"] >= rows[phrase]["n_docs"]
+
+
+def test_phrase_match_plan_map_side_filter(spark):
+    plan = _plan(QUERIES["phrase_match"].fn(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_skew_report_values(spark):
+    """Gini and shares must be internally consistent and match a
+    direct python computation for one column."""
+    rows = {
+        r["source_col"]: r
+        for r in QUERIES["skew_report"].fn(spark, SF_MED).collect()
+    }
+    assert set(rows) == {
+        "lineitem.l_suppkey",
+        "lineitem.l_partkey",
+        "orders.o_custkey",
+    }
+    for r in rows.values():
+        assert 0 <= r["gini_ppm"] < 1_000_000
+        assert r["top1_share_ppm"] <= r["top10_share_ppm"] <= 1_000_000
+        assert r["max_cnt"] >= r["n_rows"] // r["n_keys"]
+    # python mirror for l_suppkey
+    cnts = sorted(
+        c["cnt"]
+        for c in tables.load(spark, SF_MED, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    n, s = len(cnts), sum(cnts)
+    ic = sum(i * c for i, c in enumerate(cnts, start=1))
+    gini = ((2 * ic - (n + 1) * s) * 1_000_000) // (n * s)
+    r = rows["lineitem.l_suppkey"]
+    assert r["n_keys"] == n and r["n_rows"] == s
+    assert r["gini_ppm"] == gini
+    assert r["top10_share_ppm"] == (sum(cnts[-10:]) * 1_000_000) // s
