@@ -54,8 +54,13 @@ def basket_pairs(lineitem: DataFrame) -> DataFrame:
     )
     frequent = item_sup.filter(F.col("sup_i") >= MIN_SUPPORT)
     # A-priori prune: drop never-frequent items BEFORE pairing.
+    # NO broadcast hint: at MIN_SUPPORT=2 the frequent set is
+    # nearly all items, and at 100 TB force-broadcasting it would
+    # be the bug the round-8 RI-audit advice removed elsewhere —
+    # Catalyst/AQE broadcasts it when (and only when) it fits;
+    # with a realistic support threshold at scale it does.
     pruned = baskets.join(
-        F.broadcast(frequent.select("item")), "item", "left_semi"
+        frequent.select("item"), "item", "left_semi"
     )
     capped = (
         pruned.withColumn(

@@ -3461,7 +3461,7 @@ from .operators.basket import basket_pairs, basket_pairs_oracle_sql  # noqa: E40
 @register(
     "basket_pairs",
     basket_pairs_oracle_sql(),
-    survey="A-priori frequent item pairs with confidence/lift: broadcast frequent-item prune BEFORE pair generation, co-partitioned within-basket self-join, capped basket size (operators/basket.py; Agrawal&Srikant VLDB'94)",
+    survey="A-priori frequent item pairs with confidence/lift: frequent-item semi-join prune BEFORE pair generation (AQE-chosen strategy), co-partitioned within-basket self-join, capped basket size (operators/basket.py; Agrawal&Srikant VLDB'94)",
 )
 def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent (part, part) co-purchase pairs over orders with

@@ -352,8 +352,11 @@ def test_basket_pairs_invariants(spark):
 
 
 def test_basket_pairs_plan_prunes_before_pairing(spark):
-    """The A-priori semi-join must be a broadcast and pair
-    generation an equi-join on the basket key — never cartesian."""
+    """The A-priori prune is a semi-join (strategy left to
+    Catalyst/AQE — at test scale it broadcasts; forcing broadcast
+    would break at low support thresholds where the frequent set is
+    ~all items) and pair generation an equi-join on the basket key
+    — never cartesian."""
     plan = _plan(QUERIES["basket_pairs"].fn(spark, SF_SMALL))
     assert "CartesianProduct" not in plan
     # the 1-row n_baskets crossJoin is the only permissible NLJ
