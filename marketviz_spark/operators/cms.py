@@ -168,3 +168,121 @@ def events_cms_cells(events: DataFrame) -> DataFrame:
             "cell",
         )
     )
+
+
+def join_size_estimate(
+    lineitem: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """Join-cardinality estimation — what a CBO does before picking
+    a join strategy. |A ⋈_k B| = Σ_k cA(k)·cB(k); the CMS estimate
+    is the grid inner product min_t Σ_col gA[t,col]·gB[t,col]
+    (AMS/CMS inner-product estimate — one-sided: collisions only
+    ADD). Both sides here so the audit can report the ppm error.
+
+    Scale: the exact term needs the co-keyed counts join (one
+    shuffle per side — the thing a real CBO cannot afford, which
+    is the point of the sketch); the estimate needs only the two
+    1024-cell grids, buildable map-side and mergeable. Overflow
+    margin: cell·cell·width < 2⁶³ holds to ~10⁸ rows per grid
+    cell; beyond that widen the grid or lift to decimal(38,0).
+    """
+    cl = lineitem.groupBy(
+        F.col("l_orderkey").alias("k")
+    ).agg(F.count("*").cast("long").alias("c"))
+    co = orders.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    exact = (
+        cl.alias("a")
+        .join(co.alias("b"), "k")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("a.c") * F.col("b.c")), F.lit(0)
+            )
+            .cast("long")
+            .alias("exact_pairs")
+        )
+    )
+
+    def grid(counts: DataFrame) -> DataFrame:
+        hash_cols = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    F.expr(_col_expr("k", t)).alias("col"),
+                )
+                for t in range(CMS_DEPTH)
+            ]
+        )
+        return (
+            counts.select("c", F.explode(hash_cols).alias("h"))
+            .select("c", "h.t", "h.col")
+            .groupBy("t", "col")
+            .agg(F.sum("c").cast("long").alias("cell"))
+        )
+
+    prod = (
+        grid(cl)
+        .alias("ga")
+        .join(
+            grid(co).alias("gb"),
+            ["t", "col"],
+        )
+        .groupBy("t")
+        .agg(
+            F.sum(F.col("ga.cell") * F.col("gb.cell"))
+            .cast("long")
+            .alias("p")
+        )
+        .agg(F.min("p").cast("long").alias("cms_est_pairs"))
+    )
+    return exact.crossJoin(F.broadcast(prod)).select(
+        "exact_pairs",
+        "cms_est_pairs",
+        F.expr(
+            "CASE WHEN exact_pairs = 0 THEN NULL"
+            " ELSE ((cms_est_pairs - exact_pairs) * 1000000)"
+            "      div exact_pairs END"
+        ).alias("over_ppm"),
+    )
+
+
+def join_size_oracle_sql() -> str:
+    def hashed(cte: str) -> str:
+        return "\n    UNION ALL\n".join(
+            f"    SELECT {t} AS t, ({_col_expr('k', t)}) AS col, c"
+            f" FROM {cte}"
+            for t in range(CMS_DEPTH)
+        )
+
+    return f"""
+WITH cl AS MATERIALIZED (
+    SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS c
+    FROM lineitem GROUP BY l_orderkey
+), co AS MATERIALIZED (
+    SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS c
+    FROM orders GROUP BY o_orderkey
+), exact AS (
+    SELECT CAST(COALESCE(sum(cl.c * co.c), 0) AS BIGINT)
+               AS exact_pairs
+    FROM cl JOIN co USING (k)
+), ga AS (
+    SELECT t, col, CAST(sum(c) AS BIGINT) AS cell FROM (
+{hashed('cl')}
+    ) GROUP BY t, col
+), gb AS (
+    SELECT t, col, CAST(sum(c) AS BIGINT) AS cell FROM (
+{hashed('co')}
+    ) GROUP BY t, col
+), est AS (
+    SELECT CAST(min(p) AS BIGINT) AS cms_est_pairs FROM (
+        SELECT ga.t, sum(ga.cell * gb.cell) AS p
+        FROM ga JOIN gb ON ga.t = gb.t AND ga.col = gb.col
+        GROUP BY ga.t
+    )
+)
+SELECT exact_pairs, cms_est_pairs,
+       CASE WHEN exact_pairs = 0 THEN NULL
+            ELSE ((cms_est_pairs - exact_pairs) * 1000000)
+                 // exact_pairs END AS over_ppm
+FROM exact CROSS JOIN est"""

@@ -3593,3 +3593,97 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     three join keys; the global rank runs over the count table, not
     the data."""
     return skew_report(spark, sf_dir)
+
+
+from .operators.cms import join_size_estimate, join_size_oracle_sql  # noqa: E402
+
+
+@register(
+    "join_size_estimate",
+    join_size_oracle_sql(),
+    survey="CBO join-cardinality estimation: CMS/AMS grid inner product vs the exact count-product, one-sided error in ppm (operators/cms.py)",
+)
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """|lineitem ⋈ orders| from two 4x256 grids (mergeable,
+    map-side) audited against the exact co-keyed count product —
+    the estimate a CBO would use where the exact join is exactly
+    what it cannot afford to run."""
+    return join_size_estimate(
+        tables.load(spark, sf_dir, "lineitem"),
+        tables.load(spark, sf_dir, "orders"),
+    )
+
+
+# ----------------------------------------------------------------------
+# SCD2: composition validity intervals (gaps-and-islands)
+# ----------------------------------------------------------------------
+
+
+@register(
+    "scd2_composition",
+    f"""
+    WITH idx AS MATERIALIZED ({{IDX}}),
+    flagged AS (
+        SELECT date, composition,
+               CASE WHEN lag(composition) OVER (ORDER BY date)
+                         IS DISTINCT FROM composition
+                    THEN 1 ELSE 0 END AS chg
+        FROM idx
+    ), versioned AS (
+        SELECT date, composition,
+               CAST(sum(chg) OVER (ORDER BY date
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+        FROM flagged
+    )
+    SELECT version, min(date) AS valid_from, max(date) AS valid_to,
+           any_value(composition) AS composition,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM versioned GROUP BY version
+    """.replace("{IDX}", "PLACEHOLDER"),
+    survey="SCD2 dimension build: composition validity intervals via gaps-and-islands (change flag -> running version -> island rollup) over the index series (warehouse pattern)",
+)
+def q_scd2_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension materialization of the
+    index composition: [valid_from, valid_to] per distinct
+    consecutive composition. The global windows run over the
+    |dates|-row index series — the same documented bounded case as
+    W3/W4 — never the fact table."""
+    from pyspark.sql.window import Window
+
+    idx = _Q["index_daily"].fn(spark, sf_dir).select(
+        "date", "composition"
+    )
+    wo = Window.orderBy("date")
+    flagged = idx.select(
+        "date",
+        "composition",
+        F.when(
+            ~F.lag("composition").over(wo).eqNullSafe(
+                F.col("composition")
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("chg"),
+    )
+    versioned = flagged.select(
+        "date",
+        "composition",
+        F.sum("chg")
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("version"),
+    )
+    return versioned.groupBy("version").agg(
+        F.min("date").alias("valid_from"),
+        F.max("date").alias("valid_to"),
+        F.first("composition").alias("composition"),
+        F.count("*").cast("long").alias("n_days"),
+    )
+
+
+# The oracle references the index_daily oracle text; splice it in
+# now that _Q is importable (decorator ran with a placeholder).
+_Q["scd2_composition"].oracle = _Q["scd2_composition"].oracle.replace(
+    "PLACEHOLDER", _Q["index_daily"].oracle
+)

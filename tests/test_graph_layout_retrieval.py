@@ -493,3 +493,37 @@ def test_skew_report_values(spark):
     assert r["n_keys"] == n and r["n_rows"] == s
     assert r["gini_ppm"] == gini
     assert r["top10_share_ppm"] == (sum(cnts[-10:]) * 1_000_000) // s
+
+
+# --------------------------------------------- join-size + SCD2
+
+
+def test_join_size_estimate_one_sided(spark):
+    row = (
+        QUERIES["join_size_estimate"].fn(spark, SF_MED).collect()[0]
+    )
+    li = tables.load(spark, SF_MED, "lineitem")
+    # every lineitem matches exactly one order (RI), so the exact
+    # join size is |lineitem|
+    assert row["exact_pairs"] == li.count()
+    assert row["cms_est_pairs"] >= row["exact_pairs"]
+    assert row["over_ppm"] >= 0
+
+
+def test_scd2_intervals_partition_dates(spark):
+    """Islands must tile the date range: contiguous versions,
+    non-overlapping [from, to], composition constant within and
+    different across adjacent versions."""
+    rows = sorted(
+        QUERIES["scd2_composition"].fn(spark, SF_MED).collect(),
+        key=lambda r: r["version"],
+    )
+    assert rows
+    n_days_total = sum(r["n_days"] for r in rows)
+    idx = QUERIES["index_daily"].fn(spark, SF_MED)
+    assert n_days_total == idx.count()
+    for a, b in zip(rows, rows[1:]):
+        assert a["valid_to"] < b["valid_from"]
+        assert a["composition"] != b["composition"]
+    for r in rows:
+        assert r["valid_from"] <= r["valid_to"]
