@@ -257,3 +257,54 @@ WITH folded AS (
 {side('natural', f'b1 // {natural_width}', 'b1, b2')}
 UNION ALL
 {side('zorder', f'({z}) // {1 << Z_FILE_SHIFT}', 'zv')}"""
+
+
+COMPACT_TARGET_ROWS = 4096
+
+
+def compaction_plan(lineitem: DataFrame) -> DataFrame:
+    """Small-file compaction plan over the z-order layout: merge
+    z-ADJACENT files into bins of ~COMPACT_TARGET_ROWS via the
+    prefix-sum assignment ``bin = cum_rows_before div target`` —
+    the deterministic, shuffle-light stand-in for greedy bin
+    packing (bins can overshoot by at most one file; adjacency in
+    z preserves the clustering the layout bought). Output one row
+    per output bin: files merged, rows, and the bin's z-file range
+    (what the rewrite job's input manifest would be).
+
+    Shuffles: the zone-map groupBy (inherited) + one bounded global
+    window over N_FILES rows (expressed as SQL text shared with the
+    oracle)."""
+    zm = zorder_zone_maps(lineitem).select("file_id", "n_rows")
+    binned = zm.select(
+        "file_id",
+        "n_rows",
+        F.expr(
+            f"coalesce(sum(n_rows) OVER ("
+            f"ORDER BY file_id ROWS BETWEEN UNBOUNDED PRECEDING"
+            f" AND 1 PRECEDING), 0) div {COMPACT_TARGET_ROWS}"
+        ).alias("bin_id"),
+    )
+    return binned.groupBy("bin_id").agg(
+        F.count("*").cast("long").alias("n_files_merged"),
+        F.sum("n_rows").cast("long").alias("bin_rows"),
+        F.min("file_id").cast("long").alias("z_file_min"),
+        F.max("file_id").cast("long").alias("z_file_max"),
+    )
+
+
+def compaction_plan_oracle_sql() -> str:
+    return f"""
+WITH zm AS ({zorder_oracle_sql()}),
+binned AS (
+    SELECT file_id, n_rows,
+           coalesce(sum(n_rows) OVER (
+               ORDER BY file_id ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) // {COMPACT_TARGET_ROWS} AS bin_id
+    FROM zm
+)
+SELECT bin_id, CAST(count(*) AS BIGINT) AS n_files_merged,
+       CAST(sum(n_rows) AS BIGINT) AS bin_rows,
+       CAST(min(file_id) AS BIGINT) AS z_file_min,
+       CAST(max(file_id) AS BIGINT) AS z_file_max
+FROM binned GROUP BY bin_id"""

