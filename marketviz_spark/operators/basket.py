@@ -7,7 +7,8 @@ l_partkey)). The classic distributed shape:
 1. Item supports first (one small groupBy), then the A-PRIORI PRUNE:
    only items that are individually frequent can appear in a
    frequent pair, so the basket stream is semi-joined against the
-   broadcast frequent-item set BEFORE any pair is generated — the
+   frequent-item set BEFORE any pair is generated (join strategy
+   left to Catalyst/AQE — see the comment at the join) — the
    candidate-space collapse that makes the algorithm viable at
    scale (pair generation on the unpruned stream is the naive
    quadratic everyone regrets).
@@ -158,3 +159,90 @@ FROM pairs
 JOIN item_sup sa ON sa.item = item_a
 JOIN item_sup sb ON sb.item = item_b
 CROSS JOIN n1"""
+
+
+def copurchase_triangles(lineitem: DataFrame) -> DataFrame:
+    """Triangle census of the co-purchase graph (nodes = parts,
+    edges = frequent pairs): n_edges, ordered wedges, triangles,
+    and transitivity (closed-wedge fraction, ppm).
+
+    The classic distributed triangle count: edges are canonical
+    (a < b) already, so the wedge join E(a,b)⋈E(b,c) with a<b<c
+    enumerates each candidate wedge once and each triangle has
+    EXACTLY one such representation ((a,b),(b,c)) closed by (a,c)
+    — no multiple counting, no orientation pass. Id-ordering here
+    stands in for the degree-ordering used at web scale to bound
+    per-node wedge fan-out; the A-priori support threshold already
+    bounds the co-purchase graph's degrees.
+
+    Plan: the edge table (pair-mining output, ≪ data) is
+    lineage-cut once, then one self-join on the wedge center and
+    one semi-join on the closing edge — both equi-joins on edge
+    keys; the census is a 1-row aggregate."""
+    edges = (
+        basket_pairs(lineitem)
+        .select("item_a", "item_b")
+        .localCheckpoint(eager=True)
+    )
+    n_edges = edges.count()
+    wedges = (
+        edges.alias("e1")
+        .join(
+            edges.alias("e2"),
+            F.col("e1.item_b") == F.col("e2.item_a"),
+        )
+        .select(
+            F.col("e1.item_a").alias("a"),
+            F.col("e1.item_b").alias("b"),
+            F.col("e2.item_b").alias("c"),
+        )
+    )
+    closed = wedges.join(
+        edges.alias("e3"),
+        (F.col("a") == F.col("e3.item_a"))
+        & (F.col("c") == F.col("e3.item_b")),
+        "left_semi",
+    )
+    return (
+        wedges.agg(F.count("*").cast("long").alias("n_wedges"))
+        .crossJoin(
+            F.broadcast(
+                closed.agg(
+                    F.count("*").cast("long").alias("n_triangles")
+                )
+            )
+        )
+        .select(
+            F.lit(n_edges).cast("long").alias("n_edges"),
+            "n_wedges",
+            "n_triangles",
+            F.expr(
+                "CASE WHEN n_wedges = 0 THEN NULL"
+                " ELSE (n_triangles * 1000000) div n_wedges END"
+            ).alias("transitivity_ppm"),
+        )
+    )
+
+
+def triangles_oracle_sql(pairs_oracle: str) -> str:
+    return f"""
+WITH pairs AS MATERIALIZED ({pairs_oracle}),
+edges AS MATERIALIZED (SELECT item_a, item_b FROM pairs),
+wedges AS MATERIALIZED (
+    SELECT e1.item_a AS a, e1.item_b AS b, e2.item_b AS c
+    FROM edges e1 JOIN edges e2 ON e1.item_b = e2.item_a
+),
+closed AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM wedges w
+    WHERE EXISTS (SELECT 1 FROM edges e
+                  WHERE e.item_a = w.a AND e.item_b = w.c)
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT) FROM wedges) AS n_wedges,
+       n_triangles,
+       CASE WHEN (SELECT count(*) FROM wedges) = 0 THEN NULL
+            ELSE (n_triangles * 1000000)
+                 // (SELECT count(*) FROM wedges) END
+           AS transitivity_ppm
+FROM closed"""

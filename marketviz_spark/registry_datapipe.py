@@ -3704,3 +3704,18 @@ def q_layout_compaction_plan(
     deterministic bin manifest merging adjacent z-files up to
     ~COMPACT_TARGET_ROWS (operators/layout.py)."""
     return compaction_plan(tables.load(spark, sf_dir, "lineitem"))
+
+
+from .operators.basket import copurchase_triangles, triangles_oracle_sql  # noqa: E402
+
+
+@register(
+    "graph_triangles",
+    triangles_oracle_sql(_Q["basket_pairs"].oracle),
+    survey="triangle census + transitivity of the co-purchase graph: single-representation ordered wedge join over canonical edges (graph analytics)",
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each triangle counted exactly once via its unique a<b<c
+    wedge; edges are the A-priori pair-mining output, lineage-cut
+    before the two equi-joins (operators/basket.py)."""
+    return copurchase_triangles(tables.load(spark, sf_dir, "lineitem"))

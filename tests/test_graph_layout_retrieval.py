@@ -551,3 +551,31 @@ def test_compaction_plan_covers_all_files(spark):
     for b in bins[:-1]:
         assert b["bin_rows"] > 0
     assert all(b["bin_rows"] >= 1 for b in bins)
+
+
+def test_triangles_python_mirror(spark):
+    """Triangle count cross-checked with a pure-python census over
+    the same edge set."""
+    from marketviz_spark.operators.basket import basket_pairs
+
+    edges = {
+        (r["item_a"], r["item_b"])
+        for r in basket_pairs(tables.load(spark, SF_MED, "lineitem"))
+        .select("item_a", "item_b")
+        .collect()
+    }
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    wedges = tris = 0
+    for a, b in edges:
+        for c in adj.get(b, ()):
+            wedges += 1
+            if c in adj.get(a, set()):
+                tris += 1
+    row = QUERIES["graph_triangles"].fn(spark, SF_MED).collect()[0]
+    assert row["n_edges"] == len(edges)
+    assert row["n_wedges"] == wedges
+    assert row["n_triangles"] == tris
+    if wedges:
+        assert row["transitivity_ppm"] == (tris * 1_000_000) // wedges
