@@ -82,13 +82,21 @@ def pagerank(
         return df.localCheckpoint(eager=True)
 
     nodes = ckpt(nodes.select("node").distinct())
-    outdeg = edges.groupBy("src").agg(
-        F.count("*").cast("long").alias("deg")
+    # Cut the edge-derivation lineage FIRST: outdeg and the
+    # per-iteration dangling anti-join both reference it, and an
+    # un-cut reference would re-run the (possibly expensive) edge
+    # mining once per iteration — the 4x recompute the weighted
+    # variant's first bench exposed.
+    raw = ckpt(edges.select("src", "dst"))
+    outdeg = ckpt(
+        raw.groupBy("src").agg(
+            F.count("*").cast("long").alias("deg")
+        )
     )
     # deg attaches once; src stays the partitioning key for every
     # iteration's contribution join.
     edges = ckpt(
-        edges.join(outdeg, "src").select("src", "dst", "deg")
+        raw.join(outdeg, "src").select("src", "dst", "deg")
     )
     n1 = nodes.agg(F.count("*").alias("n"))  # 1-row, broadcast
 
@@ -182,6 +190,153 @@ WITH edges AS (
 ), c{i} AS (
     SELECT dst, CAST(sum(r // deg) AS BIGINT) AS cin
     FROM edges JOIN outdeg USING (src) JOIN r{i} ON node = src
+    GROUP BY dst
+), r{i + 1} AS (
+    SELECT nodes.node,
+           CAST(({PR_DAMP_DEN - PR_DAMP_NUM} * {base})
+                    // {PR_DAMP_DEN}
+                + ({PR_DAMP_NUM} * (COALESCE(cin, 0) + dm // n))
+                    // {PR_DAMP_DEN} AS BIGINT) AS r
+    FROM nodes CROSS JOIN nn CROSS JOIN dm{i}
+    LEFT JOIN c{i} ON nodes.node = c{i}.dst
+)"""
+    return sql + f"\nSELECT node, r AS rank_ppt FROM r{iters}"
+
+
+def pagerank_weighted(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = PR_ITERS,
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """Weighted PageRank: ``edges(src, dst, w)`` with BIGINT
+    weights; a node's rank flows out proportionally to edge weight:
+
+        contrib(u→v) = (r_u · w_uv) div strength(u),  strength = Σw
+
+    Same integer contract, iteration shape, and dangling handling
+    as :func:`pagerank` (w=1 on every edge reproduces it exactly,
+    since (r·1) div deg == r div deg). Overflow margin: needs
+    r·w < 2⁶³, i.e. max edge weight below ~9·10⁶ at the 10¹²
+    rank scale — rescale weights (only ratios matter) above that.
+    """
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        if reliable_checkpoint:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    nodes = ckpt(nodes.select("node").distinct())
+    # Same lineage discipline as pagerank(): cut the (expensive)
+    # edge mining ONCE, then derive strength from the cut — the
+    # dangling anti-join re-evaluates strength every iteration.
+    raw = ckpt(edges.select("src", "dst", "w"))
+    strength = ckpt(
+        raw.groupBy("src").agg(
+            F.sum("w").cast("long").alias("s_out")
+        )
+    )
+    edges = ckpt(
+        raw.join(strength, "src").select("src", "dst", "w", "s_out")
+    )
+    n1 = nodes.agg(F.count("*").alias("n"))
+
+    ranks = nodes.crossJoin(F.broadcast(n1)).select(
+        "node", F.expr(f"{PR_TOTAL} div n").alias("r")
+    )
+    for _ in range(iters):
+        dm1 = (
+            ranks.join(
+                strength, ranks["node"] == strength["src"], "left_anti"
+            )
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm"))
+        )
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .select("dst", F.expr("(r * w) div s_out").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").cast("long").alias("cin"))
+        )
+        ranks = ckpt(
+            nodes.crossJoin(F.broadcast(n1))
+            .crossJoin(F.broadcast(dm1))
+            .join(contrib, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                F.expr(
+                    f"({PR_DAMP_DEN - PR_DAMP_NUM} * ({PR_TOTAL} div n))"
+                    f" div {PR_DAMP_DEN}"
+                    f" + ({PR_DAMP_NUM} * (coalesce(cin, 0)"
+                    f" + dm div n)) div {PR_DAMP_DEN}"
+                ).alias("r"),
+            )
+        )
+    return ranks.select("node", F.col("r").alias("rank_ppt"))
+
+
+def copurchase_pagerank(
+    spark: SparkSession, sf_dir: str, iters: int = PR_ITERS
+) -> DataFrame:
+    """Weighted PageRank over the SYMMETRIZED co-purchase graph
+    (nodes = frequent parts, edge weight = pair support): product
+    centrality. Symmetric edges mean no dangling nodes, but the
+    dangling path stays live for generality (and for fuzz shapes
+    where the pair set is empty)."""
+    from .. import tables
+    from .basket import basket_pairs
+
+    pairs = basket_pairs(
+        tables.load(spark, sf_dir, "lineitem")
+    ).select("item_a", "item_b", "support")
+    fwd = pairs.select(
+        F.concat(F.lit("P"), F.col("item_a").cast("string")).alias("src"),
+        F.concat(F.lit("P"), F.col("item_b").cast("string")).alias("dst"),
+        F.col("support").cast("long").alias("w"),
+    )
+    rev = pairs.select(
+        F.concat(F.lit("P"), F.col("item_b").cast("string")).alias("src"),
+        F.concat(F.lit("P"), F.col("item_a").cast("string")).alias("dst"),
+        F.col("support").cast("long").alias("w"),
+    )
+    edges = fwd.unionByName(rev)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    return pagerank_weighted(nodes, edges, iters=iters)
+
+
+def copurchase_pagerank_oracle_sql(
+    pairs_oracle: str, iters: int = PR_ITERS
+) -> str:
+    """Unrolled weighted recurrence over the pair-mining oracle."""
+    base = f"({PR_TOTAL} // n)"
+    sql = f"""
+WITH pairs AS MATERIALIZED ({pairs_oracle}),
+edges AS MATERIALIZED (
+    SELECT 'P' || CAST(item_a AS VARCHAR) AS src,
+           'P' || CAST(item_b AS VARCHAR) AS dst,
+           support AS w
+    FROM pairs
+    UNION ALL
+    SELECT 'P' || CAST(item_b AS VARCHAR),
+           'P' || CAST(item_a AS VARCHAR), support
+    FROM pairs
+), strength AS (
+    SELECT src, CAST(sum(w) AS BIGINT) AS s_out
+    FROM edges GROUP BY src
+), nodes AS (
+    SELECT DISTINCT src AS node FROM edges
+), nn AS (
+    SELECT CAST(count(*) AS BIGINT) AS n FROM nodes
+), r0 AS (
+    SELECT node, CAST({PR_TOTAL} // n AS BIGINT) AS r
+    FROM nodes CROSS JOIN nn
+)"""
+    for i in range(iters):
+        sql += f""", dm{i} AS (
+    SELECT CAST(COALESCE(sum(r), 0) AS BIGINT) AS dm
+    FROM r{i} LEFT JOIN strength ON node = src WHERE s_out IS NULL
+), c{i} AS (
+    SELECT dst, CAST(sum((r * w) // s_out) AS BIGINT) AS cin
+    FROM edges JOIN strength USING (src) JOIN r{i} ON node = src
     GROUP BY dst
 ), r{i + 1} AS (
     SELECT nodes.node,

@@ -3719,3 +3719,23 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedge; edges are the A-priori pair-mining output, lineage-cut
     before the two equi-joins (operators/basket.py)."""
     return copurchase_triangles(tables.load(spark, sf_dir, "lineitem"))
+
+
+from .operators.graph import (  # noqa: E402
+    copurchase_pagerank,
+    copurchase_pagerank_oracle_sql,
+)
+
+
+@register(
+    "graph_pagerank_weighted",
+    copurchase_pagerank_oracle_sql(_Q["basket_pairs"].oracle),
+    survey="weighted PageRank over the symmetrized co-purchase graph (edge weight = pair support): product centrality with the same integer contract as graph_pagerank (graph analytics)",
+)
+def q_graph_pagerank_weighted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rank flows out proportionally to support: contrib = (r·w)
+    div strength. Symmetric edges → no dangling, path kept live for
+    empty-pair fuzz shapes (operators/graph.py)."""
+    return copurchase_pagerank(spark, sf_dir)

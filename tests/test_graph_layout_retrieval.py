@@ -579,3 +579,48 @@ def test_triangles_python_mirror(spark):
     assert row["n_triangles"] == tris
     if wedges:
         assert row["transitivity_ppm"] == (tris * 1_000_000) // wedges
+
+
+def test_weighted_pagerank_reduces_to_unweighted_on_unit_weights(spark):
+    """w=1 must reproduce pagerank() exactly: (r*1) div deg ==
+    r div deg — the unification proof in the docstring, executed."""
+    from marketviz_spark.operators.graph import (
+        pagerank,
+        pagerank_weighted,
+    )
+
+    nodes = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",)], "node string"
+    )
+    e = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")]
+    edges = spark.createDataFrame(e, "src string, dst string")
+    weighted = spark.createDataFrame(
+        [(s, d, 1) for s, d in e], "src string, dst string, w long"
+    )
+    got_u = {
+        r["node"]: r["rank_ppt"]
+        for r in pagerank(nodes, edges, iters=2).collect()
+    }
+    got_w = {
+        r["node"]: r["rank_ppt"]
+        for r in pagerank_weighted(nodes, weighted, iters=2).collect()
+    }
+    assert got_u == got_w
+
+
+def test_weighted_pagerank_follows_weight(spark):
+    """All mass at a flows to b when w(a→b) >> w(a→c) in one hop."""
+    from marketviz_spark.operators.graph import pagerank_weighted
+
+    nodes = spark.createDataFrame(
+        [("a",), ("b",), ("c",)], "node string"
+    )
+    edges = spark.createDataFrame(
+        [("a", "b", 99), ("a", "c", 1), ("b", "a", 1), ("c", "a", 1)],
+        "src string, dst string, w long",
+    )
+    got = {
+        r["node"]: r["rank_ppt"]
+        for r in pagerank_weighted(nodes, edges, iters=3).collect()
+    }
+    assert got["b"] > got["c"]
