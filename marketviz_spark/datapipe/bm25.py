@@ -35,7 +35,7 @@ Scale shape (the 100-TB story):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -190,44 +190,40 @@ PHRASE_QUERIES: list[tuple[int, str]] = [
 ]
 
 
-def _ngrams(n: int) -> Column:
-    """n-gram strings of the token array `t` (SHINGLES_CTE shape)."""
-    return F.when(
-        F.size("t") >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size("t") - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at("t", i + j) for j in range(n)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-
-
 def phrase_match(docs: DataFrame) -> DataFrame:
-    """(phrase_id, phrase, n_docs, n_occurrences) for each literal
-    phrase — exact consecutive-token matches."""
+    """(phrase_id, phrase, n_docs, n_occurrences) for EVERY literal
+    phrase — exact consecutive-token matches; a phrase with no
+    matches reports zeros (left join from the phrase table, so the
+    4-row output contract holds on any corpus). n-grams come from
+    dedup.gram_array (one construction, one set of short-doc /
+    CSE guards)."""
+    from .dedup import gram_array
+
     lens = sorted({len(p.split()) for _, p in PHRASE_QUERIES})
     toks = docs.select("doc_id", tokens().alias("t"))
     grams = toks.select(
         "doc_id",
         F.explode(
-            F.concat(*[_ngrams(n) for n in lens])
+            F.concat(*[gram_array(F.col("t"), n) for n in lens])
         ).alias("gram"),
     ).filter(F.col("gram").isin([p for _, p in PHRASE_QUERIES]))
     spark = docs.sparkSession
     phrases = spark.createDataFrame(
         PHRASE_QUERIES, "phrase_id int, phrase string"
     )
-    return (
-        grams.join(
-            F.broadcast(phrases),
-            grams["gram"] == phrases["phrase"],
-        )
-        .groupBy("phrase_id", "phrase")
-        .agg(
-            F.countDistinct("doc_id").cast("long").alias("n_docs"),
-            F.count("*").cast("long").alias("n_occurrences"),
-        )
+    hits = grams.groupBy("gram").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_occurrences"),
+    )
+    return phrases.join(
+        hits, phrases["phrase"] == hits["gram"], "left"
+    ).select(
+        "phrase_id",
+        "phrase",
+        F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+        F.coalesce("n_occurrences", F.lit(0))
+        .cast("long")
+        .alias("n_occurrences"),
     )
 
 
@@ -259,9 +255,15 @@ WITH toks AS (
 ), phrases(phrase_id, phrase) AS (
     SELECT CAST(phrase_id AS INT), phrase
     FROM (VALUES {phrase_rows}) v(phrase_id, phrase)
+), hits AS (
+    SELECT gram,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM grams
+    WHERE gram IN (SELECT phrase FROM phrases)
+    GROUP BY gram
 )
 SELECT phrase_id, phrase,
-       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-       CAST(count(*) AS BIGINT) AS n_occurrences
-FROM grams JOIN phrases ON gram = phrase
-GROUP BY phrase_id, phrase"""
+       CAST(COALESCE(n_docs, 0) AS BIGINT) AS n_docs,
+       CAST(COALESCE(n_occurrences, 0) AS BIGINT) AS n_occurrences
+FROM phrases LEFT JOIN hits ON gram = phrase"""

@@ -24,6 +24,12 @@ l_partkey)). The classic distributed shape:
 
 Exactness: supports are counts; confidence and lift are single
 BIGINT ppm divisions (truncating on both engines). No floats.
+Overflow margin: lift's numerator support·n_baskets·10⁶ needs
+support·n_baskets < 9.2·10¹² — holds to ~10⁸ baskets at any
+realistic pair support; beyond that rescale lift to per-mille or
+lift the product into decimal(38,0) (Spark's non-ANSI mode would
+otherwise wrap silently where DuckDB errors — the divergence the
+margin exists to preclude).
 """
 
 from __future__ import annotations
@@ -185,6 +191,9 @@ def copurchase_triangles(lineitem: DataFrame) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     n_edges = edges.count()
+    # Cut the wedge join too: it is the heaviest stage and feeds
+    # BOTH the census count and the closing semi-join — without
+    # the cut it would execute twice.
     wedges = (
         edges.alias("e1")
         .join(
@@ -196,6 +205,7 @@ def copurchase_triangles(lineitem: DataFrame) -> DataFrame:
             F.col("e1.item_b").alias("b"),
             F.col("e2.item_b").alias("c"),
         )
+        .localCheckpoint(eager=True)
     )
     closed = wedges.join(
         edges.alias("e3"),

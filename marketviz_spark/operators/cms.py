@@ -96,7 +96,7 @@ def cms_heavy_hitters(
 
 def cms_oracle_sql(k: int = CMS_TOPK) -> str:
     hash_rows = "\n    UNION ALL\n".join(
-        f"    SELECT {t} AS t, ({_col_expr('item', t).replace(' div ', ' // ')})"
+        f"    SELECT {t} AS t, ({_col_expr('item', t)})"
         f" AS col, item, cnt FROM counts"
         for t in range(CMS_DEPTH)
     )

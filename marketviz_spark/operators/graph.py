@@ -74,63 +74,20 @@ def pagerank(
 ) -> DataFrame:
     """Integer-exact PageRank: ``nodes(node)``, ``edges(src, dst)``
     → ``(node, rank_ppt)``. See module docstring for the exact
-    recurrence and scale notes."""
+    recurrence and scale notes.
 
-    def ckpt(df: DataFrame) -> DataFrame:
-        if reliable_checkpoint:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
-
-    nodes = ckpt(nodes.select("node").distinct())
-    # Cut the edge-derivation lineage FIRST: outdeg and the
-    # per-iteration dangling anti-join both reference it, and an
-    # un-cut reference would re-run the (possibly expensive) edge
-    # mining once per iteration — the 4x recompute the weighted
-    # variant's first bench exposed.
-    raw = ckpt(edges.select("src", "dst"))
-    outdeg = ckpt(
-        raw.groupBy("src").agg(
-            F.count("*").cast("long").alias("deg")
-        )
+    Thin wrapper over :func:`pagerank_weighted` with unit weights —
+    exactly equivalent because ``(r·1) div deg == r div deg``
+    (pinned in test_weighted_pagerank_reduces_to_unweighted_on_
+    unit_weights), so the iteration logic lives in ONE place."""
+    return pagerank_weighted(
+        nodes,
+        edges.select("src", "dst").withColumn(
+            "w", F.lit(1).cast("long")
+        ),
+        iters=iters,
+        reliable_checkpoint=reliable_checkpoint,
     )
-    # deg attaches once; src stays the partitioning key for every
-    # iteration's contribution join.
-    edges = ckpt(
-        raw.join(outdeg, "src").select("src", "dst", "deg")
-    )
-    n1 = nodes.agg(F.count("*").alias("n"))  # 1-row, broadcast
-
-    ranks = nodes.crossJoin(F.broadcast(n1)).select(
-        "node", F.expr(f"{PR_TOTAL} div n").alias("r")
-    )
-    for _ in range(iters):
-        dm1 = (
-            ranks.join(
-                outdeg, ranks["node"] == outdeg["src"], "left_anti"
-            )
-            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm"))
-        )
-        contrib = (
-            edges.join(ranks, edges["src"] == ranks["node"])
-            .select("dst", F.expr("r div deg").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").cast("long").alias("cin"))
-        )
-        ranks = ckpt(
-            nodes.crossJoin(F.broadcast(n1))
-            .crossJoin(F.broadcast(dm1))
-            .join(contrib, F.col("node") == F.col("dst"), "left")
-            .select(
-                "node",
-                F.expr(
-                    f"({PR_DAMP_DEN - PR_DAMP_NUM} * ({PR_TOTAL} div n))"
-                    f" div {PR_DAMP_DEN}"
-                    f" + ({PR_DAMP_NUM} * (coalesce(cin, 0)"
-                    f" + dm div n)) div {PR_DAMP_DEN}"
-                ).alias("r"),
-            )
-        )
-    return ranks.select("node", F.col("r").alias("rank_ppt"))
 
 
 def supply_pagerank(

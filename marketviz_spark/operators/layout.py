@@ -46,7 +46,7 @@ def _z_expr(a: str, b: str, div: str) -> str:
     return " + ".join(terms)
 
 
-def _folded(lineitem: DataFrame, div: str = "div") -> DataFrame:
+def _folded(lineitem: DataFrame) -> DataFrame:
     return lineitem.select(
         (F.col("l_orderkey") % Z_FOLD).alias("b1"),
         (F.col("l_partkey") % Z_FOLD).alias("b2"),

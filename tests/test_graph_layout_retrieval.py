@@ -318,8 +318,10 @@ def test_bm25_plan_no_full_index_and_pruned_scan(spark):
         if "Scan parquet" in line:
             assert "lang" not in line and "source" not in line, line
     # the explode feeds a Filter on the literal term set BEFORE any
-    # exchange: the filter condition must mention a query term
-    assert "hash" in plan and "INSET" in plan or "IN (" in plan
+    # exchange: the filter condition must mention a query term AND
+    # render as a membership test (INSET above the conversion
+    # threshold, IN (...) below it)
+    assert "hash" in plan and ("INSET" in plan or "IN (" in plan)
 
 
 # ------------------------------------------------- basket + profile
@@ -437,23 +439,39 @@ def test_rle_audit_tradeoff(spark):
 
 
 def test_phrase_match_counts(spark):
-    """Cross-check each phrase's doc count against a LIKE scan
-    (single-space corpus makes LIKE equivalent to token n-grams)."""
+    """Cross-check every phrase against an exact python n-gram
+    census (NOT a LIKE scan — LIKE also matches mid-token suffixes
+    like 'rehash join', so it is not equivalent in general). Also
+    pins the every-phrase-gets-a-row contract: zero-match phrases
+    report 0/0."""
     from marketviz_spark.datapipe.bm25 import PHRASE_QUERIES
 
     rows = {
         r["phrase"]: r
         for r in QUERIES["phrase_match"].fn(spark, SF_MED).collect()
     }
-    docs = tables.load(spark, SF_MED, "documents")
+    assert set(rows) == {p for _, p in PHRASE_QUERIES}
+    texts = [
+        r["text"]
+        for r in tables.load(spark, SF_MED, "documents")
+        .select("text")
+        .collect()
+    ]
     for _, phrase in PHRASE_QUERIES:
-        direct = docs.filter(
-            F.col("text").like(f"%{phrase}%")
-        ).count()
-        got = rows[phrase]["n_docs"] if phrase in rows else 0
-        assert got == direct, phrase
-        if phrase in rows:
-            assert rows[phrase]["n_occurrences"] >= rows[phrase]["n_docs"]
+        want = phrase.split()
+        n = len(want)
+        n_docs = n_occ = 0
+        for t in texts:
+            toks = [x for x in t.split(" ") if x]
+            hits = sum(
+                1
+                for i in range(len(toks) - n + 1)
+                if toks[i : i + n] == want
+            )
+            n_docs += hits > 0
+            n_occ += hits
+        assert rows[phrase]["n_docs"] == n_docs, phrase
+        assert rows[phrase]["n_occurrences"] == n_occ, phrase
 
 
 def test_phrase_match_plan_map_side_filter(spark):
