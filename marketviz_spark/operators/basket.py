@@ -256,3 +256,106 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
                  // (SELECT count(*) FROM wedges) END
            AS transitivity_ppm
 FROM closed"""
+
+
+RECO_TOPK = 5
+
+
+def item_recommendations(
+    lineitem: DataFrame, k: int = RECO_TOPK
+) -> DataFrame:
+    """"Customers also bought": top-k partners per item by lift
+    (ties: higher support, then smaller partner id) — the serving
+    table a recommender materializes from the pair-mining output.
+
+    The pair table stores each pair once (a < b); both directions
+    matter for serving, so it is symmetrized first — a map-side
+    union, then ONE window over the (item, partner) stream. conf is
+    re-derived per direction (conf(a→b) ≠ conf(b→a)); lift is
+    symmetric and rides along.
+    """
+    pairs = basket_pairs(lineitem)
+    fwd = pairs.select(
+        F.col("item_a").alias("item"),
+        F.col("item_b").alias("partner"),
+        "support",
+        F.col("conf_ab_ppm").alias("conf_ppm"),
+        "lift_ppm",
+    )
+    # reverse direction: conf = support/sup_b, recomputed from the
+    # symmetric fields support·n_baskets·10⁶/(sup_a·sup_b) × sup_a
+    # is NOT recoverable from the row alone — rejoin the supports.
+    baskets = lineitem.select(
+        F.col("l_orderkey").alias("basket"),
+        F.col("l_partkey").alias("item"),
+    ).distinct()
+    item_sup = baskets.groupBy("item").agg(
+        F.count("*").cast("long").alias("sup_i")
+    )
+    rev = (
+        pairs.join(
+            F.broadcast(
+                item_sup.select(
+                    F.col("item").alias("item_b"),
+                    F.col("sup_i").alias("sup_b"),
+                )
+            ),
+            "item_b",
+        )
+        .select(
+            F.col("item_b").alias("item"),
+            F.col("item_a").alias("partner"),
+            "support",
+            F.expr("(support * 1000000) div sup_b").alias("conf_ppm"),
+            "lift_ppm",
+        )
+    )
+    both = fwd.unionByName(rev)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("item").orderBy(
+        F.desc("lift_ppm"), F.desc("support"), F.asc("partner")
+    )
+    return (
+        both.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "item",
+            F.col("rank").cast("int").alias("rank"),
+            "partner",
+            "support",
+            "conf_ppm",
+            "lift_ppm",
+        )
+    )
+
+
+def item_recommendations_oracle_sql(
+    pairs_oracle: str, k: int = RECO_TOPK
+) -> str:
+    return f"""
+WITH pairs AS MATERIALIZED ({pairs_oracle}),
+baskets AS (
+    SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+    FROM lineitem
+), item_sup AS (
+    SELECT item, CAST(count(*) AS BIGINT) AS sup_i
+    FROM baskets GROUP BY item
+), sym AS (
+    SELECT item_a AS item, item_b AS partner, support,
+           conf_ab_ppm AS conf_ppm, lift_ppm
+    FROM pairs
+    UNION ALL
+    SELECT item_b, item_a, support,
+           (support * 1000000) // sup_i, lift_ppm
+    FROM pairs JOIN item_sup ON item = item_b
+)
+SELECT item, CAST(rank AS INT) AS rank, partner, support,
+       conf_ppm, lift_ppm
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY item
+        ORDER BY lift_ppm DESC, support DESC, partner) AS rank
+    FROM sym
+)
+WHERE rank <= {k}"""

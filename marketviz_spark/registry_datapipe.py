@@ -3739,3 +3739,23 @@ def q_graph_pagerank_weighted(
     div strength. Symmetric edges → no dangling, path kept live for
     empty-pair fuzz shapes (operators/graph.py)."""
     return copurchase_pagerank(spark, sf_dir)
+
+
+from .operators.basket import (  # noqa: E402
+    item_recommendations,
+    item_recommendations_oracle_sql,
+)
+
+
+@register(
+    "item_recommendations",
+    item_recommendations_oracle_sql(_Q["basket_pairs"].oracle),
+    survey="'customers also bought' serving table: symmetrized pair-mining output, per-item top-k partners by lift with per-direction confidence (operators/basket.py)",
+)
+def q_item_recommendations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-5 partners per item by lift over the symmetrized
+    frequent-pair graph; reverse-direction confidence re-derived
+    from the broadcast item supports; one item-keyed window."""
+    return item_recommendations(tables.load(spark, sf_dir, "lineitem"))

@@ -642,3 +642,31 @@ def test_weighted_pagerank_follows_weight(spark):
         for r in pagerank_weighted(nodes, edges, iters=3).collect()
     }
     assert got["b"] > got["c"]
+
+
+def test_item_recommendations_symmetry_and_ranks(spark):
+    """Every (item, partner) implies the mirrored (partner, item)
+    exists in the symmetrized stream (it may fall below the top-k
+    cut), lift is direction-symmetric, and ranks are dense."""
+    from marketviz_spark.operators.basket import basket_pairs
+
+    recs = QUERIES["item_recommendations"].fn(spark, SF_MED).collect()
+    pair_lift = {
+        (r["item_a"], r["item_b"]): r["lift_ppm"]
+        for r in basket_pairs(
+            tables.load(spark, SF_MED, "lineitem")
+        ).collect()
+    }
+    by_item: dict[int, list] = {}
+    for r in recs:
+        by_item.setdefault(r["item"], []).append(r)
+    assert by_item
+    for item, rows in by_item.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(
+            range(1, len(rows) + 1)
+        )
+        for r in rows:
+            key = (min(item, r["partner"]), max(item, r["partner"]))
+            assert pair_lift[key] == r["lift_ppm"]
+            assert 0 < r["conf_ppm"] <= 1_000_000
