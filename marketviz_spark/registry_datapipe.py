@@ -3759,3 +3759,18 @@ def q_item_recommendations(
     frequent-pair graph; reverse-direction confidence re-derived
     from the broadcast item supports; one item-keyed window."""
     return item_recommendations(tables.load(spark, sf_dir, "lineitem"))
+
+
+from .operators.rfm import customer_rfm, customer_rfm_oracle_sql  # noqa: E402
+
+
+@register(
+    "customer_rfm",
+    customer_rfm_oracle_sql(),
+    survey="RFM customer segmentation: integer-exact recency/frequency/monetary quintile scores via closed-form rank buckets (not ntile), classic segment labels (warehouse analytics)",
+)
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The warehouse scoring pass: one custkey groupBy, three rank
+    windows over the customer table, engine-proof quintiles
+    ((rank-1)*5 div n + 1 — never ntile) (operators/rfm.py)."""
+    return customer_rfm(tables.load(spark, sf_dir, "orders"))

@@ -670,3 +670,30 @@ def test_item_recommendations_symmetry_and_ranks(spark):
             key = (min(item, r["partner"]), max(item, r["partner"]))
             assert pair_lift[key] == r["lift_ppm"]
             assert 0 < r["conf_ppm"] <= 1_000_000
+
+
+def test_rfm_scores_balanced_and_consistent(spark):
+    """Quintile scores are near-balanced (closed-form buckets),
+    segments match the R/F grid, and one customer's raw metrics
+    cross-check against a direct aggregate."""
+    rows = QUERIES["customer_rfm"].fn(spark, SF_MED).collect()
+    n = len(rows)
+    assert n > 0
+    for dim in ("r_score", "f_score", "m_score"):
+        counts = {}
+        for r in rows:
+            counts[r[dim]] = counts.get(r[dim], 0) + 1
+        assert set(counts) == {1, 2, 3, 4, 5}
+        assert max(counts.values()) - min(counts.values()) <= 1
+    for r in rows[:50]:
+        assert r["rfm_cell"] == (
+            r["r_score"] * 100 + r["f_score"] * 10 + r["m_score"]
+        )
+        if r["r_score"] >= 4 and r["f_score"] >= 4:
+            assert r["segment"] == "champion"
+    # raw-metric cross-check for the first customer
+    c = rows[0]["custkey"]
+    orders = tables.load(spark, SF_MED, "orders").filter(
+        F.col("o_custkey") == c
+    )
+    assert rows[0]["frequency"] == orders.count()
