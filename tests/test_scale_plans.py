@@ -636,3 +636,46 @@ def test_lm_likelihood_no_per_doc_buffer(spark):
         for marker in ("collect_list", "sort_array", "ObjectHashAggregate"):
             assert marker not in plan, f"{name}: {marker}"
         assert "sum(cast(FLOOR(" in plan, name  # the quantized sum
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Runtime row-level filtering (Spark's injected bloom filter,
+    the engine-native cousin of the semi-join prunes this repo
+    builds by hand): a selective dim filter must inject a
+    might_contain predicate into the FACT side of a shuffle join.
+    At 100 TB this is what keeps a selective dim join from
+    shuffling the whole fact table; the size thresholds are
+    lowered here only because sf0.001 is below the production
+    default (10 GB application side)."""
+    from pyspark.sql import functions as F
+
+    from marketviz_spark import tables
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = tables.load(spark, SF_SMALL, "lineitem")
+        orders = tables.load(spark, SF_SMALL, "orders").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = (
+            li.join(
+                orders, F.col("l_orderkey") == F.col("o_orderkey")
+            )
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        j.collect()
+        plan = _plan(j)
+        assert "might_contain" in plan.lower(), plan[:2000]
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
