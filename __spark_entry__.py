@@ -29,8 +29,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver checks queries in dict insertion order and stops at a
-# ~50-query budget. Round-10 rotation: the 30 never-driver-checked
-# queries lead (19 session-2 operator families, then the 11
+# ~50-query budget. Round-10 rotation: the 31 never-driver-checked
+# queries lead (20 session-2 operator families, then the 11
 # session-1 PQ/BPE/mixture/quality adds), then the two LM queries
 # whose code changed this round, then the r06-stale tail (verdict
 # item 2), then the oldest (r07) green rows ordered by regression
@@ -58,6 +58,7 @@ _FIRST = [
     "graph_pagerank_weighted",
     "item_recommendations",
     "customer_rfm",
+    "funnel_time_percentiles",
     # NEW in round 10: the trained-coefficient quality-classifier
     # path (datapipe/quality_model.py demo_trained_weights) — never
     # driver-checked before, so it leads.

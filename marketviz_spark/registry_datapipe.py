@@ -3774,3 +3774,124 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows over the customer table, engine-proof quintiles
     ((rank-1)*5 div n + 1 — never ntile) (operators/rfm.py)."""
     return customer_rfm(tables.load(spark, sf_dir, "orders"))
+
+
+# ----------------------------------------------------------------------
+# Funnel time-to-convert: exact percentiles
+# ----------------------------------------------------------------------
+
+
+@register(
+    "funnel_time_percentiles",
+    """
+WITH v AS (
+    SELECT user_id, min(ts) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+    SELECT e.user_id, min(e.ts) AS t2, min(v.t1) AS t1
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND e.ts > v.t1
+    GROUP BY e.user_id
+), p AS (
+    SELECT e.user_id, min(e.ts) AS t3, min(c.t2) AS t2
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > c.t2
+    GROUP BY e.user_id
+), durs AS (
+    SELECT 'view_to_click' AS transition, user_id,
+           CAST(date_diff('microsecond', t1, t2) AS BIGINT) AS dur_us
+    FROM c
+    UNION ALL
+    SELECT 'click_to_purchase', user_id,
+           CAST(date_diff('microsecond', t2, t3) AS BIGINT)
+    FROM p
+), ranked AS (
+    SELECT transition, dur_us,
+           CAST(row_number() OVER (
+               PARTITION BY transition
+               ORDER BY dur_us, user_id) AS BIGINT) AS rk,
+           CAST(count(*) OVER (PARTITION BY transition) AS BIGINT)
+               AS n
+    FROM durs
+)
+SELECT transition, CAST(max(n) AS BIGINT) AS n_conversions,
+       max(CASE WHEN rk = (n * 50 + 99) // 100 THEN dur_us END)
+           AS p50_us,
+       max(CASE WHEN rk = (n * 90 + 99) // 100 THEN dur_us END)
+           AS p90_us,
+       max(CASE WHEN rk = (n * 99 + 99) // 100 THEN dur_us END)
+           AS p99_us
+FROM ranked GROUP BY transition
+    """,
+    survey="ordered-funnel time-to-convert with EXACT closed-form percentiles (rank = ceil(n*p/100), never an approx or interpolating percentile) over per-user first-transition durations (event analytics)",
+)
+def q_funnel_time_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """view→click→purchase latency: per-user first ordered
+    transitions (strictly increasing ts), integer microsecond
+    durations, exact nearest-rank percentiles computed by a
+    closed-form rank pick — deterministic on both engines where
+    interpolating percentile_cont/approx sketches are not. Three
+    co-keyed user groupBys + one transition-keyed window over the
+    conversions table (users-sized, ≪ events)."""
+    from pyspark.sql.window import Window
+
+    ev = tables.load_events(spark, sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c.select("user_id", "t2"), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"), F.min("t2").alias("t2"))
+    )
+    d12 = c.select(
+        F.lit("view_to_click").alias("transition"),
+        "user_id",
+        (F.unix_micros("t2") - F.unix_micros("t1")).alias("dur_us"),
+    )
+    d23 = p.select(
+        F.lit("click_to_purchase").alias("transition"),
+        "user_id",
+        (F.unix_micros("t3") - F.unix_micros("t2")).alias("dur_us"),
+    )
+    durs = d12.unionByName(d23)
+    w = Window.partitionBy("transition").orderBy(
+        F.asc("dur_us"), F.asc("user_id")
+    )
+    ranked = durs.select(
+        "transition",
+        "dur_us",
+        F.row_number().over(w).cast("long").alias("rk"),
+        F.count("*")
+        .over(Window.partitionBy("transition"))
+        .cast("long")
+        .alias("n"),
+    )
+    pick = (
+        lambda pct: F.max(
+            F.when(
+                F.col("rk")
+                == F.expr(f"(n * {pct} + 99) div 100"),
+                F.col("dur_us"),
+            )
+        ).alias(f"p{pct}_us")
+    )
+    return ranked.groupBy("transition").agg(
+        F.max("n").cast("long").alias("n_conversions"),
+        pick(50),
+        pick(90),
+        pick(99),
+    )

@@ -697,3 +697,61 @@ def test_rfm_scores_balanced_and_consistent(spark):
         F.col("o_custkey") == c
     )
     assert rows[0]["frequency"] == orders.count()
+
+
+def test_funnel_percentiles_exact_vs_python(spark):
+    """Exact nearest-rank percentiles cross-checked against a
+    python mirror of the same funnel semantics."""
+    rows = {
+        r["transition"]: r
+        for r in QUERIES["funnel_time_percentiles"]
+        .fn(spark, SF_MED)
+        .collect()
+    }
+    assert set(rows) == {"view_to_click", "click_to_purchase"}
+    ev = sorted(
+        (
+            (r["user_id"], r["event_type"], r["ts"])
+            for r in tables.load_events(spark, SF_MED)
+            .select("user_id", "event_type", "ts")
+            .collect()
+        ),
+        key=lambda t: (t[0], t[2]),
+    )
+    by_user: dict[int, list] = {}
+    for u, et, ts in ev:
+        by_user.setdefault(u, []).append((et, ts))
+    d12, d23 = [], []
+    for u, evs in by_user.items():
+        t1 = min((ts for et, ts in evs if et == "view"), default=None)
+        if t1 is None:
+            continue
+        t2 = min(
+            (ts for et, ts in evs if et == "click" and ts > t1),
+            default=None,
+        )
+        if t2 is None:
+            continue
+        d12.append((int((t2 - t1).total_seconds() * 1e6 + 0.5), u))
+        t3 = min(
+            (ts for et, ts in evs if et == "purchase" and ts > t2),
+            default=None,
+        )
+        if t3 is None:
+            continue
+        d23.append((int((t3 - t2).total_seconds() * 1e6 + 0.5), u))
+
+    def pctl(durs, p):
+        s = sorted(durs)
+        return s[(len(s) * p + 99) // 100 - 1][0]
+
+    for name, durs in (
+        ("view_to_click", d12),
+        ("click_to_purchase", d23),
+    ):
+        r = rows[name]
+        assert r["n_conversions"] == len(durs)
+        assert r["p50_us"] == pctl(durs, 50)
+        assert r["p90_us"] == pctl(durs, 90)
+        assert r["p99_us"] == pctl(durs, 99)
+        assert r["p50_us"] <= r["p90_us"] <= r["p99_us"]
