@@ -200,6 +200,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     baselines = _load_baselines()
+    stable_set = _load_stable_set()
 
     # Isolated re-measure of apparent outliers: BASELINE.md's tell
     # for host noise vs a real regression is that an isolated re-run
@@ -270,6 +271,12 @@ def main() -> None:
         "suite_vs_baseline": (
             round(shared_total / base_sum, 3) if base_sum else None
         ),
+        # Frozen round-7 148-query set: the registry grows every
+        # round, so the full-suite wall conflates new queries with
+        # drift — this wall is comparable round-over-round.
+        "stable148_wall": round(
+            sum(t for n, t in timings.items() if n in stable_set), 3
+        ),
         # alias kept under the name the round-9 verdict asked for:
         # the suite-global drift factor — per-query ratios are
         # judged AGAINST this (BASELINE.md's host-noise
@@ -309,6 +316,22 @@ def main() -> None:
             break  # nothing left to shrink; emit as-is
         line = json.dumps(out)
     print(line)
+
+
+def _load_stable_set() -> frozenset[str]:
+    """The frozen round-7 re-base query set (148 names): the
+    cross-round-comparable bench subset. Registry growth changes the
+    full-suite wall every round; this one is apples-to-apples."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tools",
+        "stable_set_r7.json",
+    )
+    try:
+        with open(path) as fh:
+            return frozenset(json.load(fh))
+    except (OSError, ValueError):
+        return frozenset()
 
 
 def _load_baselines() -> dict[str, float]:

@@ -298,9 +298,10 @@ def compaction_plan_oracle_sql() -> str:
 WITH zm AS ({zorder_oracle_sql()}),
 binned AS (
     SELECT file_id, n_rows,
-           coalesce(sum(n_rows) OVER (
+           CAST(coalesce(sum(n_rows) OVER (
                ORDER BY file_id ROWS BETWEEN UNBOUNDED PRECEDING
-               AND 1 PRECEDING), 0) // {COMPACT_TARGET_ROWS} AS bin_id
+               AND 1 PRECEDING), 0) // {COMPACT_TARGET_ROWS}
+                AS BIGINT) AS bin_id
     FROM zm
 )
 SELECT bin_id, CAST(count(*) AS BIGINT) AS n_files_merged,

@@ -102,9 +102,10 @@ def skew_report_oracle_sql() -> str:
            CAST(n AS BIGINT) AS n_keys,
            CAST(max_cnt AS BIGINT) AS max_cnt,
            CAST(top_key AS BIGINT) AS top_key,
-           (max_cnt * 1000000) // s AS top1_share_ppm,
-           (top10 * 1000000) // s AS top10_share_ppm,
-           ((2 * ic - (n + 1) * s) * 1000000) // (n * s) AS gini_ppm
+           CAST((max_cnt * 1000000) // s AS BIGINT) AS top1_share_ppm,
+           CAST((top10 * 1000000) // s AS BIGINT) AS top10_share_ppm,
+           CAST(((2 * ic - (n + 1) * s) * 1000000) // (n * s)
+                AS BIGINT) AS gini_ppm
     FROM (
         SELECT sum(cnt) AS s, count(*) AS n, max(cnt) AS max_cnt,
                max(CASE WHEN i = n_all THEN k END) AS top_key,

@@ -54,6 +54,24 @@ def _key(row):
     )
 
 
+def oracle_type_problems(
+    con: duckdb.DuckDBPyConnection, oracle: str, name: str
+) -> list[str]:
+    """Standing lint for the r10 driver-fail class: any oracle result
+    column typed HUGEINT/UHUGEINT fetches as float64, which the driver
+    hashes differently from Spark's long. Binds (doesn't execute) the
+    query and inspects declared result types."""
+    bad = []
+    rel = con.sql(oracle)
+    for col, typ in zip(rel.columns, rel.types):
+        if "HUGEINT" in str(typ).upper():
+            bad.append(
+                f"{name}: oracle column {col} is {typ} — wrap the "
+                "expression in CAST(... AS BIGINT)"
+            )
+    return bad
+
+
 def compare(spark_df, con, oracle: str, name: str, rel_tol=1e-9) -> list[str]:
     """Returns a list of problem strings (empty = match)."""
     problems: list[str] = []
@@ -76,6 +94,27 @@ def compare(spark_df, con, oracle: str, name: str, rel_tol=1e-9) -> list[str]:
         return problems
     sp = sp[sp_cols]
     du = du[du_cols]
+    # Type-strictness (r10 driver bug class): a DuckDB HUGEINT result
+    # column materializes as float64 in fetchdf(), so 107450 hashes as
+    # "107450.0" at the driver while the int==float value compare below
+    # passes locally. Flag any column where one side is float and the
+    # other integral, unless the float side carries NaN (pandas promotes
+    # nullable int -> float64, which is a materialization artifact, not
+    # an engine type divergence).
+    for c in sp_cols:
+        ks, kd = sp[c].dtype.kind, du[c].dtype.kind
+        pair = {ks, kd}
+        if "f" in pair and pair & {"i", "u"}:
+            floats = sp[c] if ks == "f" else du[c]
+            if not floats.isna().any():
+                problems.append(
+                    f"{name}: column {c} dtype kind spark={ks!r} vs "
+                    f"oracle={kd!r} (null-free float vs int — the "
+                    "driver hashes these differently; CAST the oracle "
+                    "or the Spark column)"
+                )
+    if problems:
+        return problems
     sp_rows = sorted((tuple(r) for r in sp.itertuples(index=False)), key=_key)
     du_rows = sorted((tuple(r) for r in du.itertuples(index=False)), key=_key)
     mismatches = 0

@@ -8,7 +8,7 @@ import pytest
 
 from marketviz_spark.registry import QUERIES
 from tests.conftest import SF_SMALL
-from tests.oracle_check import compare, duck_con
+from tests.oracle_check import compare, duck_con, oracle_type_problems
 
 
 @pytest.fixture(scope="module")
@@ -27,6 +27,20 @@ def test_parity(spark, con, name):
         return
     problems = compare(df, con, qd.oracle, name)
     assert not problems, "\n".join(problems)
+
+
+def test_no_hugeint_oracle_columns(con):
+    """r10 driver-fail class: DuckDB sum(BIGINT) is HUGEINT, fetched as
+    float64, hash-mismatching Spark's long at the driver even when the
+    local value compare passes. Scan every oracle's declared result
+    types; this fails if the skewstats/layout CASTs are reverted or a
+    new uncast sum() arithmetic lands."""
+    bad = []
+    for name, qd in sorted(QUERIES.items()):
+        if qd.oracle is None:
+            continue
+        bad.extend(oracle_type_problems(con, qd.oracle, name))
+    assert not bad, "\n".join(bad)
 
 
 def test_blas_cosine_boundary_distance_sf001():
