@@ -29,123 +29,115 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver checks queries in dict insertion order and stops at a
-# ~50-query budget. Round-10 rotation: the 31 never-driver-checked
-# queries lead (20 session-2 operator families, then the 11
-# session-1 PQ/BPE/mixture/quality adds), then the two LM queries
-# whose code changed this round, then the r06-stale tail (verdict
-# item 2), then the oldest (r07) green rows ordered by regression
-# surface. Whatever the ~50 budget cuts rolls to r11.
+# ~50-query budget. Round-11 rotation (VERDICT r10 items 1+3): the
+# two r10 hash-fails lead — both were DuckDB-oracle HUGEINT typing
+# bugs, fixed by CAST(... AS BIGINT) in skewstats.py/layout.py — to
+# re-prove at the driver. Then the full 43-query r07-stale tail
+# (windows/joins first, highest regression surface, then curation/
+# dedup, then the OLAP/timeseries tail), then the oldest r08 rows
+# with the remaining budget; whatever the cut drops rolls to r12.
 _FIRST = [
-    # NEW in round 10, session 2 — never driver-checked, so they
-    # lead: MMR diversified retrieval, integer PageRank, and the
-    # Z-order layout pair.
-    "emb_mmr_topk",
-    "graph_pagerank",
-    "layout_zorder",
-    "layout_skipping_audit",
-    "bm25_topk",
-    "basket_pairs",
-    "profile_lineitem",
-    "cms_heavy_hitters",
-    "events_cms_cells",
-    "layout_rle_audit",
-    "phrase_match",
+    # r10 hash-fails, oracle CASTs fixed this round — re-prove first.
     "skew_report",
-    "join_size_estimate",
-    "scd2_composition",
     "layout_compaction_plan",
-    "graph_triangles",
-    "graph_pagerank_weighted",
-    "item_recommendations",
-    "customer_rfm",
-    "funnel_time_percentiles",
-    # NEW in round 10: the trained-coefficient quality-classifier
-    # path (datapipe/quality_model.py demo_trained_weights) — never
-    # driver-checked before, so it leads.
-    "quality_classifier_trained",
-    "emb_pq_codes",
-    "emb_pq_topk",
-    "pq_recall",
-    "emb_pq_rerank_topk",
-    "pq_rerank_recall",
-    "mixture_plan_temperature",
-    "bpe_train_merges",
-    "bpe_apply_vocab",
-    "emb_ivfpq_topk",
-    "ivfpq_recall",
-    # Changed round 10: the LM per-doc sum was rebuilt order-free
-    # (quantized decimal sum, no collect_list buffer) on BOTH the
-    # Spark and oracle sides — re-prove parity first.
-    "lm_doc_likelihood",
-    "lm_heldout_score",
-    # The r06-stale rotation tail (round-9 verdict item 2): these 14
-    # queries' latest green row is three rounds old; clearing them
-    # restores the no-row-older-than-two-rounds contract.
-    "boilerplate_chunks",
-    "bpe_merge_pairs",
-    "chunk_index_dedup",
-    "cluster_size_histogram",
-    "cluster_split",
-    "corpus_drift",
-    "curriculum_order",
-    "doc_chunks",
-    "mixture_apply",
-    "mixture_plan",
-    "mixture_plan_weighted",
-    "oov_rates",
-    "sample_pps",
-    "token_coverage_curve",
-    # The r9 perf-weak row: code re-measured isolated at 0.97x this
-    # round; a fresh green correctness row retires the weak mark.
-    "emb_cosine_topk",
-    # Oldest remaining green rows (r07) — windows/joins first
-    # (highest regression surface), then curation/dedup, then the
-    # OLAP tail; whatever the ~50 budget cuts rolls to r11.
-    "w3_w4_returns",
-    "w5_w6_composition_changes",
+    # NEW round 11 (never driver-checked): per-source retention
+    # budgets (datapipe/budget.py).
+    "source_domain_cap",
+    "token_budget_prefix",
+    "events_cusum_changepoint",
+    "graph_kcore",
+    # r07-stale block (43): windows/joins/aggregates.
     "w7_latest_stats",
     "w8_latest_per_ticker",
     "w9_topk_per_date",
+    "w_moving_stats",
+    "w_rolling_range_7d",
+    "w_beta_corr",
     "j1_composition_market_cap",
     "j2_upsert",
     "j3_asof_walkback",
     "a4_a5_summary_metrics",
+    "p3_point_lookup",
     "skew_salted_agg",
+    "semi_anti_join",
+    "agg_distinct_percentile",
+    "having_big_orders",
+    "pivot_order_status",
+    "unpivot_prices",
+    # r07-stale: curation/dedup/text.
     "dedup_embedding_pairs",
+    "dedup_incremental",
+    "jaccard_band_report",
     "text_repetition",
     "text_decontaminate",
+    "text_rarity",
+    "langid_confusion",
     "sample_stratified",
     "pack_sequences",
+    "pack_fill_report",
     "pii_stats",
     "pii_scrub",
     "vocab_topk",
     "curation_funnel",
-    "dedup_incremental",
     "emb_quantize_int8",
-    "text_rarity",
-    "langid_confusion",
-    "jaccard_band_report",
-    "pack_fill_report",
-    "agg_distinct_percentile",
-    "semi_anti_join",
-    "pivot_order_status",
-    "w_moving_stats",
+    # r07-stale: OLAP / events / timeseries / DQ tail.
     "q3_shipping_priority",
-    "p3_point_lookup",
-    "having_big_orders",
-    "unpivot_prices",
-    "events_bars_rollup",
-    "events_hll_cascade",
     "q4_late_order_priority",
     "q13_order_histogram",
-    "w_beta_corr",
-    "dq_lineitem_gate",
-    "w_rolling_range_7d",
+    "events_bars_rollup",
+    "events_hll_cascade",
     "ts_corr_pairs",
     "ts_corr_pairs_sketched",
     "ts_corr_recall",
+    "dq_lineitem_gate",
     "dq_documents_gate",
     "stocks_snapshot_diff",
+    # r08 block head (oldest after the r07 tail clears) — fills the
+    # remaining ~5 driver budget; rest rolls to r12.
+    "index_daily",
+    "w1_split_adjust",
+    "q1_pricing_summary",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_minhash_estimate",
+    "dedup_lsh_pairs",
+    "o5_summary_tail30",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "rollup_orders",
+    "cube_revenue",
+    "events_tumbling_1h",
+    "events_sliding_1h_30m",
+    "events_session_10m",
+    "events_range_join",
+    "skew_salted_join",
+    "text_stats",
+    "text_langid",
+    "text_fingerprints",
+    "text_token_bpe",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_substring_spans",
+    "dedup_levenshtein",
+    "dedup_bucket_overflow",
+    "dedup_shingle_overflow",
+    "dedup_modality_agreement",
+    "emb_cosine_topk_blas",
+    "emb_lsh_topk",
+    "emb_ivf_topk",
+    "ann_recall",
+    "semdedup_prune",
+    "decontam_embedding",
+    "mm_payload_features",
+    "mm_frame_sample",
+    "corpus_source_report",
+    "curation_apply",
+    "events_click_error_pairs",
+    "events_funnel_conversion",
+    "events_transition_matrix",
+    "w_rank_family",
+    "w_share_of_day",
 ]
 
 

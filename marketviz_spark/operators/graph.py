@@ -305,3 +305,139 @@ edges AS MATERIALIZED (
     LEFT JOIN c{i} ON nodes.node = c{i}.dst
 )"""
     return sql + f"\nSELECT node, r AS rank_ppt FROM r{iters}"
+
+
+# ----------------------------------------------------------------------
+# k-core decomposition (iterative peeling)
+# ----------------------------------------------------------------------
+
+KCORE_K = 3  # minimum within-core degree
+KCORE_ITERS = 10  # fixed peel rounds, cross-engine unrollable
+# (sf0.01 co-purchase graph converges in 9; extra rounds are no-op
+# prunes over the stable core — the certificate column PROVES the
+# fixed point rather than assuming it)
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = KCORE_K,
+    iters: int = KCORE_ITERS,
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """k-core of a SYMMETRIZED edge list: repeatedly drop nodes of
+    degree < k (and their incident edges) for `iters` rounds, then
+    report each surviving node's within-core degree plus a
+    convergence certificate (the core's min degree — >= k iff one
+    more peel would drop nobody, the same audit-not-assumption
+    pattern as dedup's star-contraction).
+
+    Scale: each peel round is one groupBy(src) degree count plus
+    two semi-join prunes keyed on src/dst — the same co-partitioned
+    keys every round, so AQE reuses the exchange layout. The
+    surviving-node frame only shrinks. Lineage is cut per round
+    (localCheckpoint; pass reliable_checkpoint=True on a real
+    cluster for HDFS checkpoints).
+    """
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        if reliable_checkpoint:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    cur = ckpt(edges.select("src", "dst").distinct())
+    for _ in range(iters):
+        keep = (
+            cur.groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("src")
+        )
+        cur = ckpt(
+            cur.join(keep, "src")
+            .join(keep.withColumnRenamed("src", "dst"), "dst")
+            .select("src", "dst")
+        )
+    deg = cur.groupBy("src").agg(
+        F.count("*").cast("long").alias("core_deg")
+    )
+    cert = deg.agg(
+        F.min("core_deg").cast("long").alias("min_core_deg"),
+        F.count("*").cast("long").alias("n_core_nodes"),
+    )
+    return (
+        deg.crossJoin(F.broadcast(cert))
+        .select(
+            F.col("src").alias("node"),
+            "core_deg",
+            "n_core_nodes",
+            "min_core_deg",
+            (F.col("min_core_deg") >= k).alias("converged"),
+        )
+        .orderBy("node")
+    )
+
+
+def copurchase_kcore(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KCORE_K,
+    iters: int = KCORE_ITERS,
+) -> DataFrame:
+    """k-core over the symmetrized co-purchase graph (same edge
+    miner as copurchase_pagerank): the densely-connected product
+    nucleus a recommender would seed from."""
+    from .. import tables
+    from .basket import basket_pairs
+
+    pairs = basket_pairs(
+        tables.load(spark, sf_dir, "lineitem")
+    ).select("item_a", "item_b")
+    fwd = pairs.select(
+        F.concat(F.lit("P"), F.col("item_a").cast("string")).alias("src"),
+        F.concat(F.lit("P"), F.col("item_b").cast("string")).alias("dst"),
+    )
+    rev = pairs.select(
+        F.concat(F.lit("P"), F.col("item_b").cast("string")).alias("src"),
+        F.concat(F.lit("P"), F.col("item_a").cast("string")).alias("dst"),
+    )
+    return kcore(fwd.unionByName(rev), k=k, iters=iters)
+
+
+def copurchase_kcore_oracle_sql(
+    pairs_oracle: str, k: int = KCORE_K, iters: int = KCORE_ITERS
+) -> str:
+    """Unrolled peeling over the pair-mining oracle. Every round's
+    edge set is AS MATERIALIZED — DuckDB's CTE inlining would
+    otherwise re-evaluate the whole peel chain once per reference
+    (see PAPERS.md pitfall; same treatment as the PageRank
+    oracle)."""
+    sql = f"""
+WITH pairs AS MATERIALIZED ({pairs_oracle}),
+e0 AS MATERIALIZED (
+    SELECT 'P' || CAST(item_a AS VARCHAR) AS src,
+           'P' || CAST(item_b AS VARCHAR) AS dst
+    FROM pairs
+    UNION ALL
+    SELECT 'P' || CAST(item_b AS VARCHAR),
+           'P' || CAST(item_a AS VARCHAR)
+    FROM pairs
+)"""
+    for i in range(iters):
+        sql += f""", k{i} AS MATERIALIZED (
+    SELECT src FROM e{i} GROUP BY src HAVING count(*) >= {k}
+), e{i + 1} AS MATERIALIZED (
+    SELECT e.src, e.dst
+    FROM e{i} e JOIN k{i} a ON e.src = a.src
+    JOIN k{i} b ON e.dst = b.src
+)"""
+    return sql + f""", deg AS (
+    SELECT src, CAST(count(*) AS BIGINT) AS core_deg
+    FROM e{iters} GROUP BY src
+), cert AS (
+    SELECT CAST(min(core_deg) AS BIGINT) AS min_core_deg,
+           CAST(count(*) AS BIGINT) AS n_core_nodes
+    FROM deg
+)
+SELECT src AS node, core_deg, n_core_nodes, min_core_deg,
+       min_core_deg >= {k} AS converged
+FROM deg CROSS JOIN cert"""

@@ -4483,3 +4483,34 @@ def q_events_hll_intersection(
             <= 0.05 * F.col("n_union_exact")
         ).alias("est_ok"),
     )
+
+
+# ----------------------------------------------------------------------
+# CUSUM changepoint over daily event volumes (operators/changepoint.py)
+# ----------------------------------------------------------------------
+
+
+from .operators.changepoint import (  # noqa: E402
+    cusum_changepoint,
+    cusum_oracle_sql,
+)
+
+
+@register(
+    "events_cusum_changepoint",
+    cusum_oracle_sql(),
+    survey="offline CUSUM level-shift changepoint per event type: integer-scaled cumulative deviation n*P_t - t*T over daily counts, argmax day + ppm magnitude (event analytics extension)",
+)
+def q_events_cusum_changepoint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Daily (type, day) counts reduce the fact table map-side;
+    every window after that runs over calendar-length per-type
+    series. DECIMAL(38,0) products, BIGINT outputs
+    (operators/changepoint.py)."""
+    ev = tables.load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type",
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count("*").cast("long").alias("n_events"))
+    return cusum_changepoint(daily)

@@ -3741,6 +3741,24 @@ def q_graph_pagerank_weighted(
     return copurchase_pagerank(spark, sf_dir)
 
 
+from .operators.graph import (  # noqa: E402
+    copurchase_kcore,
+    copurchase_kcore_oracle_sql,
+)
+
+
+@register(
+    "graph_kcore",
+    copurchase_kcore_oracle_sql(_Q["basket_pairs"].oracle),
+    survey="k-core decomposition of the co-purchase graph: fixed-round degree peeling with a min-core-degree convergence certificate (graph analytics)",
+)
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative peel: degree count + two semi-join prunes per
+    round, lineage-cut per round; the certificate column proves
+    (not assumes) convergence (operators/graph.py)."""
+    return copurchase_kcore(spark, sf_dir)
+
+
 from .operators.basket import (  # noqa: E402
     item_recommendations,
     item_recommendations_oracle_sql,
@@ -3784,26 +3802,34 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "funnel_time_percentiles",
     """
-WITH v AS (
-    SELECT user_id, min(ts) AS t1 FROM events
+WITH ev AS (
+    -- epoch_us truncates TIMESTAMP_NS to micros, matching the Spark
+    -- side's normalize_events_ts (tables.py): both engines compare
+    -- and subtract micros-truncated values, so the strict > filters
+    -- and durations agree even if events ever carry sub-us parts.
+    SELECT user_id, event_type,
+           CAST(epoch_us(ts) AS BIGINT) AS us
+    FROM events
+), v AS (
+    SELECT user_id, min(us) AS t1 FROM ev
     WHERE event_type = 'view' GROUP BY user_id
 ), c AS (
-    SELECT e.user_id, min(e.ts) AS t2, min(v.t1) AS t1
-    FROM events e JOIN v ON e.user_id = v.user_id
-    WHERE e.event_type = 'click' AND e.ts > v.t1
+    SELECT e.user_id, min(e.us) AS t2, min(v.t1) AS t1
+    FROM ev e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND e.us > v.t1
     GROUP BY e.user_id
 ), p AS (
-    SELECT e.user_id, min(e.ts) AS t3, min(c.t2) AS t2
-    FROM events e JOIN c ON e.user_id = c.user_id
-    WHERE e.event_type = 'purchase' AND e.ts > c.t2
+    SELECT e.user_id, min(e.us) AS t3, min(c.t2) AS t2
+    FROM ev e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.us > c.t2
     GROUP BY e.user_id
 ), durs AS (
     SELECT 'view_to_click' AS transition, user_id,
-           CAST(date_diff('microsecond', t1, t2) AS BIGINT) AS dur_us
+           CAST(t2 - t1 AS BIGINT) AS dur_us
     FROM c
     UNION ALL
     SELECT 'click_to_purchase', user_id,
-           CAST(date_diff('microsecond', t2, t3) AS BIGINT)
+           CAST(t3 - t2 AS BIGINT)
     FROM p
 ), ranked AS (
     SELECT transition, dur_us,
@@ -3895,3 +3921,41 @@ def q_funnel_time_percentiles(
         pick(90),
         pick(99),
     )
+
+
+# ----------------------------------------------------------------------
+# Per-source retention budgets (datapipe/budget.py)
+# ----------------------------------------------------------------------
+
+
+from .datapipe.budget import (  # noqa: E402
+    domain_cap_oracle_sql,
+    domain_cap_report,
+    token_budget_oracle_sql,
+    token_budget_prefix,
+)
+
+
+@register(
+    "source_domain_cap",
+    domain_cap_oracle_sql(),
+    survey="per-source domain-frequency cap: keep the N quality-ranked docs per source, kept/dropped report with ranking checksum (CCNet-style corpus bounding; WindowGroupLimit pre-truncates map-side)",
+)
+def q_source_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain cap over the documents table: row_number per source
+    (rank-filter rewritten to WindowGroupLimit, so hot domains are
+    truncated before the shuffle), then a same-keyed report
+    aggregate (datapipe/budget.py)."""
+    return domain_cap_report(tables.load(spark, sf_dir, "documents"))
+
+
+@register(
+    "token_budget_prefix",
+    token_budget_oracle_sql(),
+    survey="per-source token-budget prefix selection: quality-ordered running token sum per source, select while within allowance, integer-ppm utilization report (training-mix token budgeting)",
+)
+def q_token_budget_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget prefix over documents: one per-source cumsum
+    window + report aggregate, integer-exact ppm utilization
+    (datapipe/budget.py)."""
+    return token_budget_prefix(tables.load(spark, sf_dir, "documents"))
