@@ -46,6 +46,7 @@ _FIRST = [
     "token_budget_prefix",
     "events_cusum_changepoint",
     "graph_kcore",
+    "events_attribution_last_touch",
     # r07-stale block (43): windows/joins/aggregates.
     "w7_latest_stats",
     "w8_latest_per_ticker",

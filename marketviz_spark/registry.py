@@ -4514,3 +4514,23 @@ def q_events_cusum_changepoint(
         F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
     ).agg(F.count("*").cast("long").alias("n_events"))
     return cusum_changepoint(daily)
+
+
+from .operators.attribution import (  # noqa: E402
+    attribution_oracle_sql,
+    last_touch_attribution,
+)
+
+
+@register(
+    "events_attribution_last_touch",
+    attribution_oracle_sql(),
+    survey="last-touch marketing attribution: each purchase credited to the latest strictly-preceding view/click within a 7-day lookback (else 'organic'), via the zero-join union+window as-of pattern; cents-quantized revenue and ppm shares (event analytics extension)",
+)
+def q_events_attribution_last_touch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One union frame, one user-keyed window carrying the latest
+    touch onto purchases (strict < encoded in the sort key), one
+    channel-grain report aggregate (operators/attribution.py)."""
+    return last_touch_attribution(tables.load_events(spark, sf_dir))
