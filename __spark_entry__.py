@@ -47,6 +47,7 @@ _FIRST = [
     "events_cusum_changepoint",
     "graph_kcore",
     "events_attribution_last_touch",
+    "dedup_sorted_neighborhood",
     # r07-stale block (43): windows/joins/aggregates.
     "w7_latest_stats",
     "w8_latest_per_ticker",

@@ -3959,3 +3959,21 @@ def q_token_budget_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     window + report aggregate, integer-exact ppm utilization
     (datapipe/budget.py)."""
     return token_budget_prefix(tables.load(spark, sf_dir, "documents"))
+
+
+from .datapipe.snm import snm_candidate_pairs, snm_oracle_sql  # noqa: E402
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    snm_oracle_sql(),
+    survey="multi-pass sorted-neighborhood dedup blocking: prefix + reversed-prefix 6-char keys, per-block rank windows, equi-join gap pairing (candidates linear in N, never all-pairs), integer trigram-Jaccard verification (dedup family)",
+)
+def q_dedup_sorted_neighborhood(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SNM candidate generation + verification: per-block windows
+    (a hot block costs |block|*(W-1) pairs, still linear), explode-
+    a-gap EQUI-join pairing, trigram sets joined back onto the
+    small pair list only (datapipe/snm.py)."""
+    return snm_candidate_pairs(tables.load(spark, sf_dir, "documents"))
