@@ -40,14 +40,6 @@ _FIRST = [
     # r10 hash-fails, oracle CASTs fixed this round — re-prove first.
     "skew_report",
     "layout_compaction_plan",
-    # NEW round 11 (never driver-checked): per-source retention
-    # budgets (datapipe/budget.py).
-    "source_domain_cap",
-    "token_budget_prefix",
-    "events_cusum_changepoint",
-    "graph_kcore",
-    "events_attribution_last_touch",
-    "dedup_sorted_neighborhood",
     # r07-stale block (43): windows/joins/aggregates.
     "w7_latest_stats",
     "w8_latest_per_ticker",
@@ -94,6 +86,15 @@ _FIRST = [
     "dq_lineitem_gate",
     "dq_documents_gate",
     "stocks_snapshot_diff",
+    # NEW round 11 (never driver-checked) — after the stale tail so
+    # the ~50 budget clears ALL 43 r07 rows first (verdict item 3);
+    # whatever the cut drops from here rolls to the r12 lead.
+    "source_domain_cap",
+    "token_budget_prefix",
+    "events_cusum_changepoint",
+    "graph_kcore",
+    "events_attribution_last_touch",
+    "dedup_sorted_neighborhood",
     # r08 block head (oldest after the r07 tail clears) — fills the
     # remaining ~5 driver budget; rest rolls to r12.
     "index_daily",
