@@ -309,3 +309,158 @@ SELECT bin_id, CAST(count(*) AS BIGINT) AS n_files_merged,
        CAST(min(file_id) AS BIGINT) AS z_file_min,
        CAST(max(file_id) AS BIGINT) AS z_file_max
 FROM binned GROUP BY bin_id"""
+
+
+# ----------------------------------------------------------------------
+# Bloom-filter file-skipping audit
+# ----------------------------------------------------------------------
+#
+# Zone maps (above) prune RANGE predicates; point lookups on a
+# high-cardinality key that is scattered within every file (the
+# natural state of l_partkey under orderkey-clustered ingest) pass
+# every min/max check and scan everything. Per-file Bloom filters
+# are the standard fix (Parquet bloom_filter_enabled, Iceberg
+# bloom columns); this audit builds one 61-bit, 2-hash bloom word
+# per z-order file over the folded partkey and measures the exact
+# false-positive rate against a deterministic probe set — the
+# number a table owner uses to size m/k before paying for real
+# filters. All integer arithmetic (bit_or / bit_count / shifts are
+# engine-identical), one groupBy(file) + one file-grain probe join.
+
+BLOOM_BITS = 61  # word stays a positive BIGINT (bit 62 unused)
+BLOOM_H1_MUL = 2654435761  # Knuth multiplicative; b2 < 2^16 so no overflow
+BLOOM_H2_MUL = 40503
+BLOOM_H2_ADD = 17
+BLOOM_PROBES = 500  # probe keys 0..499 of the folded domain
+
+
+def bloom_audit(lineitem: DataFrame) -> DataFrame:
+    """Per z-order file: rows, distinct folded partkeys, bloom bits
+    set, and exact probe results (hits / true presents / false
+    positives / FPR over absent probes, ppm)."""
+    z = F.expr(_z_expr("b1", "b2", "div"))
+    keyed = (
+        _folded(lineitem)
+        .select("b2", z.cast("long").alias("z"))
+        .select(
+            "b2", F.expr(f"z div {1 << Z_FILE_SHIFT}").alias("file_id")
+        )
+    )
+    h1 = f"(b2 * {BLOOM_H1_MUL}) % {BLOOM_BITS}"
+    h2 = f"(b2 * {BLOOM_H2_MUL} + {BLOOM_H2_ADD}) % {BLOOM_BITS}"
+    word = keyed.select(
+        "file_id",
+        "b2",
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST({h1} AS INT)) | "
+            f"shiftleft(CAST(1 AS BIGINT), CAST({h2} AS INT))"
+        ).alias("bits"),
+    )
+    blooms = word.groupBy("file_id").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct("b2").cast("long").alias("n_keys"),
+        F.bit_or("bits").alias("bloom"),
+    )
+    spark = lineitem.sparkSession
+    probes = spark.range(BLOOM_PROBES).select(
+        F.col("id").cast("long").alias("k")
+    )
+    present = (
+        keyed.filter(F.col("b2") < BLOOM_PROBES)
+        .select("file_id", F.col("b2").alias("k"))
+        .distinct()
+        .withColumn("is_present", F.lit(1))
+    )
+    ph1 = f"(k * {BLOOM_H1_MUL}) % {BLOOM_BITS}"
+    ph2 = f"(k * {BLOOM_H2_MUL} + {BLOOM_H2_ADD}) % {BLOOM_BITS}"
+    probed = (
+        blooms.crossJoin(F.broadcast(probes))
+        .join(present, ["file_id", "k"], "left")
+        .select(
+            "file_id",
+            "n_rows",
+            "n_keys",
+            "bloom",
+            F.coalesce("is_present", F.lit(0)).alias("is_present"),
+            F.expr(
+                f"CASE WHEN (bloom & shiftleft(CAST(1 AS BIGINT),"
+                f" CAST({ph1} AS INT))) <> 0 AND"
+                f" (bloom & shiftleft(CAST(1 AS BIGINT),"
+                f" CAST({ph2} AS INT))) <> 0 THEN 1 ELSE 0 END"
+            ).alias("is_hit"),
+        )
+    )
+    return (
+        probed.groupBy("file_id")
+        .agg(
+            F.max("n_rows").alias("n_rows"),
+            F.max("n_keys").alias("n_keys"),
+            F.bit_count(F.max("bloom")).cast("long").alias("bits_set"),
+            F.sum("is_hit").cast("long").alias("probe_hits"),
+            F.sum("is_present").cast("long").alias("probe_present"),
+            F.sum(
+                ((F.col("is_hit") == 1) & (F.col("is_present") == 0))
+                .cast("long")
+            ).alias("false_positives"),
+        )
+        .withColumn(
+            "fpr_ppm",
+            F.expr(
+                "CAST(false_positives * 1000000 div"
+                f" greatest({BLOOM_PROBES} - probe_present, 1)"
+                " AS BIGINT)"
+            ),
+        )
+    )
+
+
+def bloom_audit_oracle_sql() -> str:
+    z = _z_expr("b1", "b2", "//")
+    h1 = f"(b2 * {BLOOM_H1_MUL}) % {BLOOM_BITS}"
+    h2 = f"(b2 * {BLOOM_H2_MUL} + {BLOOM_H2_ADD}) % {BLOOM_BITS}"
+    ph1 = f"(p.k * {BLOOM_H1_MUL}) % {BLOOM_BITS}"
+    ph2 = f"(p.k * {BLOOM_H2_MUL} + {BLOOM_H2_ADD}) % {BLOOM_BITS}"
+    return f"""
+WITH folded AS (
+    SELECT l_orderkey % {Z_FOLD} AS b1, l_partkey % {Z_FOLD} AS b2
+    FROM lineitem
+), keyed AS (
+    SELECT b2, ({z}) // {1 << Z_FILE_SHIFT} AS file_id FROM folded
+), blooms AS (
+    SELECT file_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT b2) AS BIGINT) AS n_keys,
+           bit_or((CAST(1 AS BIGINT) << CAST({h1} AS INT)) |
+                  (CAST(1 AS BIGINT) << CAST({h2} AS INT))) AS bloom
+    FROM keyed GROUP BY file_id
+), probes AS (
+    SELECT CAST(unnest(range(0, {BLOOM_PROBES})) AS BIGINT) AS k
+), present AS (
+    SELECT DISTINCT file_id, CAST(b2 AS BIGINT) AS k, 1 AS is_present
+    FROM keyed WHERE b2 < {BLOOM_PROBES}
+), probed AS (
+    SELECT b.file_id, b.n_rows, b.n_keys, b.bloom, p.k AS k,
+           coalesce(pr.is_present, 0) AS is_present,
+           CASE WHEN (b.bloom & (CAST(1 AS BIGINT)
+                                 << CAST({ph1} AS INT))) <> 0
+                 AND (b.bloom & (CAST(1 AS BIGINT)
+                                 << CAST({ph2} AS INT))) <> 0
+                THEN 1 ELSE 0 END AS is_hit
+    FROM blooms b CROSS JOIN probes p
+    LEFT JOIN present pr
+      ON pr.file_id = b.file_id AND pr.k = p.k
+)
+SELECT file_id,
+       CAST(max(n_rows) AS BIGINT) AS n_rows,
+       CAST(max(n_keys) AS BIGINT) AS n_keys,
+       CAST(bit_count(max(bloom)) AS BIGINT) AS bits_set,
+       CAST(sum(is_hit) AS BIGINT) AS probe_hits,
+       CAST(sum(is_present) AS BIGINT) AS probe_present,
+       CAST(sum(CASE WHEN is_hit = 1 AND is_present = 0
+                     THEN 1 ELSE 0 END) AS BIGINT)
+           AS false_positives,
+       CAST(sum(CASE WHEN is_hit = 1 AND is_present = 0
+                     THEN 1 ELSE 0 END) * 1000000
+            // greatest({BLOOM_PROBES} - sum(is_present), 1)
+            AS BIGINT) AS fpr_ppm
+FROM probed GROUP BY file_id"""

@@ -3977,3 +3977,22 @@ def q_dedup_sorted_neighborhood(
     a-gap EQUI-join pairing, trigram sets joined back onto the
     small pair list only (datapipe/snm.py)."""
     return snm_candidate_pairs(tables.load(spark, sf_dir, "documents"))
+
+
+from .operators.layout import (  # noqa: E402
+    bloom_audit,
+    bloom_audit_oracle_sql,
+)
+
+
+@register(
+    "layout_bloom_audit",
+    bloom_audit_oracle_sql(),
+    survey="per-file Bloom-filter skipping audit: 61-bit 2-hash bloom word per z-order file over the folded partkey, exact false-positive rate vs a deterministic probe set (point-lookup pruning where zone maps fail; data-layout family)",
+)
+def q_layout_bloom_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One groupBy(file) bit_or builds every file's bloom word; a
+    file-grain broadcast probe join measures exact FPR — the number
+    that sizes m/k before paying for real Parquet/Iceberg bloom
+    columns (operators/layout.py)."""
+    return bloom_audit(tables.load(spark, sf_dir, "lineitem"))
