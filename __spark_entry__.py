@@ -96,6 +96,7 @@ _FIRST = [
     "events_attribution_last_touch",
     "dedup_sorted_neighborhood",
     "layout_bloom_audit",
+    "basket_triples",
     # r08 block head (oldest after the r07 tail clears) — fills the
     # remaining ~5 driver budget; rest rolls to r12.
     "index_daily",

@@ -359,3 +359,153 @@ FROM (
     FROM sym
 )
 WHERE rank <= {k}"""
+
+
+# ----------------------------------------------------------------------
+# A-priori level-3: frequent triples
+# ----------------------------------------------------------------------
+
+TRIPLE_BASKET_CAP = 32  # items per basket entering triple generation
+
+
+def basket_triples(lineitem: DataFrame) -> DataFrame:
+    """Frequent item TRIPLES (item_a < item_b < item_c, support,
+    lift3_ppm): the level-3 A-priori step above basket_pairs.
+
+    The downward-closure property makes the candidate space safe:
+    any sub-pair of a triple with support >= MIN_SUPPORT itself has
+    support >= MIN_SUPPORT, so pruning baskets to frequent ITEMS
+    (level 1) before the two ordered self-joins is sound, and the
+    HAVING clause is the only filter needed for correctness. The
+    basket cap bounds the per-basket join fan-out at C(32,3) even
+    on a pathological basket (TPC-H baskets hold <= 7 items; the
+    cap exists for skewed/fuzz shapes, mirrored in the oracle).
+
+    lift3 = sup_abc * n_baskets^2 / (sup_a * sup_b * sup_c); the
+    numerator exceeds int64 at real scale, so the product runs in
+    DECIMAL(38,0) (HUGEINT on the oracle side) and only the final
+    ppm value is cast back to BIGINT.
+    """
+    baskets = (
+        lineitem.select(
+            F.col("l_orderkey").alias("basket"),
+            F.col("l_partkey").alias("item"),
+        )
+        .distinct()
+    )
+    n1 = baskets.agg(
+        F.countDistinct("basket").cast("long").alias("n_baskets")
+    )
+    item_sup = baskets.groupBy("item").agg(
+        F.count("*").cast("long").alias("sup_i")
+    )
+    frequent = item_sup.filter(F.col("sup_i") >= MIN_SUPPORT)
+    pruned = baskets.join(
+        frequent.select("item"), "item", "left_semi"
+    )
+    capped = (
+        pruned.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("basket").orderBy("item")
+            ),
+        )
+        .filter(F.col("rn") <= TRIPLE_BASKET_CAP)
+        .drop("rn")
+    )
+    a, b, c = capped.alias("a"), capped.alias("b"), capped.alias("c")
+    triples = (
+        a.join(
+            b,
+            (F.col("a.basket") == F.col("b.basket"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .join(
+            c,
+            (F.col("a.basket") == F.col("c.basket"))
+            & (F.col("b.item") < F.col("c.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("item_a"),
+            F.col("b.item").alias("item_b"),
+            F.col("c.item").alias("item_c"),
+        )
+        .agg(F.count("*").cast("long").alias("support"))
+        .filter(F.col("support") >= MIN_SUPPORT)
+    )
+
+    def sup(side: str) -> DataFrame:
+        return F.broadcast(
+            item_sup.select(
+                F.col("item").alias(f"item_{side}"),
+                F.col("sup_i").alias(f"sup_{side}"),
+            )
+        )
+
+    dec = "decimal(38,0)"
+    return (
+        triples.join(sup("a"), "item_a")
+        .join(sup("b"), "item_b")
+        .join(sup("c"), "item_c")
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "item_a",
+            "item_b",
+            "item_c",
+            "support",
+            F.expr(
+                f"CAST((CAST(support AS {dec})"
+                f" * CAST(n_baskets AS {dec})"
+                f" * CAST(n_baskets AS {dec}) * 1000000)"
+                f" div (CAST(sup_a AS {dec}) * CAST(sup_b AS {dec})"
+                f" * CAST(sup_c AS {dec})) AS BIGINT)"
+            ).alias("lift3_ppm"),
+        )
+    )
+
+
+def basket_triples_oracle_sql() -> str:
+    # every multiply-referenced CTE is AS MATERIALIZED: DuckDB's
+    # inlining otherwise re-evaluates `capped` (and its window)
+    # once per self-join arm — three evaluations of the whole
+    # prune chain at sf1 (the repo's standing oracle pitfall #1)
+    return f"""
+WITH baskets AS MATERIALIZED (
+    SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+    FROM lineitem
+), n1 AS (
+    SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_baskets
+    FROM baskets
+), item_sup AS MATERIALIZED (
+    SELECT item, CAST(count(*) AS BIGINT) AS sup_i
+    FROM baskets GROUP BY item
+), pruned AS (
+    SELECT basket, item FROM baskets
+    WHERE item IN (SELECT item FROM item_sup
+                   WHERE sup_i >= {MIN_SUPPORT})
+), capped AS MATERIALIZED (
+    SELECT basket, item FROM (
+        SELECT basket, item, row_number() OVER (
+            PARTITION BY basket ORDER BY item) AS rn
+        FROM pruned
+    ) WHERE rn <= {TRIPLE_BASKET_CAP}
+), triples AS (
+    SELECT a.item AS item_a, b.item AS item_b, c.item AS item_c,
+           CAST(count(*) AS BIGINT) AS support
+    FROM capped a
+    JOIN capped b ON a.basket = b.basket AND a.item < b.item
+    JOIN capped c ON a.basket = c.basket AND b.item < c.item
+    GROUP BY a.item, b.item, c.item
+    HAVING count(*) >= {MIN_SUPPORT}
+)
+SELECT item_a, item_b, item_c, support,
+       CAST((CAST(support AS HUGEINT)
+             * CAST(n_baskets AS HUGEINT)
+             * CAST(n_baskets AS HUGEINT) * 1000000)
+            // (CAST(sa.sup_i AS HUGEINT) * CAST(sb.sup_i AS HUGEINT)
+                * CAST(sc.sup_i AS HUGEINT)) AS BIGINT) AS lift3_ppm
+FROM triples
+JOIN item_sup sa ON sa.item = item_a
+JOIN item_sup sb ON sb.item = item_b
+JOIN item_sup sc ON sc.item = item_c
+CROSS JOIN n1"""

@@ -3996,3 +3996,21 @@ def q_layout_bloom_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     that sizes m/k before paying for real Parquet/Iceberg bloom
     columns (operators/layout.py)."""
     return bloom_audit(tables.load(spark, sf_dir, "lineitem"))
+
+
+from .operators.basket import (  # noqa: E402
+    basket_triples,
+    basket_triples_oracle_sql,
+)
+
+
+@register(
+    "basket_triples",
+    basket_triples_oracle_sql(),
+    survey="A-priori level-3 frequent triples with wide-decimal 3-way lift (downward-closure-pruned, basket-capped ordered self-joins; mining family)",
+)
+def q_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-1 prune -> capped ordered self-joins -> HAVING (sound
+    by downward closure); lift3 runs in DECIMAL(38,0)/HUGEINT and
+    casts only the final ppm (operators/basket.py)."""
+    return basket_triples(tables.load(spark, sf_dir, "lineitem"))
