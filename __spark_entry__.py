@@ -97,6 +97,7 @@ _FIRST = [
     "dedup_sorted_neighborhood",
     "layout_bloom_audit",
     "basket_triples",
+    "text_collocations",
     # r08 block head (oldest after the r07 tail clears) — fills the
     # remaining ~5 driver budget; rest rolls to r12.
     "index_daily",

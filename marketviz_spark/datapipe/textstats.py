@@ -184,3 +184,112 @@ def merge_pair_topk(docs: DataFrame, k: int = MERGE_TOPK) -> DataFrame:
         "n_occ",
         F.row_number().over(w).cast("int").alias("rank"),
     )
+
+
+# ----------------------------------------------------------------------
+# Bigram collocations by integer lift
+# ----------------------------------------------------------------------
+
+COLL_MIN_SUPPORT = 3  # bigram must occur >= 3 times corpus-wide
+
+
+def collocations(docs: DataFrame, min_support: int = COLL_MIN_SUPPORT) -> DataFrame:
+    """Corpus-wide bigram collocations scored by integer lift:
+
+        lift(a b) = c(ab) * N / (c(a) * c(b))   (ppm-truncated)
+
+    — the float-free stand-in for PMI (same argmax ordering, no
+    engine-divergent log). Token-instance counts, not document
+    frequencies, so "of the" scores low and real collocations high.
+
+    Scale: one explode + two-phase groupBy per grain (map-side
+    partial aggregation absorbs hot tokens like 'the' before any
+    exchange — the vocab_topk discipline); unigram counts attach by
+    two vocab-keyed equi-joins (NOT a forced broadcast: vocabulary
+    at 100 TB does not fit, AQE may still choose one when it does);
+    the product runs in DECIMAL(38,0) so c(ab)*N*1e6 cannot
+    overflow int64 at real corpus sizes."""
+    from .dedup import gram_array
+
+    tk = docs.select("doc_id", tokens().alias("_t"))
+    # Single-split guard (standing pitfall #2): a small corpus
+    # arrives as 1-2 parquet splits and the explode+partial-agg
+    # would run at that parallelism; widen BEFORE the explode.
+    sc = docs.sparkSession.sparkContext
+    if tk.rdd.getNumPartitions() < sc.defaultParallelism:
+        tk = tk.repartition(sc.defaultParallelism, "doc_id")
+    uni = (
+        tk.select(F.explode("_t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c_w"))
+    )
+    n1 = uni.agg(F.sum("c_w").cast("long").alias("n_tokens"))
+    big = (
+        tk.select(F.explode(gram_array(F.col("_t"), 2)).alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").cast("long").alias("c_ab"))
+        .filter(F.col("c_ab") >= min_support)
+        .select(
+            F.split_part(F.col("g"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("g"), F.lit(" "), F.lit(2)).alias("w2"),
+            "c_ab",
+        )
+    )
+    dec = "decimal(38,0)"
+    return (
+        big.join(
+            uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_a")),
+            "w1",
+        )
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_b")),
+            "w2",
+        )
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.expr(
+                f"CAST((CAST(c_ab AS {dec}) * CAST(n_tokens AS {dec})"
+                f" * 1000000) div (CAST(c_a AS {dec})"
+                f" * CAST(c_b AS {dec})) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+
+
+def collocations_oracle_sql(
+    toks_cte: str, min_support: int = COLL_MIN_SUPPORT
+) -> str:
+    return f"""
+WITH {toks_cte},
+uni AS MATERIALIZED (
+    SELECT w, CAST(count(*) AS BIGINT) AS c_w
+    FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+), n1 AS (
+    SELECT CAST(sum(c_w) AS BIGINT) AS n_tokens FROM uni
+), big AS (
+    SELECT g, CAST(count(*) AS BIGINT) AS c_ab
+    FROM (
+        SELECT unnest(CASE WHEN len(t) >= 2 THEN
+            list_transform(range(1, len(t)),
+                i -> t[CAST(i AS INT)] || ' ' || t[CAST(i + 1 AS INT)])
+            ELSE CAST([] AS VARCHAR[]) END) AS g
+        FROM toks
+    ) GROUP BY g
+    HAVING count(*) >= {min_support}
+)
+SELECT split_part(g, ' ', 1) AS w1,
+       split_part(g, ' ', 2) AS w2,
+       c_ab, ua.c_w AS c_a, ub.c_w AS c_b,
+       CAST((CAST(c_ab AS HUGEINT) * CAST(n_tokens AS HUGEINT)
+             * 1000000)
+            // (CAST(ua.c_w AS HUGEINT) * CAST(ub.c_w AS HUGEINT))
+            AS BIGINT) AS lift_ppm
+FROM big
+JOIN uni ua ON ua.w = split_part(g, ' ', 1)
+JOIN uni ub ON ub.w = split_part(g, ' ', 2)
+CROSS JOIN n1"""

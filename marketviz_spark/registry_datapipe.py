@@ -4014,3 +4014,21 @@ def q_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     by downward closure); lift3 runs in DECIMAL(38,0)/HUGEINT and
     casts only the final ppm (operators/basket.py)."""
     return basket_triples(tables.load(spark, sf_dir, "lineitem"))
+
+
+from .datapipe.textstats import (  # noqa: E402
+    collocations,
+    collocations_oracle_sql,
+)
+
+
+@register(
+    "text_collocations",
+    collocations_oracle_sql(TOKS_CTE),
+    survey="bigram collocations by integer lift (float-free PMI stand-in): token-instance counts, min-support pruned, wide-decimal product (text analysis family)",
+)
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One explode + two-phase groupBy per grain (hot tokens absorb
+    map-side), vocab-keyed equi-joins for unigram attach, decimal
+    lift (datapipe/textstats.py)."""
+    return collocations(tables.load(spark, sf_dir, "documents"))
