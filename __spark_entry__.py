@@ -98,6 +98,7 @@ _FIRST = [
     "layout_bloom_audit",
     "basket_triples",
     "text_collocations",
+    "emb_dim_stats",
     # r08 block head (oldest after the r07 tail clears) — fills the
     # remaining ~5 driver budget; rest rolls to r12.
     "index_daily",

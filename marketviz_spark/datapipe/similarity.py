@@ -1146,3 +1146,80 @@ def embedding_decontaminate(
         "vec_id long, label int, n_eval_hits long, "
         "max_eval_cosine double, contaminated boolean",
     )
+
+
+# ----------------------------------------------------------------------
+# Per-dimension embedding statistics (feature-scaling pass)
+# ----------------------------------------------------------------------
+
+
+def emb_dim_stats(emb: DataFrame) -> DataFrame:
+    """Per-dimension statistics of the embedding column — the
+    feature-standardization pass an ANN index or training pipeline
+    runs before normalizing: for each dim 1..EMB_DIM, the non-null
+    count, quantized value sum, mean square, and min/max.
+
+    Exactness: every value quantizes once to q = floor(v*1e6 + 0.5)
+    (the shared rnd arithmetic, on the float->double exact
+    promotion), then ONLY integer aggregates follow. Outputs avoid
+    engine-divergent division on signed values: Spark `div`
+    truncates toward zero while DuckDB `//` floors, so the SUM is
+    emitted raw (consumer divides in float) and the only division
+    (mean square) is over non-negative integers, where the two
+    operators agree.
+
+    Scale: explode of a 1..EMB_DIM literal sequence + element_at —
+    rows scale as n_vectors * EMB_DIM with map-side combine on the
+    64-value dim key; sums of squares accumulate in DECIMAL(38,0)
+    (HUGEINT on the oracle) before the bounded mean-square cast.
+    """
+    dec = "decimal(38,0)"
+    exploded = emb.select(
+        F.explode(F.sequence(F.lit(1), F.lit(EMB_DIM))).alias("dim"),
+        F.col("embedding").alias("e"),
+    ).select(
+        "dim",
+        F.expr(
+            "CAST(floor(CAST(element_at(e, dim) AS DOUBLE) * 1000000.0"
+            " + 0.5) AS BIGINT)"
+        ).alias("q"),
+    )
+    return (
+        exploded.groupBy("dim")
+        .agg(
+            F.count("q").cast("long").alias("n"),
+            F.sum("q").cast("long").alias("sum_q6"),
+            F.sum(F.expr(f"CAST(q AS {dec}) * CAST(q AS {dec})")).alias(
+                "_ssq"
+            ),
+            F.min("q").cast("long").alias("min_q6"),
+            F.max("q").cast("long").alias("max_q6"),
+        )
+        .select(
+            F.col("dim").cast("long").alias("dim"),
+            "n",
+            "sum_q6",
+            F.expr("CAST(_ssq div CAST(n AS decimal(38,0)) AS BIGINT)")
+            .alias("mean_sq_q12"),
+            "min_q6",
+            "max_q6",
+        )
+    )
+
+
+def emb_dim_stats_oracle_sql() -> str:
+    return f"""
+WITH exploded AS (
+    SELECT t.dim,
+           CAST(floor(CAST(embedding[CAST(t.dim AS INT)] AS DOUBLE)
+                      * 1000000.0 + 0.5) AS BIGINT) AS q
+    FROM embeddings CROSS JOIN range(1, {EMB_DIM} + 1) t(dim)
+)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(count(q) AS BIGINT) AS n,
+       CAST(sum(q) AS BIGINT) AS sum_q6,
+       CAST(sum(CAST(q AS HUGEINT) * CAST(q AS HUGEINT))
+            // CAST(count(q) AS HUGEINT) AS BIGINT) AS mean_sq_q12,
+       CAST(min(q) AS BIGINT) AS min_q6,
+       CAST(max(q) AS BIGINT) AS max_q6
+FROM exploded GROUP BY dim"""

@@ -4032,3 +4032,21 @@ def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side), vocab-keyed equi-joins for unigram attach, decimal
     lift (datapipe/textstats.py)."""
     return collocations(tables.load(spark, sf_dir, "documents"))
+
+
+from .datapipe.similarity import (  # noqa: E402
+    emb_dim_stats,
+    emb_dim_stats_oracle_sql,
+)
+
+
+@register(
+    "emb_dim_stats",
+    emb_dim_stats_oracle_sql(),
+    survey="per-dimension embedding statistics (quantized sum, mean square, min/max): the feature-standardization pass before normalization/ANN indexing; sign-safe integer outputs (similarity family)",
+)
+def q_emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode a 1..EMB_DIM literal + element_at, map-side combine
+    on the 64-value dim key, DECIMAL(38,0) square sums
+    (datapipe/similarity.py)."""
+    return emb_dim_stats(tables.load(spark, sf_dir, "embeddings"))
