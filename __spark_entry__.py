@@ -29,78 +29,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver checks queries in dict insertion order and stops at a
-# ~50-query budget. Round-11 rotation (VERDICT r10 items 1+3): the
-# two r10 hash-fails lead — both were DuckDB-oracle HUGEINT typing
-# bugs, fixed by CAST(... AS BIGINT) in skewstats.py/layout.py — to
-# re-prove at the driver. Then the full 43-query r07-stale tail
-# (windows/joins first, highest regression surface, then curation/
-# dedup, then the OLAP/timeseries tail), then the oldest r08 rows
-# with the remaining budget; whatever the cut drops rolls to r12.
+# ~50-query budget. Round-12 rotation (VERDICT r11 item 1): the 5
+# round-11 queries that have never had a driver CORRECTNESS row lead
+# (local parity harness passed 5/5 at sf0.01, judge-verified, but
+# the driver row is the hard signal), followed by the complete
+# 44-query r08-stale block — 49 entries, exactly one driver budget.
+# Registry expansion is frozen this round (verdict item 2) so no new
+# names are inserted ahead of this debt.
 _FIRST = [
-    # r10 hash-fails, oracle CASTs fixed this round — re-prove first.
-    "skew_report",
-    "layout_compaction_plan",
-    # r07-stale block (43): windows/joins/aggregates.
-    "w7_latest_stats",
-    "w8_latest_per_ticker",
-    "w9_topk_per_date",
-    "w_moving_stats",
-    "w_rolling_range_7d",
-    "w_beta_corr",
-    "j1_composition_market_cap",
-    "j2_upsert",
-    "j3_asof_walkback",
-    "a4_a5_summary_metrics",
-    "p3_point_lookup",
-    "skew_salted_agg",
-    "semi_anti_join",
-    "agg_distinct_percentile",
-    "having_big_orders",
-    "pivot_order_status",
-    "unpivot_prices",
-    # r07-stale: curation/dedup/text.
-    "dedup_embedding_pairs",
-    "dedup_incremental",
-    "jaccard_band_report",
-    "text_repetition",
-    "text_decontaminate",
-    "text_rarity",
-    "langid_confusion",
-    "sample_stratified",
-    "pack_sequences",
-    "pack_fill_report",
-    "pii_stats",
-    "pii_scrub",
-    "vocab_topk",
-    "curation_funnel",
-    "emb_quantize_int8",
-    # r07-stale: OLAP / events / timeseries / DQ tail.
-    "q3_shipping_priority",
-    "q4_late_order_priority",
-    "q13_order_histogram",
-    "events_bars_rollup",
-    "events_hll_cascade",
-    "ts_corr_pairs",
-    "ts_corr_pairs_sketched",
-    "ts_corr_recall",
-    "dq_lineitem_gate",
-    "dq_documents_gate",
-    "stocks_snapshot_diff",
-    # NEW round 11 (never driver-checked) — after the stale tail so
-    # the ~50 budget clears ALL 43 r07 rows first (verdict item 3);
-    # whatever the cut drops from here rolls to the r12 lead.
-    "source_domain_cap",
-    "token_budget_prefix",
-    "events_cusum_changepoint",
-    "graph_kcore",
-    "events_attribution_last_touch",
-    "dedup_sorted_neighborhood",
-    "layout_bloom_audit",
+    # Never driver-checked (added late in round 11) — first-timers.
     "basket_triples",
-    "text_collocations",
+    "dedup_sorted_neighborhood",
     "emb_dim_stats",
-    # r08 block head (oldest after the r07 tail clears) — fills the
-    # remaining ~5 driver budget; rest rolls to r12.
+    "layout_bloom_audit",
+    "text_collocations",
+    # r08-stale block (44): core index/OLAP/windows first.
     "index_daily",
     "w1_split_adjust",
     "q1_pricing_summary",
