@@ -205,20 +205,25 @@ def main() -> None:
     # Isolated re-measure of apparent outliers: BASELINE.md's tell
     # for host noise vs a real regression is that an isolated re-run
     # returns to the suite-global drift factor. Automate it — every
-    # query whose suite ratio exceeds 1.5x gets a fresh isolated
+    # query whose suite ratio exceeds 1.3x gets a fresh isolated
     # best-of-two (JVM drained first), so the judge can separate
     # suite-context/host noise from structural regressions without
-    # a manual session. Bounded to the 8 worst to keep bench wall
-    # predictable; runs AFTER the suite so it never perturbs the
-    # comparable per-query rows.
-    outliers = sorted(
+    # a manual session. Runs AFTER the suite so it never perturbs
+    # the comparable per-query rows. A wide cap (24 worst) bounds a
+    # pathological all-noise run; if it ever binds, the drop count
+    # is emitted (never a silent cap) — at the observed per-round
+    # outlier population (~9 rows, mostly sub-second) the cap is
+    # far from binding.
+    outliers_all = sorted(
         (
             (n, t / baselines[n])
             for n, t in timings.items()
-            if baselines.get(n) and t / baselines[n] > 1.5
+            if baselines.get(n) and t / baselines[n] > 1.3
         ),
         key=lambda kv: -kv[1],
-    )[:8]
+    )
+    outliers = outliers_all[:24]
+    outliers_dropped = len(outliers_all) - len(outliers)
     outliers_isolated: dict[str, dict[str, float]] = {}
     for name, suite_ratio in outliers:
         _drain_jvm()
@@ -273,9 +278,16 @@ def main() -> None:
         ),
         # Frozen round-7 148-query set: the registry grows every
         # round, so the full-suite wall conflates new queries with
-        # drift — this wall is comparable round-over-round.
-        "stable148_wall": round(
-            sum(t for n, t in timings.items() if n in stable_set), 3
+        # drift — this wall is comparable round-over-round. null =
+        # the frozen-set file was unreadable (warned on stderr),
+        # never a measured 0.0.
+        "stable148_wall": (
+            round(
+                sum(t for n, t in timings.items() if n in stable_set),
+                3,
+            )
+            if stable_set is not None
+            else None
         ),
         # alias kept under the name the round-9 verdict asked for:
         # the suite-global drift factor — per-query ratios are
@@ -289,6 +301,8 @@ def main() -> None:
     }
     if outliers_isolated:
         out["outliers_isolated"] = outliers_isolated
+    if outliers_dropped:
+        out["outliers_dropped"] = outliers_dropped
     if errors:
         # Inline errors are bounded: at most 3, each message cut to
         # 80 chars — a run with many long Spark stack-trace strings
@@ -318,10 +332,15 @@ def main() -> None:
     print(line)
 
 
-def _load_stable_set() -> frozenset[str]:
+def _load_stable_set() -> frozenset[str] | None:
     """The frozen round-7 re-base query set (148 names): the
     cross-round-comparable bench subset. Registry growth changes the
-    full-suite wall every round; this one is apples-to-apples."""
+    full-suite wall every round; this one is apples-to-apples.
+
+    Returns None (never an empty set) when the file is missing or
+    corrupt: a silent empty set would make stable148_wall report 0.0,
+    indistinguishable from a real measurement in the round-over-round
+    comparison the metric exists for."""
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "tools",
@@ -329,9 +348,22 @@ def _load_stable_set() -> frozenset[str]:
     )
     try:
         with open(path) as fh:
-            return frozenset(json.load(fh))
-    except (OSError, ValueError):
-        return frozenset()
+            names = frozenset(json.load(fh))
+    except (OSError, ValueError) as exc:
+        print(
+            f"WARN stable_set_r7.json unreadable ({exc}); "
+            "stable148_wall will be null",
+            file=sys.stderr,
+        )
+        return None
+    if not names:
+        print(
+            "WARN stable_set_r7.json is empty; stable148_wall will "
+            "be null",
+            file=sys.stderr,
+        )
+        return None
+    return names
 
 
 def _load_baselines() -> dict[str, float]:

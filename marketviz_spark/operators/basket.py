@@ -385,6 +385,13 @@ def basket_triples(lineitem: DataFrame) -> DataFrame:
     numerator exceeds int64 at real scale, so the product runs in
     DECIMAL(38,0) (HUGEINT on the oracle side) and only the final
     ppm value is cast back to BIGINT.
+
+    The denominators sup_a/sup_b/sup_c are counted over the SAME
+    capped population the triple supports come from (not the raw
+    item supports), so lift3 stays an internally consistent
+    statistic when the cap binds on skewed/fuzz shapes; on TPC-H
+    baskets (<= 7 items) capped == raw and the output is identical
+    (ADVICE r11).
     """
     baskets = (
         lineitem.select(
@@ -413,6 +420,11 @@ def basket_triples(lineitem: DataFrame) -> DataFrame:
         .filter(F.col("rn") <= TRIPLE_BASKET_CAP)
         .drop("rn")
     )
+    # lift denominators from the capped frame — same population as
+    # the triple supports (see docstring)
+    capped_sup = capped.groupBy("item").agg(
+        F.count("*").cast("long").alias("sup_i")
+    )
     a, b, c = capped.alias("a"), capped.alias("b"), capped.alias("c")
     triples = (
         a.join(
@@ -436,7 +448,7 @@ def basket_triples(lineitem: DataFrame) -> DataFrame:
 
     def sup(side: str) -> DataFrame:
         return F.broadcast(
-            item_sup.select(
+            capped_sup.select(
                 F.col("item").alias(f"item_{side}"),
                 F.col("sup_i").alias(f"sup_{side}"),
             )
@@ -489,6 +501,11 @@ WITH baskets AS MATERIALIZED (
             PARTITION BY basket ORDER BY item) AS rn
         FROM pruned
     ) WHERE rn <= {TRIPLE_BASKET_CAP}
+), capped_sup AS MATERIALIZED (
+    -- lift denominators over the SAME capped population as the
+    -- triple supports (internally consistent when the cap binds)
+    SELECT item, CAST(count(*) AS BIGINT) AS sup_i
+    FROM capped GROUP BY item
 ), triples AS (
     SELECT a.item AS item_a, b.item AS item_b, c.item AS item_c,
            CAST(count(*) AS BIGINT) AS support
@@ -505,7 +522,7 @@ SELECT item_a, item_b, item_c, support,
             // (CAST(sa.sup_i AS HUGEINT) * CAST(sb.sup_i AS HUGEINT)
                 * CAST(sc.sup_i AS HUGEINT)) AS BIGINT) AS lift3_ppm
 FROM triples
-JOIN item_sup sa ON sa.item = item_a
-JOIN item_sup sb ON sb.item = item_b
-JOIN item_sup sc ON sc.item = item_c
+JOIN capped_sup sa ON sa.item = item_a
+JOIN capped_sup sb ON sb.item = item_b
+JOIN capped_sup sc ON sc.item = item_c
 CROSS JOIN n1"""

@@ -9,6 +9,7 @@ tolerant for floats so we catch REAL divergences, not last-bit noise
 from __future__ import annotations
 
 import math
+import re
 
 import duckdb
 
@@ -60,15 +61,47 @@ def oracle_type_problems(
     """Standing lint for the r10 driver-fail class: any oracle result
     column typed HUGEINT/UHUGEINT fetches as float64, which the driver
     hashes differently from Spark's long. Binds (doesn't execute) the
-    query and inspects declared result types."""
+    query and inspects declared result types.
+
+    Also flags DECIMAL result types that are hazardous the same way
+    (declared-type coverage must not depend on null-free data — the
+    runtime float-vs-int check in compare() exempts NaN-carrying
+    columns, so a DECIMAL column that happens to hold a NULL at the
+    test scale factor would slip through both checks otherwise):
+    - scale == 0: integer-intent arithmetic that fetchdf() turns into
+      float64 ("107450.0") while Spark hashes a long ("107450");
+    - precision > 15: the float64 fetch is no longer value-exact, so
+      even a float-typed Spark twin can diverge in the last bits.
+    Small fractional decimals (e.g. the source table's DECIMAL(2,1)
+    split factors) convert exactly and match a Spark double — allowed.
+    """
     bad = []
     rel = con.sql(oracle)
     for col, typ in zip(rel.columns, rel.types):
-        if "HUGEINT" in str(typ).upper():
+        t = str(typ).upper()
+        if "HUGEINT" in t:
             bad.append(
                 f"{name}: oracle column {col} is {typ} — wrap the "
                 "expression in CAST(... AS BIGINT)"
             )
+            continue
+        m = re.match(r"DECIMAL\((\d+),(\d+)\)", t)
+        if m:
+            prec, scale = int(m.group(1)), int(m.group(2))
+            if scale == 0:
+                bad.append(
+                    f"{name}: oracle column {col} is {typ} (integer-"
+                    "intent) — fetchdf() materializes it as float64, "
+                    "which the driver hashes differently from Spark's "
+                    "long; wrap in CAST(... AS BIGINT)"
+                )
+            elif prec > 15:
+                bad.append(
+                    f"{name}: oracle column {col} is {typ} — beyond "
+                    "float64 exactness, the fetchdf() conversion can "
+                    "diverge from Spark in the last bits; CAST the "
+                    "edge to DOUBLE/BIGINT (quantize) explicitly"
+                )
     return bad
 
 

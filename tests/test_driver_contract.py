@@ -39,3 +39,26 @@ def test_every_query_has_matching_oracle_key():
     assert missing == set(), f"queries without an oracle: {missing}"
     # ordering helper returns every registry query exactly once
     assert sorted(qs) == sorted(set(qs))
+
+
+def test_stable_set_loader_fails_loudly(tmp_path, monkeypatch, capsys):
+    """ADVICE r11: a missing/corrupt tools/stable_set_r7.json must
+    yield None (stable148_wall -> null in the JSON line), never an
+    empty set that silently reports a 0.0 'measurement'."""
+    import bench
+
+    real = bench.os.path.join
+
+    def fake_join(*parts):
+        if parts and parts[-1] == "stable_set_r7.json":
+            return str(tmp_path / "stable_set_r7.json")
+        return real(*parts)
+
+    monkeypatch.setattr(bench.os.path, "join", fake_join)
+    assert bench._load_stable_set() is None  # missing file
+    (tmp_path / "stable_set_r7.json").write_text("not json {")
+    assert bench._load_stable_set() is None  # corrupt file
+    (tmp_path / "stable_set_r7.json").write_text("[]")
+    assert bench._load_stable_set() is None  # empty set
+    (tmp_path / "stable_set_r7.json").write_text('["index_daily"]')
+    assert bench._load_stable_set() == frozenset({"index_daily"})
