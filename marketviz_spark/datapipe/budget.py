@@ -17,12 +17,14 @@ Scale notes (100 TB):
   pre-truncates to the cap BEFORE the shuffle, so a billion-doc hot
   domain ships only `cap` rows per map task, not its whole history.
 - The token-budget prefix needs a running sum, which has no group-
-  limit rewrite; its shuffle carries every doc of the hot source. The
-  mitigation at extreme skew is the same two-phase trick as
-  `price_equidepth_hist`: pick an n_chars cutoff from a per-source
-  histogram first, then rank only the boundary bucket. That variant
-  is deliberately not the default — the plain cumsum is exact,
-  single-shuffle, and right up to low-billions of docs per source.
+  limit rewrite. Its cumsum runs the shared two-phase
+  range-partitioned path (operators/ranks.py grouped_prefix_sum):
+  range-split on the unique (source, n_chars desc, doc_id)
+  composite — a hot source larger than one partition spans several
+  contiguous partitions, each summed in parallel and stitched by a
+  broadcast per-(source, partition) offset table — so no source
+  ever funnels through a single task, and the result is
+  bit-identical to the per-source window sum it replaced.
 - All arithmetic is BIGINT (counts, sums, ppm shares) so the DuckDB
   oracle hashes bit-identically.
 """
@@ -32,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..operators.ranks import grouped_prefix_sum
 from .textstats import tokens
 
 # Keep at most this many documents per source (quality-ranked).
@@ -125,18 +128,15 @@ def token_budget_prefix(
     Report per source: docs/tokens selected, a doc_id checksum of
     the selected prefix, and the integer-ppm budget utilization.
     """
-    w = (
-        Window.partitionBy("source")
-        .orderBy(*_ORDER())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     toked = docs.select(
         "doc_id",
         "source",
         "n_chars",
         F.size(tokens()).cast("long").alias("n_tok"),
     )
-    cum = toked.withColumn("cum_tok", F.sum("n_tok").over(w))
+    cum = grouped_prefix_sum(
+        toked, ["source"], list(_ORDER()), "n_tok", "cum_tok"
+    )
     sel = F.col("cum_tok") <= budget
     return (
         cum.groupBy("source")

@@ -14,18 +14,21 @@ and engine-proof. Score direction follows convention: 5 is best
 (most recent / most frequent / highest spend).
 
 Scale shape: one custkey groupBy over orders (the only data-sized
-shuffle), then three rank windows over the CUSTOMER table — the
-same bounded key-table global sort as skew_report's Gini (at
-extreme customer counts, swap exact ranks for approx-quantile
-boundaries; schema unchanged). Customers with no orders are out of
-scope by definition (RFM scores purchasers).
+shuffle), then three exact ranks over the CUSTOMER table via the
+shared two-phase range-partitioned path (operators/ranks.py):
+range-split on the unique (metric, custkey) composite, rank within
+partitions, broadcast offsets — no single-partition window even at
+extreme customer counts, bit-identical to the single-sort ranks it
+replaced. Customers with no orders are out of scope by definition
+(RFM scores purchasers).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
+
+from .ranks import global_row_number
 
 RFM_BUCKETS = 5
 
@@ -71,17 +74,14 @@ def customer_rfm(orders: DataFrame) -> DataFrame:
     n1 = base.agg(F.count("*").cast("long").alias("n"))
 
     # total orders: metric direction chosen so rank n == score 5
-    w_r = Window.orderBy(F.desc("recency_days"), F.asc("custkey"))
-    w_f = Window.orderBy(F.asc("frequency"), F.asc("custkey"))
-    w_m = Window.orderBy(F.asc("monetary_cents"), F.asc("custkey"))
-    ranked = base.select(
-        "custkey",
-        "recency_days",
-        "frequency",
-        "monetary_cents",
-        F.row_number().over(w_r).cast("long").alias("rank_r"),
-        F.row_number().over(w_f).cast("long").alias("rank_f"),
-        F.row_number().over(w_m).cast("long").alias("rank_m"),
+    ranked = global_row_number(
+        base, [F.desc("recency_days"), F.asc("custkey")], "rank_r"
+    )
+    ranked = global_row_number(
+        ranked, [F.asc("frequency"), F.asc("custkey")], "rank_f"
+    )
+    ranked = global_row_number(
+        ranked, [F.asc("monetary_cents"), F.asc("custkey")], "rank_m"
     )
     scored = ranked.crossJoin(F.broadcast(n1)).select(
         "custkey",

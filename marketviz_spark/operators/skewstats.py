@@ -16,18 +16,20 @@ everything. A pipeline reads this BEFORE choosing a join strategy:
 gini near 0 and top-1 share under a few percent → plain hash join;
 high gini or a fat top key → salt it or broadcast the other side.
 
-Scale: the per-key count table is the groupBy output (≪ data);
-ranking it is one global sort of n_keys rows — the honest cost of
-an exact Gini, same league as the equi-depth histogram. At extreme
-key cardinality swap the exact rank for an approx-quantile Lorenz
-curve; the report schema is unchanged.
+Scale: the per-key count table is the groupBy output (≪ data), and
+the exact rank over it runs the shared two-phase range-partitioned
+path (operators/ranks.py): range-split on the unique (cnt, key)
+composite, rank within partitions, broadcast offsets — no
+single-partition window even at extreme key cardinality, and the
+result is bit-identical to the single-sort rank it replaced.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
+
+from .ranks import global_row_number
 
 # (output label, table, key column)
 SKEW_COLUMNS: list[tuple[str, str, str]] = [
@@ -41,18 +43,10 @@ def _report_one(df: DataFrame, label: str, key: str) -> DataFrame:
     counts = df.groupBy(F.col(key).alias("k")).agg(
         F.count("*").cast("long").alias("cnt")
     )
-    ranked = counts.select(
-        "k",
-        "cnt",
-        F.row_number()
-        .over(Window.orderBy(F.asc("cnt"), F.asc("k")))
-        .cast("long")
-        .alias("i"),
-        F.count("*")
-        .over(Window.partitionBy(F.lit(1)))
-        .cast("long")
-        .alias("n_all"),
-    )
+    n1 = counts.agg(F.count("*").cast("long").alias("n_all"))
+    ranked = global_row_number(
+        counts, [F.asc("cnt"), F.asc("k")], "i"
+    ).crossJoin(F.broadcast(n1))
     return ranked.agg(
         F.lit(label).alias("source_col"),
         F.sum("cnt").cast("long").alias("s"),

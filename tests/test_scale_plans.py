@@ -679,3 +679,34 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_exact_rank_paths_no_single_partition_window(spark):
+    """r11 verdict item 4: skew_report's Gini rank, customer_rfm's
+    quintile ranks, and token_budget_prefix's hot-source cumsum all
+    run the shared two-phase range-partitioned rank
+    (operators/ranks.py). Every window in their plans must be
+    partitioned (by the range partition id, plus the group key for
+    the budget cumsum) — an unpartitioned windowspec starts straight
+    at the order spec (`col ASC/DESC ...`), which is the single-task
+    funnel this path exists to remove. Phase 1's range exchange is
+    pinned inside a lazy localCheckpoint (load-bearing — see
+    ranks.py docstring), so downstream it shows as an ExistingRDD
+    scan, which is asserted instead."""
+    import re as _re
+
+    for name in (
+        "skew_report",
+        "customer_rfm",
+        "token_budget_prefix",
+    ):
+        plan = _plan(QUERIES[name].fn(spark, SF_SMALL))
+        specs = _re.findall(r"windowspecdefinition\(([^)]*)", plan)
+        assert specs, f"{name}: expected rank windows in plan"
+        unpart = [
+            s for s in specs if _re.match(r"\S+ (ASC|DESC)", s)
+        ]
+        assert not unpart, f"{name}: unpartitioned windows: {unpart}"
+        assert "ExistingRDD" in plan, (
+            f"{name}: missing the pinned phase-1 range materialization"
+        )
