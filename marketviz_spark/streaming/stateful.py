@@ -17,11 +17,18 @@ all-NULL-user sum. applyInPandasWithState state schemas are NOT
 evolvable — a streaming checkpoint written with the 3-field schema
 will fail (or misread state) under this code. Upgrading an
 externally persisted query requires a FRESH checkpoint location;
-there is no in-place migration.
+there is no in-place migration. ``pin_state_schema`` enforces this
+at startup: call it with the checkpoint location before
+``writeStream.start()`` and a schema mismatch against what that
+checkpoint was created with raises immediately with the remediation,
+instead of surfacing as a mid-batch state deserialization failure
+(or, worse, positionally-misread state).
 """
 
 from __future__ import annotations
 
+import json
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -82,6 +89,53 @@ def _update(
             "batches": [b],
         }
     )
+
+
+_SCHEMA_SIDECAR = "marketviz_state_schema.json"
+
+
+def pin_state_schema(
+    checkpoint_dir: str, state_schema: str, operator: str
+) -> None:
+    """Startup guard for the NON-EVOLVABLE applyInPandasWithState
+    state schema (module docstring): records `state_schema` in a
+    sidecar file inside the checkpoint location on first start, and
+    on every restart refuses a code-side schema that differs from
+    what the checkpoint's state rows were written with — loudly and
+    before any micro-batch runs.
+
+    Call it right before ``writeStream.start()`` with the same
+    ``checkpointLocation``. The sidecar is keyed by operator name so
+    one checkpoint tree can host several stateful operators. Written
+    via driver-local file I/O — for object-store checkpoint URIs,
+    mirror the same path through your store's client (the guard is
+    deliberately storage-agnostic: one small JSON file next to the
+    checkpoint's own metadata).
+    """
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    path = os.path.join(checkpoint_dir, _SCHEMA_SIDECAR)
+    pinned: dict[str, str] = {}
+    if os.path.exists(path):
+        with open(path) as fh:
+            pinned = json.load(fh)
+    prev = pinned.get(operator)
+    if prev is not None and prev != state_schema:
+        raise RuntimeError(
+            f"state-schema mismatch for operator {operator!r}: "
+            f"checkpoint {checkpoint_dir!r} was written with state "
+            f"schema {prev!r} but the code now uses "
+            f"{state_schema!r}. applyInPandasWithState state is not "
+            "evolvable — restarting would fail mid-batch or misread "
+            "state positionally. Remediation: start the upgraded "
+            "query against a FRESH checkpoint location (replaying "
+            "the source); there is no in-place migration."
+        )
+    if prev is None:
+        pinned[operator] = state_schema
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(pinned, fh, indent=1, sort_keys=True)
+        os.replace(tmp, path)
 
 
 def running_user_totals(events: DataFrame) -> DataFrame:

@@ -99,3 +99,48 @@ def test_bad_params_and_unknown_path(server):
     # k is clamped, not an error (the reference widget enforces >=1)
     status, _, _ = _get(f"{server}/?k=-5")
     assert status == 200
+
+
+def test_walkback_golden_vs_j3_asof(server, spark):
+    """r11 verdict item 7: GET /?date=<holiday> end-to-end must show
+    the reference's warning AND a walked-back composition identical
+    to the j3 as-of operator's answer for the same spine date (the
+    two implement the same dashboard.py:317-349 semantics through
+    different plans — HTTP point-lookup vs union+window as-of)."""
+    import re
+
+    from marketviz_spark.operators.joins import asof_walkback
+
+    dates = _dates(spark)
+    have = set(dates)
+    # first calendar gap: 1 day back, inside both operators' windows
+    gap = next(
+        (dt.date.fromisoformat(d) + dt.timedelta(days=1)).isoformat()
+        for d in dates[:-1]
+        if (dt.date.fromisoformat(d) + dt.timedelta(days=1)).isoformat()
+        not in have
+    )
+
+    spine = spark.createDataFrame([(gap,)], "date: string")
+    [j3] = asof_walkback(
+        spine, tables.index_data(spark, SF_SMALL)
+    ).collect()
+    assert j3["matched_date"] is not None  # golden date is in-window
+    j3_tickers = [t for t in j3["composition"].split(",") if t]
+
+    _, _, body = _get(f"{server}/?date={gap}")
+    doc = body.decode()
+    assert "Possible Holiday" in doc
+    assert f"Showing data for {j3['matched_date']}" in doc
+    m = re.search(
+        r"<table><tr><th>Stock \(([0-9-]+), (\d+) constituents\)"
+        r"</th></tr>(.*?)</table>",
+        doc,
+        re.S,
+    )
+    assert m, doc[:500]
+    page_date, page_n, rows_html = m.groups()
+    page_tickers = re.findall(r"<tr><td>([^<]+)</td></tr>", rows_html)
+    assert page_date == j3["matched_date"]
+    assert int(page_n) == len(j3_tickers)
+    assert page_tickers == j3_tickers  # same order, same set

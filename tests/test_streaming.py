@@ -1095,6 +1095,14 @@ def test_stateful_resume_from_checkpoint_exactly_once(spark):
                 "append"
             ).parquet(out)
 
+        # production startup order: pin the state schema against the
+        # checkpoint before start() (both first start and restart)
+        from marketviz_spark.streaming.stateful import (
+            STATE_SCHEMA,
+            pin_state_schema,
+        )
+
+        pin_state_schema(ck, STATE_SCHEMA, "running_user_totals")
         q = (
             running_user_totals(read_events_stream(spark, src))
             .writeStream.outputMode("update")
@@ -1230,3 +1238,33 @@ def test_cms_cells_stream_equals_batch(spark, events_dir):
     got = _rows(spark.sql("SELECT * FROM t_cms_cells"))
     want = _rows(QUERIES["events_cms_cells"].fn(spark, SF_SMALL))
     assert got == want
+
+
+def test_state_schema_guard_fails_loudly_on_old_checkpoint(tmp_path):
+    """r11 verdict item 6: stateful.py documents that the 4-field
+    STATE_SCHEMA is checkpoint-incompatible with the round-6 3-field
+    one — pin_state_schema must turn that restart into an immediate,
+    actionable error (fresh checkpoint location), never a mid-batch
+    state deserialization failure."""
+    from marketviz_spark.streaming.stateful import (
+        STATE_SCHEMA,
+        pin_state_schema,
+    )
+
+    ck = str(tmp_path / "ck")
+    legacy = "n long, s double, b int"  # the r6 schema
+    pin_state_schema(ck, legacy, "running_user_totals")
+    # same-schema restart is clean
+    pin_state_schema(ck, legacy, "running_user_totals")
+    # a second operator under the same checkpoint tree pins
+    # independently
+    pin_state_schema(ck, "n long, s long, q long", "running_type_anomaly")
+    # upgraded code against the legacy checkpoint: loud + remediation
+    with pytest.raises(RuntimeError, match="FRESH checkpoint"):
+        pin_state_schema(ck, STATE_SCHEMA, "running_user_totals")
+    # the unrelated operator is still unaffected
+    pin_state_schema(ck, "n long, s long, q long", "running_type_anomaly")
+    # fresh location: pins the new schema and restarts cleanly
+    ck2 = str(tmp_path / "ck2")
+    pin_state_schema(ck2, STATE_SCHEMA, "running_user_totals")
+    pin_state_schema(ck2, STATE_SCHEMA, "running_user_totals")
