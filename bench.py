@@ -243,7 +243,10 @@ def main() -> None:
                 "iso_x": round(iso / baselines[name], 2),
             }
 
-    _write_detail(timings, errors, baselines, sf, outliers_isolated)
+    _write_detail(
+        timings, errors, baselines, sf, outliers_isolated,
+        outliers_dropped,
+    )
     # The driver records only a ~2000-char tail of stdout, so the
     # final line must stay compact AND parseable: suite total, the
     # worst queries (by wall and by baseline ratio), and a pointer
@@ -391,6 +394,7 @@ def _write_detail(
     baselines: dict[str, float],
     sf: str,
     outliers_isolated: dict[str, dict[str, float]] | None = None,
+    outliers_dropped: int = 0,
 ) -> None:
     """Full per-query map -> BENCH_DETAIL.md (wall desc, with
     baseline ratios where BASELINE.md has a row)."""
@@ -417,7 +421,7 @@ def _write_detail(
     if outliers_isolated:
         lines += [
             "",
-            "Isolated re-measures of >1.5x rows (host-noise vs",
+            "Isolated re-measures of >1.3x rows (host-noise vs",
             "structural-regression separation; see BASELINE.md):",
             "",
             "| query | suite ratio | isolated (s) | isolated ratio |",
@@ -425,6 +429,14 @@ def _write_detail(
         ] + [
             f"| {n} | {d['suite_x']} | {d['iso_sec']} | {d['iso_x']} |"
             for n, d in outliers_isolated.items()
+        ]
+    if outliers_dropped:
+        lines += [
+            "",
+            f"NOTE: {outliers_dropped} further >1.3x rows exceeded "
+            "the 24-row isolation cap and were NOT re-measured (a "
+            "whole-suite-drift run; read ratios against "
+            "drift_factor).",
         ]
     for n, e in sorted(errors.items()):
         # one clean cell: raw Spark errors carry newlines and pipes
