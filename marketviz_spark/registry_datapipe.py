@@ -9,6 +9,8 @@ stay in lockstep by construction.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -45,6 +47,22 @@ from .datapipe.textstats import (
 from .registry import register
 
 # Shared SQL fragments -------------------------------------------------
+
+
+def _materialize(sql: str, names: tuple[str, ...]) -> str:
+    """Mark the named CTEs ``AS MATERIALIZED`` in a composed oracle.
+
+    DuckDB's CTE inlining re-evaluates a CTE once PER REFERENCE, so a
+    multiply-referenced chain (e.g. the minhash-estimate oracle's
+    pairs -> stacked -> sigs, where _BAND_STACK alone references sigs
+    once per band) compounds multiplicatively — at sf1 the unmarked
+    version spilled past the disk. Applied per-query so the shared
+    CTE constants stay engine-neutral text."""
+    for n in names:
+        pat = rf"\b{n} AS \("
+        assert len(re.findall(pat, sql)) == 1, (n, sql[:80])
+        sql = re.sub(pat, f"{n} AS MATERIALIZED (", sql)
+    return sql
 
 TOKS_CTE = """
 toks AS (
@@ -2453,8 +2471,9 @@ _JAC_SQL = rnd_sql("n_common / (za.n_sh + zb.n_sh - n_common)", 6)
 
 @register(
     "dedup_minhash_estimate",
-    _MINHASH_CTES
-    + f""", stacked AS ({_BAND_STACK}),{_CAPPED_PAIRS},
+    _materialize(
+        _MINHASH_CTES
+        + f""", stacked AS ({_BAND_STACK}),{_CAPPED_PAIRS},
     splits AS (
         SELECT doc_id, string_split(sig, '|') AS mins FROM sigs
     ),
@@ -2493,6 +2512,11 @@ _JAC_SQL = rnd_sql("n_common / (za.n_sh + zb.n_sh - n_common)", 6)
     LEFT JOIN sizes za ON za.doc_id = p.doc_a
     LEFT JOIN sizes zb ON zb.doc_id = p.doc_b
     """,
+        # every multiply-referenced step (pairs x3, shr x3, stacked
+        # x3, splits/sizes/shc/sh x2, sigs x n_bands via _BAND_STACK)
+        ("sh", "sigs", "stacked", "pairs", "splits", "shc", "shr",
+         "sizes"),
+    ),
     survey="MinHash estimate vs exact Jaccard, candidate-bounded (sketch-accuracy audit, datapipe)",
 )
 def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
