@@ -82,6 +82,41 @@ def _offsets(
     )
 
 
+def grouped_row_number(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    out: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """`df` plus a BIGINT column `out` = the row_number within each
+    `group_cols` group over `order_cols` (which must total-order the
+    group), computed without funnelling any group through one task.
+    One ranged pass ranks EVERY group — callers with several
+    independent rank problems should melt them into one frame with a
+    group column rather than invoke this per problem (one shuffle +
+    one checkpoint instead of N; see skew_report / customer_rfm)."""
+    p = num_partitions or _num_partitions(df)
+    ranged = (
+        df.repartitionByRange(
+            p, *[F.col(g) for g in group_cols], *order_cols
+        )
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)  # see module docstring
+    )
+    w = Window.partitionBy(*group_cols, "_pid").orderBy(*order_cols)
+    within = ranged.withColumn("_r", F.row_number().over(w))
+    counts = ranged.groupBy(*group_cols, "_pid").agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    offs = _offsets(counts, group_cols, "_c")
+    return (
+        within.join(F.broadcast(offs), [*group_cols, "_pid"])
+        .withColumn(out, (F.col("_off") + F.col("_r")).cast("long"))
+        .drop("_pid", "_r", "_off")
+    )
+
+
 def global_row_number(
     df: DataFrame,
     order_cols: list[Column],
@@ -91,23 +126,7 @@ def global_row_number(
     """`df` plus a BIGINT column `out` = the global row_number over
     `order_cols` (which must form a total order), computed without a
     single-partition window."""
-    p = num_partitions or _num_partitions(df)
-    ranged = (
-        df.repartitionByRange(p, *order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)  # see module docstring
-    )
-    w = Window.partitionBy("_pid").orderBy(*order_cols)
-    within = ranged.withColumn("_r", F.row_number().over(w))
-    counts = ranged.groupBy("_pid").agg(
-        F.count("*").cast("long").alias("_c")
-    )
-    offs = _offsets(counts, [], "_c")
-    return (
-        within.join(F.broadcast(offs), "_pid")
-        .withColumn(out, (F.col("_off") + F.col("_r")).cast("long"))
-        .drop("_pid", "_r", "_off")
-    )
+    return grouped_row_number(df, [], order_cols, out, num_partitions)
 
 
 def grouped_prefix_sum(

@@ -14,11 +14,12 @@ and engine-proof. Score direction follows convention: 5 is best
 (most recent / most frequent / highest spend).
 
 Scale shape: one custkey groupBy over orders (the only data-sized
-shuffle), then three exact ranks over the CUSTOMER table via the
-shared two-phase range-partitioned path (operators/ranks.py):
-range-split on the unique (metric, custkey) composite, rank within
-partitions, broadcast offsets — no single-partition window even at
-extreme customer counts, bit-identical to the single-sort ranks it
+shuffle), then the three metric ranks as ONE grouped exact rank
+over the melted (metric, value, custkey) customer table via the
+shared two-phase range-partitioned path (operators/ranks.py) — a
+single ranged shuffle and lineage pin ranks all three metrics, no
+single-partition window even at extreme customer counts, and the
+ranks are bit-identical to the single-sort row_numbers they
 replaced. Customers with no orders are out of scope by definition
 (RFM scores purchasers).
 """
@@ -28,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .ranks import global_row_number
+from .ranks import grouped_row_number
 
 RFM_BUCKETS = 5
 
@@ -73,15 +74,40 @@ def customer_rfm(orders: DataFrame) -> DataFrame:
     )
     n1 = base.agg(F.count("*").cast("long").alias("n"))
 
-    # total orders: metric direction chosen so rank n == score 5
-    ranked = global_row_number(
-        base, [F.desc("recency_days"), F.asc("custkey")], "rank_r"
+    # The three metric ranks are ONE grouped rank over the melted
+    # (metric, value) table — one ranged shuffle + one lineage pin
+    # instead of three rank jobs. Sort values are encoded so every
+    # metric ranks ascending (recency negated: most-recent = rank n
+    # = score 5); ranks then pivot back via conditional aggregation,
+    # the metric columns riding along to avoid a join-back.
+    melted = base.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.expr(
+            "stack(3, 'r', -recency_days, 'f', frequency,"
+            " 'm', monetary_cents) AS (metric, v)"
+        ),
     )
-    ranked = global_row_number(
-        ranked, [F.asc("frequency"), F.asc("custkey")], "rank_f"
+    rk = grouped_row_number(
+        melted, ["metric"], [F.asc("v"), F.asc("custkey")], "rk"
     )
-    ranked = global_row_number(
-        ranked, [F.asc("monetary_cents"), F.asc("custkey")], "rank_m"
+
+    def _rank(m: str) -> F.Column:
+        return (
+            F.max(F.when(F.col("metric") == m, F.col("rk")))
+            .cast("long")
+            .alias(f"rank_{m}")
+        )
+
+    ranked = rk.groupBy("custkey").agg(
+        F.max("recency_days").alias("recency_days"),
+        F.max("frequency").alias("frequency"),
+        F.max("monetary_cents").alias("monetary_cents"),
+        _rank("r"),
+        _rank("f"),
+        _rank("m"),
     )
     scored = ranked.crossJoin(F.broadcast(n1)).select(
         "custkey",

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .ranks import global_row_number
+from .ranks import grouped_row_number
 
 # (output label, table, key column)
 SKEW_COLUMNS: list[tuple[str, str, str]] = [
@@ -39,16 +39,32 @@ SKEW_COLUMNS: list[tuple[str, str, str]] = [
 ]
 
 
-def _report_one(df: DataFrame, label: str, key: str) -> DataFrame:
-    counts = df.groupBy(F.col(key).alias("k")).agg(
+def _counts_one(df: DataFrame, label: str, key: str) -> DataFrame:
+    # k cast to long up front: the union across audited columns needs
+    # one key type (injective for integer keys, so counts/order keep)
+    return df.groupBy(F.col(key).cast("long").alias("k")).agg(
         F.count("*").cast("long").alias("cnt")
+    ).select(F.lit(label).alias("source_col"), "k", "cnt")
+
+
+def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import tables
+
+    # ONE ranked pass over the union of the per-key count tables —
+    # the audited columns are groups of a single grouped rank, not
+    # three separate rank jobs (one ranged shuffle + one lineage
+    # pin instead of three).
+    counts = None
+    for label, table, key in SKEW_COLUMNS:
+        one = _counts_one(tables.load(spark, sf_dir, table), label, key)
+        counts = one if counts is None else counts.unionByName(one)
+    n1 = counts.groupBy("source_col").agg(
+        F.count("*").cast("long").alias("n_all")
     )
-    n1 = counts.agg(F.count("*").cast("long").alias("n_all"))
-    ranked = global_row_number(
-        counts, [F.asc("cnt"), F.asc("k")], "i"
-    ).crossJoin(F.broadcast(n1))
-    return ranked.agg(
-        F.lit(label).alias("source_col"),
+    ranked = grouped_row_number(
+        counts, ["source_col"], [F.asc("cnt"), F.asc("k")], "i"
+    ).join(F.broadcast(n1), "source_col")
+    return ranked.groupBy("source_col").agg(
         F.sum("cnt").cast("long").alias("s"),
         F.count("*").cast("long").alias("n"),
         F.max("cnt").cast("long").alias("max_cnt"),
@@ -73,19 +89,6 @@ def _report_one(df: DataFrame, label: str, key: str) -> DataFrame:
             "((2 * ic - (n + 1) * s) * 1000000) div (n * s)"
         ).alias("gini_ppm"),
     )
-
-
-def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .. import tables
-
-    outs = [
-        _report_one(tables.load(spark, sf_dir, table), label, key)
-        for label, table, key in SKEW_COLUMNS
-    ]
-    res = outs[0]
-    for o in outs[1:]:
-        res = res.unionByName(o)
-    return res
 
 
 def skew_report_oracle_sql() -> str:
