@@ -93,3 +93,27 @@ def test_grouped_prefix_sum_empty(spark):
         ).count()
         == 0
     )
+
+
+def test_grouped_row_number_matches_window(spark):
+    from marketviz_spark.operators.ranks import grouped_row_number
+
+    df = _skewed_df(spark)
+    got = {
+        r["id"]: r["rk"]
+        for r in grouped_row_number(
+            df,
+            ["g"],
+            [F.desc("v"), F.asc("id")],
+            "rk",
+            num_partitions=7,
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy(F.desc("v"), F.asc("id"))
+    want = {
+        r["id"]: r["rk"]
+        for r in df.select(
+            "id", F.row_number().over(w).cast("long").alias("rk")
+        ).collect()
+    }
+    assert got == want
