@@ -58,18 +58,39 @@ def _num_partitions(df: DataFrame) -> int:
     return df.sparkSession.sparkContext.defaultParallelism
 
 
+# Offset frames up to this many rows are force-broadcast; beyond it
+# (extreme group cardinality x parallelism) the joins fall back to
+# Catalyst's own strategy choice, trading a shuffle for driver
+# safety. 4M rows of (group, _pid, long) is tens of MB — well inside
+# a normal driver but a deliberate ceiling.
+_BROADCAST_OFFSET_ROWS = 4_000_000
+
+
+def _small(n_groups_hint: int | None, p: int) -> bool:
+    return (
+        n_groups_hint is None
+        or n_groups_hint * p <= _BROADCAST_OFFSET_ROWS
+    )
+
+
 def _offsets(
-    counts: DataFrame, group_cols: list[str], val: str
+    counts: DataFrame,
+    group_cols: list[str],
+    val: str,
+    broadcast_ok: bool = True,
 ) -> DataFrame:
     """Exclusive prefix sum of `val` over `_pid` order (per group):
-    a triangle self-join over the tiny per-partition frame — at most
-    parallelism^2 pair rows, broadcast both ways, no window."""
+    a triangle self-join over the per-(group x partition) count
+    frame — ``counts`` is one row per (group x partition), so the
+    join is at most groups x partitions^2 pair rows (partitions^2
+    when ungrouped). Broadcast both ways while the group cardinality
+    bound holds (see _BROADCAST_OFFSET_ROWS), no window either way."""
     a, b = counts.alias("a"), counts.alias("b")
     cond = F.col("b._pid") < F.col("a._pid")
     for g in group_cols:
         cond = cond & (F.col(f"b.{g}") == F.col(f"a.{g}"))
     return (
-        a.join(F.broadcast(b), cond, "left")
+        a.join(F.broadcast(b) if broadcast_ok else b, cond, "left")
         .groupBy(
             *[F.col(f"a.{g}").alias(g) for g in group_cols],
             F.col("a._pid").alias("_pid"),
@@ -88,6 +109,7 @@ def grouped_row_number(
     order_cols: list[Column],
     out: str,
     num_partitions: int | None = None,
+    n_groups_hint: int | None = None,
 ) -> DataFrame:
     """`df` plus a BIGINT column `out` = the row_number within each
     `group_cols` group over `order_cols` (which must total-order the
@@ -95,8 +117,15 @@ def grouped_row_number(
     One ranged pass ranks EVERY group — callers with several
     independent rank problems should melt them into one frame with a
     group column rather than invoke this per problem (one shuffle +
-    one checkpoint instead of N; see skew_report / customer_rfm)."""
+    one checkpoint instead of N; see skew_report / customer_rfm).
+
+    The offset table is (groups x partitions) rows; it is broadcast
+    only while that stays under _BROADCAST_OFFSET_ROWS. Pass
+    `n_groups_hint` (an upper bound on group cardinality) when the
+    group column can be huge so the plan degrades to a shuffle join
+    instead of pressuring the driver."""
     p = num_partitions or _num_partitions(df)
+    bcast = _small(n_groups_hint, p)
     ranged = (
         df.repartitionByRange(
             p, *[F.col(g) for g in group_cols], *order_cols
@@ -109,9 +138,10 @@ def grouped_row_number(
     counts = ranged.groupBy(*group_cols, "_pid").agg(
         F.count("*").cast("long").alias("_c")
     )
-    offs = _offsets(counts, group_cols, "_c")
+    offs = _offsets(counts, group_cols, "_c", broadcast_ok=bcast)
     return (
-        within.join(F.broadcast(offs), [*group_cols, "_pid"])
+        within.join(F.broadcast(offs) if bcast else offs,
+                    [*group_cols, "_pid"])
         .withColumn(out, (F.col("_off") + F.col("_r")).cast("long"))
         .drop("_pid", "_r", "_off")
     )
@@ -136,6 +166,7 @@ def grouped_prefix_sum(
     value_col: str,
     out: str,
     num_partitions: int | None = None,
+    n_groups_hint: int | None = None,
 ) -> DataFrame:
     """`df` plus a BIGINT column `out` = the running sum of
     `value_col` within each `group_cols` group in `order_cols` order
@@ -143,8 +174,12 @@ def grouped_prefix_sum(
     hot group through one task: the range key is (group, order...),
     so a group larger than one partition spans several contiguous
     partitions, each summed in parallel, stitched by the per
-    (group, partition) offset table."""
+    (group, partition) offset table — broadcast only under the
+    _BROADCAST_OFFSET_ROWS bound (see grouped_row_number on
+    `n_groups_hint`; the per-source cumsum in token_budget_prefix is
+    exactly the high-cardinality-group caller this protects)."""
     p = num_partitions or _num_partitions(df)
+    bcast = _small(n_groups_hint, p)
     ranged = (
         df.repartitionByRange(
             p, *[F.col(g) for g in group_cols], *order_cols
@@ -163,9 +198,10 @@ def grouped_prefix_sum(
     counts = ranged.groupBy(*group_cols, "_pid").agg(
         F.sum(value_col).cast("long").alias("_c")
     )
-    offs = _offsets(counts, group_cols, "_c")
+    offs = _offsets(counts, group_cols, "_c", broadcast_ok=bcast)
     return (
-        within.join(F.broadcast(offs), [*group_cols, "_pid"])
+        within.join(F.broadcast(offs) if bcast else offs,
+                    [*group_cols, "_pid"])
         .withColumn(out, (F.col("_off") + F.col("_r")).cast("long"))
         .drop("_pid", "_r", "_off")
     )

@@ -41,7 +41,15 @@ SKEW_COLUMNS: list[tuple[str, str, str]] = [
 
 def _counts_one(df: DataFrame, label: str, key: str) -> DataFrame:
     # k cast to long up front: the union across audited columns needs
-    # one key type (injective for integer keys, so counts/order keep)
+    # one key type (injective for integer keys, so counts/order keep).
+    # Guard the injectivity assumption: a non-integer audit column
+    # would cast to NULL and silently collapse every key into one
+    # group — fail loudly instead.
+    dtype = dict(df.dtypes)[key]
+    if dtype not in ("tinyint", "smallint", "int", "bigint", "long"):
+        raise ValueError(
+            f"skew_report audits integer keys only; {key} is {dtype}"
+        )
     return df.groupBy(F.col(key).cast("long").alias("k")).agg(
         F.count("*").cast("long").alias("cnt")
     ).select(F.lit(label).alias("source_col"), "k", "cnt")
@@ -64,7 +72,7 @@ def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = grouped_row_number(
         counts, ["source_col"], [F.asc("cnt"), F.asc("k")], "i"
     ).join(F.broadcast(n1), "source_col")
-    return ranked.groupBy("source_col").agg(
+    grouped = ranked.groupBy("source_col").agg(
         F.sum("cnt").cast("long").alias("s"),
         F.count("*").cast("long").alias("n"),
         F.max("cnt").cast("long").alias("max_cnt"),
@@ -77,10 +85,22 @@ def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("top10"),
-    ).select(
+    )
+    # A grouped aggregate emits no groups on empty input, but the
+    # oracle is one scalar aggregate per audited column (UNION ALL
+    # sides) and so emits one row per label even over empty facts:
+    # NULL stats, except count(*) = 0. Left-join the grouped result
+    # onto the static label frame to pin that shape (labels are
+    # literals; the frame is 3 rows, broadcast both sides — trivial).
+    labels = spark.createDataFrame(
+        [(label,) for label, _, _ in SKEW_COLUMNS],
+        "source_col string",
+    )
+    return labels.join(F.broadcast(grouped), "source_col", "left").select(
         "source_col",
         F.col("s").alias("n_rows"),
-        F.col("n").alias("n_keys"),
+        # The oracle's scalar count(*) is 0 (not NULL) on empty input.
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_keys"),
         "max_cnt",
         "top_key",
         F.expr("(max_cnt * 1000000) div s").alias("top1_share_ppm"),

@@ -60,7 +60,16 @@ def _materialize(sql: str, names: tuple[str, ...]) -> str:
     CTE constants stay engine-neutral text."""
     for n in names:
         pat = rf"\b{n} AS \("
-        assert len(re.findall(pat, sql)) == 1, (n, sql[:80])
+        hits = len(re.findall(pat, sql))
+        if hits != 1:
+            # ValueError (not assert): under `python -O` an assert
+            # vanishes and a renamed/duplicated CTE would silently
+            # skip the mark, regressing the oracle to the documented
+            # sf1 multiplicative-inlining spill with no error.
+            raise ValueError(
+                f"_materialize: CTE {n!r} matched {hits} times "
+                f"(want exactly 1) in oracle starting {sql[:80]!r}"
+            )
         sql = re.sub(pat, f"{n} AS MATERIALIZED (", sql)
     return sql
 

@@ -105,20 +105,35 @@ def pin_state_schema(
     before any micro-batch runs.
 
     Call it right before ``writeStream.start()`` with the same
-    ``checkpointLocation``. The sidecar is keyed by operator name so
-    one checkpoint tree can host several stateful operators. Written
-    via driver-local file I/O — for object-store checkpoint URIs,
-    mirror the same path through your store's client (the guard is
+    ``checkpointLocation``. One sidecar file PER OPERATOR
+    (``marketviz_state_schema.<operator>.json``) so one checkpoint
+    tree can host several stateful operators pinning concurrently —
+    a shared dict would be a non-locked read-modify-write where the
+    last writer silently drops the other's pin. Written via
+    driver-local file I/O — for object-store checkpoint URIs, mirror
+    the same path through your store's client (the guard is
     deliberately storage-agnostic: one small JSON file next to the
     checkpoint's own metadata).
     """
     os.makedirs(checkpoint_dir, exist_ok=True)
-    path = os.path.join(checkpoint_dir, _SCHEMA_SIDECAR)
-    pinned: dict[str, str] = {}
+    safe_op = "".join(
+        c if c.isalnum() or c in "-_" else "_" for c in operator
+    )
+    path = os.path.join(
+        checkpoint_dir, f"marketviz_state_schema.{safe_op}.json"
+    )
+    prev: str | None = None
     if os.path.exists(path):
         with open(path) as fh:
-            pinned = json.load(fh)
-    prev = pinned.get(operator)
+            prev = json.load(fh).get(operator)
+    else:
+        # Legacy shared sidecar (pre-round-13): honor an existing
+        # pin so old checkpoints stay guarded, then migrate it to
+        # the per-operator file below.
+        legacy = os.path.join(checkpoint_dir, _SCHEMA_SIDECAR)
+        if os.path.exists(legacy):
+            with open(legacy) as fh:
+                prev = json.load(fh).get(operator)
     if prev is not None and prev != state_schema:
         raise RuntimeError(
             f"state-schema mismatch for operator {operator!r}: "
@@ -130,11 +145,15 @@ def pin_state_schema(
             "query against a FRESH checkpoint location (replaying "
             "the source); there is no in-place migration."
         )
-    if prev is None:
-        pinned[operator] = state_schema
+    if prev is None or not os.path.exists(path):
         tmp = path + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump(pinned, fh, indent=1, sort_keys=True)
+            json.dump(
+                {operator: state_schema if prev is None else prev},
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
         os.replace(tmp, path)
 
 

@@ -1268,3 +1268,19 @@ def test_state_schema_guard_fails_loudly_on_old_checkpoint(tmp_path):
     ck2 = str(tmp_path / "ck2")
     pin_state_schema(ck2, STATE_SCHEMA, "running_user_totals")
     pin_state_schema(ck2, STATE_SCHEMA, "running_user_totals")
+    # concurrent pins live in per-operator sidecars (ADVICE r12): a
+    # shared dict was a non-locked read-modify-write where the last
+    # writer dropped the other's pin
+    import os
+
+    files = [f for f in os.listdir(ck) if f.startswith("marketviz_")]
+    assert len(files) == 2, files
+    # legacy shared sidecar (pre-r13 layout) still guards restarts
+    import json
+
+    ck3 = str(tmp_path / "ck3")
+    os.makedirs(ck3)
+    with open(os.path.join(ck3, "marketviz_state_schema.json"), "w") as fh:
+        json.dump({"running_user_totals": legacy}, fh)
+    with pytest.raises(RuntimeError, match="FRESH checkpoint"):
+        pin_state_schema(ck3, STATE_SCHEMA, "running_user_totals")
