@@ -11,7 +11,16 @@
 PY ?= python
 SF_PARITY ?= /root/testdata/sf0.01
 
-.PHONY: verify quick test parity scale bench
+#   make ladder Q=name1,name2
+#                 — the per-change adversarial ladder for a query
+#                   list: sf0.01 oracle parity, then fuzz-shape
+#                   parity on ALL THREE degenerate shapes
+#                   (empty/one/skew — empty is mandatory: the r12
+#                   skew_report regression was only visible there),
+#                   then the sf1 wall-ratio spot (generates
+#                   .sf1data on first use).
+
+.PHONY: verify quick test parity scale bench ladder
 
 verify: test parity bench
 
@@ -29,3 +38,12 @@ scale:
 
 bench:
 	$(PY) bench.py
+
+ladder:
+	@test -n "$(Q)" || { echo "usage: make ladder Q=name1,name2"; exit 2; }
+	$(PY) tests/run_parity.py $(SF_PARITY) $(Q)
+	FUZZ_SHAPE=empty $(PY) tools/fuzz_parity.py 1 $(Q)
+	FUZZ_SHAPE=one $(PY) tools/fuzz_parity.py 1 $(Q)
+	FUZZ_SHAPE=skew $(PY) tools/fuzz_parity.py 1 $(Q)
+	@test -d .sf1data || $(PY) tools/gen_sf1.py
+	$(PY) tools/spot_sf1.py $(Q)

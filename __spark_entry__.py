@@ -29,65 +29,66 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver checks queries in dict insertion order and stops at a
-# ~50-query budget. Round-12 rotation (VERDICT r11 item 1): the 5
-# round-11 queries that have never had a driver CORRECTNESS row lead
-# (local parity harness passed 5/5 at sf0.01, judge-verified, but
-# the driver row is the hard signal), followed by the complete
-# 44-query r08-stale block — 49 entries, exactly one driver budget.
-# Registry expansion is frozen this round (verdict item 2) so no new
-# names are inserted ahead of this debt.
+# ~50-query budget. Round-13 rotation (VERDICT r12 item 3): the 3
+# queries re-based onto operators/ranks.py in round 12 lead (their
+# latest driver rows predate the plan change; judge + local ladder
+# verified at sf0.01/sf1/empty/one/skew, but the driver row is the
+# hard signal), followed by the complete 47-query r09-stale block —
+# 50 entries, exactly one driver budget. After this run the oldest
+# registry row is r10 and the full re-proof cycle is 4 rounds.
 _FIRST = [
-    # Never driver-checked (added late in round 11) — first-timers.
-    "basket_triples",
-    "dedup_sorted_neighborhood",
-    "emb_dim_stats",
-    "layout_bloom_audit",
-    "text_collocations",
-    # r08-stale block (44): core index/OLAP/windows first.
-    "index_daily",
-    "w1_split_adjust",
-    "q1_pricing_summary",
-    "dedup_exact",
-    "dedup_minhash_signatures",
-    "dedup_minhash_estimate",
-    "dedup_lsh_pairs",
-    "o5_summary_tail30",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "rollup_orders",
-    "cube_revenue",
-    "events_tumbling_1h",
-    "events_sliding_1h_30m",
-    "events_session_10m",
-    "events_range_join",
-    "skew_salted_join",
-    "text_stats",
-    "text_langid",
-    "text_fingerprints",
-    "text_token_bpe",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_substring_spans",
-    "dedup_levenshtein",
-    "dedup_bucket_overflow",
-    "dedup_shingle_overflow",
-    "dedup_modality_agreement",
-    "emb_cosine_topk_blas",
-    "emb_lsh_topk",
-    "emb_ivf_topk",
-    "ann_recall",
-    "semdedup_prune",
-    "decontam_embedding",
-    "mm_payload_features",
-    "mm_frame_sample",
-    "corpus_source_report",
-    "curation_apply",
-    "events_click_error_pairs",
-    "events_funnel_conversion",
-    "events_transition_matrix",
-    "w_rank_family",
-    "w_share_of_day",
+    # Plan-changed in r12 (ranks.py re-base) — driver rows predate it.
+    "skew_report",
+    "customer_rfm",
+    "token_budget_prefix",
+    # r09-stale block (47): oldest driver rows in the registry.
+    "agg_approx_sketches",
+    "dedup_apply",
+    "dedup_clusters",
+    "dedup_clusters_multi",
+    "dedup_winnowing",
+    "dq_referential_integrity",
+    "events_anomaly_days",
+    "events_asof_prev",
+    "events_bars_gapfill",
+    "events_bars_incremental",
+    "events_enrich_static",
+    "events_hll_intersection",
+    "events_retention_cohorts",
+    "events_top_paths",
+    "grouping_sets_revenue",
+    "json_props",
+    "json_props_struct",
+    "p4_ticker_history",
+    "p6_split_repair",
+    "price_equidepth_hist",
+    "price_winsorize",
+    "q10_returned_revenue",
+    "q11_part_value_share",
+    "q12_priority_by_delay",
+    "q14_promo_revenue_pct",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q17_small_qty_revenue",
+    "q18_large_order_customers",
+    "q19_bracket_disjunction",
+    "q20_promo_volume_suppliers",
+    "q21_sole_late_supplier",
+    "q22_idle_customer_balance",
+    "q2_min_cost_supplier",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_nation_profit",
+    "quality_classifier",
+    "quality_keep_rate",
+    "scalar_bundle",
+    "set_ops",
+    "split_assign",
+    "ticker_mad_outliers",
+    "w_longest_up_streak",
+    "w_max_drawdown",
+    "w_ticker_trend_slope",
+    "w_trend_slope_closed",
 ]
 
 
