@@ -228,7 +228,15 @@ def main() -> None:
     for name, suite_ratio in outliers:
         _drain_jvm()
         iso = None
-        for _ in range(2):
+        # Sub-second rows get a third pass: their walls are dominated
+        # by one-time JVM class-loading of the expression's runtime
+        # (measured r13 on json_props_struct — from_json's Jackson
+        # path costs ~0.85/0.69/0.43 s cold and 0.32 s once any JSON
+        # query has run; the 0.35 s baseline is the warmed wall, so a
+        # best-of-two after _drain_jvm read 1.8-2.0x on pure warmup).
+        # Bounded cost: one extra sub-second run per outlier.
+        runs = 3 if baselines.get(name, 1.0) < 1.0 else 2
+        for _ in range(runs):
             t0 = time.time()
             try:
                 materialize(QUERIES[name].fn(spark, sf_dir))
@@ -422,7 +430,13 @@ def _write_detail(
         lines += [
             "",
             "Isolated re-measures of >1.3x rows (host-noise vs",
-            "structural-regression separation; see BASELINE.md):",
+            "structural-regression separation; see BASELINE.md).",
+            "Sub-second-baseline rows run best-of-three: their cold",
+            "walls are one-time JVM class-loading, not plan cost",
+            "(r13 diagnosis of json_props_struct: from_json's",
+            "Jackson path is 0.85/0.69/0.43 s on first touches and",
+            "0.32 s warmed vs the 0.35 s baseline — the r12 1.8x",
+            "'isolated' reading was pure warmup):",
             "",
             "| query | suite ratio | isolated (s) | isolated ratio |",
             "|---|---|---|---|",
