@@ -117,3 +117,68 @@ def test_grouped_row_number_matches_window(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_high_cardinality_hint_degrades_to_shuffle_join(spark):
+    """An n_groups_hint over the broadcast bound must flip the
+    offset joins to Catalyst's own strategy (no forced broadcast —
+    the driver-safety path for huge group columns) while keeping
+    bit-parity with the windowed form."""
+    from marketviz_spark.operators.ranks import (
+        _BROADCAST_OFFSET_ROWS,
+        grouped_prefix_sum,
+        grouped_row_number,
+    )
+
+    df = _skewed_df(spark)
+    big = _BROADCAST_OFFSET_ROWS  # hint*partitions > bound for any p>=1
+    ranked = grouped_row_number(
+        df,
+        ["g"],
+        [F.desc("v"), F.asc("id")],
+        "rk",
+        num_partitions=7,
+        n_groups_hint=big,
+    )
+    # The guarantee is no FORCED broadcast (AQE may still choose one
+    # for a genuinely tiny frame) — so assert the hint is absent from
+    # the analyzed logical plan, not the physical strategy.
+    logical = ranked._jdf.queryExecution().analyzed().toString()
+    assert "UnresolvedHint" not in logical
+    assert "broadcast" not in logical.lower(), (
+        "degraded path must not attach a broadcast hint"
+    )
+    w = Window.partitionBy("g").orderBy(F.desc("v"), F.asc("id"))
+    want = {
+        r["id"]: r["rk"]
+        for r in df.select(
+            "id", F.row_number().over(w).cast("long").alias("rk")
+        ).collect()
+    }
+    got = {r["id"]: r["rk"] for r in ranked.collect()}
+    assert got == want
+
+    wsum = (
+        Window.partitionBy("g")
+        .orderBy(F.desc("v"), F.asc("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want_cum = {
+        r["id"]: r["cum"]
+        for r in df.select(
+            "id", F.sum("v").over(wsum).cast("long").alias("cum")
+        ).collect()
+    }
+    got_cum = {
+        r["id"]: r["cum"]
+        for r in grouped_prefix_sum(
+            df,
+            ["g"],
+            [F.desc("v"), F.asc("id")],
+            "v",
+            "cum",
+            num_partitions=7,
+            n_groups_hint=big,
+        ).collect()
+    }
+    assert got_cum == want_cum
