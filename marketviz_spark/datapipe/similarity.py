@@ -83,43 +83,16 @@ def cosine_topk(
             "block-tiled BLAS) or hyperplane_lsh_topk / ivf_topk "
             "(approximate, candidate-bounded) instead."
         )
-    n = with_norm(emb).select(
-        F.col("vec_id"), F.col("_v"), F.col("_norm")
-    )
-    # The scored-pair work is (streamed partitions) wide: a corpus
-    # small enough to pass the cap often arrives as ONE file split,
-    # which would run the whole O(n²·d) scoring in a single task.
-    # Fan the streamed side out to cluster parallelism first (cheap:
-    # ≤N_BRUTE_CAP rows), and broadcast the build side explicitly so
-    # the non-equi join is a broadcast NLJ over the widened stream.
-    sc = emb.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    stream = (
-        n.repartition(target)
-        if n.rdd.getNumPartitions() < target
-        else n
-    )
-    a = stream.alias("a")
-    b = n.alias("b")
-    pairs = a.join(
-        F.broadcast(b), F.col("a.vec_id") != F.col("b.vec_id")
-    ).select(
-        F.col("a.vec_id").alias("vec_id"),
-        F.col("b.vec_id").alias("neighbor_id"),
-        rnd(
-            _dot(F.col("a._v"), F.col("b._v"))
-            / (F.col("a._norm") * F.col("b._norm")),
-            6,
-        ).alias("cosine"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        pairs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("vec_id", "neighbor_id", "cosine", "rank")
-    )
+    # r13 rework (guide §4.2 — heavy lifting in native code): the
+    # former broadcast-NLJ evaluated an INTERPRETED zip_with+aggregate
+    # fold per pair (higher-order functions never enter codegen), n²·d
+    # element closures. The tiled-dgemm path computes the identical
+    # floor-6dp cosine (round_dp=6 routes every near-boundary entry
+    # through _fix_round6's order-fixed einsum rescore — the numerics
+    # every green oracle row of the 6dp family already validates) and
+    # the identical round-then-rank/neighbor-tiebreak ranking, at BLAS
+    # throughput. The refuse-above-cap contract above is unchanged.
+    return blas_cosine_topk(emb, k=k, round_dp=6, n_rows=n_rows)
 
 
 def _plane_sign(h: int, d: int) -> int:

@@ -161,7 +161,7 @@ WITH edges AS (
 
 
 def pagerank_weighted(
-    nodes: DataFrame,
+    nodes: DataFrame | None,
     edges: DataFrame,
     iters: int = PR_ITERS,
     reliable_checkpoint: bool = False,
@@ -176,6 +176,24 @@ def pagerank_weighted(
     since (r·1) div deg == r div deg). Overflow margin: needs
     r·w < 2⁶³, i.e. max edge weight below ~9·10⁶ at the 10¹²
     rank scale — rescale weights (only ratios matter) above that.
+
+    ``nodes=None`` derives the node set from the CHECKPOINTED edge
+    list (``distinct src`` — complete for symmetrized graphs): a
+    caller whose node frame is itself a view over the edge-mining
+    pipeline would otherwise re-run that whole pipeline a second
+    time just to list ids (the r13 copurchase finding: the
+    basket-pair miner executed twice per query).
+
+    Per-iteration shape (r13 rework, guide §2.4 — remove shuffles
+    outright): the node count and the dangling flag are STATIC, so
+    they are computed once — n as one driver-side scalar folded
+    into the recurrence as a literal (the model-collect pattern;
+    it replaces a per-iteration 1-row broadcast agg + crossJoin),
+    and ``_dangling`` as a column carried on the rank frame (it
+    replaces a per-iteration broadcast anti-join against strength).
+    Each iteration is then exactly: one filter+agg over ranks (the
+    dangling mass), one edges⋈ranks join + groupBy(dst) shuffle,
+    and one node-table left join — two wide stages over the edges.
     """
 
     def ckpt(df: DataFrame) -> DataFrame:
@@ -183,10 +201,8 @@ def pagerank_weighted(
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
-    nodes = ckpt(nodes.select("node").distinct())
-    # Same lineage discipline as pagerank(): cut the (expensive)
-    # edge mining ONCE, then derive strength from the cut — the
-    # dangling anti-join re-evaluates strength every iteration.
+    # Cut the (expensive) edge mining ONCE; derive strength, the
+    # join input, and (optionally) the node set from the cut.
     raw = ckpt(edges.select("src", "dst", "w"))
     strength = ckpt(
         raw.groupBy("src").agg(
@@ -196,35 +212,53 @@ def pagerank_weighted(
     edges = ckpt(
         raw.join(strength, "src").select("src", "dst", "w", "s_out")
     )
-    n1 = nodes.agg(F.count("*").alias("n"))
+    node_src = (
+        raw.select(F.col("src").alias("node"))
+        if nodes is None
+        else nodes.select("node")
+    )
+    nodes2 = ckpt(
+        node_src.distinct()
+        .join(strength, F.col("node") == F.col("src"), "left")
+        .select("node", F.col("s_out").isNull().alias("_dangling"))
+    )
+    # One bounded driver scalar (the pq_train model-collect shape):
+    # nodes2 is already materialized, so this is a cheap count, and
+    # inlining n removes two 1-row broadcast subplans per iteration.
+    n = nodes2.count()
+    if n == 0:
+        return nodes2.select(
+            "node", F.lit(0).cast("long").alias("rank_ppt")
+        )
+    base = PR_TOTAL // n  # == TOTAL div n (both non-negative)
+    teleport = ((PR_DAMP_DEN - PR_DAMP_NUM) * base) // PR_DAMP_DEN
 
-    ranks = nodes.crossJoin(F.broadcast(n1)).select(
-        "node", F.expr(f"{PR_TOTAL} div n").alias("r")
+    ranks = nodes2.select(
+        "node", "_dangling", F.lit(base).cast("long").alias("r")
     )
     for _ in range(iters):
-        dm1 = (
-            ranks.join(
-                strength, ranks["node"] == strength["src"], "left_anti"
-            )
-            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm"))
+        dm1 = ranks.filter(F.col("_dangling")).agg(
+            F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm")
         )
         contrib = (
-            edges.join(ranks, edges["src"] == ranks["node"])
+            edges.join(
+                ranks.select("node", "r"),
+                edges["src"] == F.col("node"),
+            )
             .select("dst", F.expr("(r * w) div s_out").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").cast("long").alias("cin"))
         )
         ranks = ckpt(
-            nodes.crossJoin(F.broadcast(n1))
-            .crossJoin(F.broadcast(dm1))
+            nodes2.crossJoin(F.broadcast(dm1))
             .join(contrib, F.col("node") == F.col("dst"), "left")
             .select(
                 "node",
+                "_dangling",
                 F.expr(
-                    f"({PR_DAMP_DEN - PR_DAMP_NUM} * ({PR_TOTAL} div n))"
-                    f" div {PR_DAMP_DEN}"
+                    f"{teleport}L"
                     f" + ({PR_DAMP_NUM} * (coalesce(cin, 0)"
-                    f" + dm div n)) div {PR_DAMP_DEN}"
+                    f" + dm div {n})) div {PR_DAMP_DEN}"
                 ).alias("r"),
             )
         )
@@ -255,9 +289,13 @@ def copurchase_pagerank(
         F.concat(F.lit("P"), F.col("item_a").cast("string")).alias("dst"),
         F.col("support").cast("long").alias("w"),
     )
+    # nodes=None: the node set is the distinct src of the CHECKPOINTED
+    # symmetrized edges inside pagerank_weighted — deriving it here
+    # from the lazy `edges` plan re-ran the whole basket_pairs miner
+    # a second time (measured r13: ~3.3 s of duplicated stages per
+    # run at sf0.1).
     edges = fwd.unionByName(rev)
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    return pagerank_weighted(nodes, edges, iters=iters)
+    return pagerank_weighted(None, edges, iters=iters)
 
 
 def copurchase_pagerank_oracle_sql(

@@ -1837,7 +1837,13 @@ def q_ticker_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    stocks = tables.stocks(spark, sf_dir)
+    # Explicit projection before the opaque grouped-map (guide §4.1):
+    # Spark cannot see which columns `slope` touches, so without this
+    # the whole stocks row (effective_shares_outstanding, market_cap)
+    # crosses the ticker shuffle AND the Arrow boundary unused.
+    stocks = tables.stocks(spark, sf_dir).select(
+        "ticker", "date", "share_price"
+    )
     return stocks.groupBy("ticker").applyInPandas(
         slope, "ticker string, n_days long, trend_slope double"
     )

@@ -46,6 +46,21 @@ from .datapipe.textstats import (
 )
 from .registry import register
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents scan widened to cluster parallelism (tables.fan_out,
+    guide §2.5): every consumer tokenizes/hashes/shingles per row,
+    which a single-row-group local file would otherwise run on one
+    core. No-op at real scale (scan splits >= parallelism)."""
+    return tables.fan_out(tables.load(spark, sf_dir, "documents"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings scan, widened like _docs: the per-row work above it
+    (hyperplane projections, subvector quantization, norm folds) is
+    the expensive part of every similarity/PQ plan."""
+    return tables.fan_out(tables.load(spark, sf_dir, "embeddings"))
+
+
 # Shared SQL fragments -------------------------------------------------
 
 
@@ -134,7 +149,7 @@ def _sql_list(words: list[str]) -> str:
     survey="text quality scoring + token counting (datapipe)",
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text_stats(tables.load(spark, sf_dir, "documents"))
+    return text_stats(_docs(spark, sf_dir))
 
 
 @register(
@@ -158,7 +173,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .datapipe.textstats import token_counts
 
-    return token_counts(tables.load(spark, sf_dir, "documents"))
+    return token_counts(_docs(spark, sf_dir))
 
 
 
@@ -193,7 +208,7 @@ def q_text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="language identification heuristic (datapipe)",
 )
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return lang_id(tables.load(spark, sf_dir, "documents"))
+    return lang_id(_docs(spark, sf_dir))
 
 
 @register(
@@ -213,7 +228,7 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="document fingerprinting (datapipe)",
 )
 def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return fingerprints(tables.load(spark, sf_dir, "documents"))
+    return fingerprints(_docs(spark, sf_dir))
 
 
 @register(
@@ -237,7 +252,7 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .datapipe.textstats import merge_pair_topk
 
-    return merge_pair_topk(tables.load(spark, sf_dir, "documents"))
+    return merge_pair_topk(_docs(spark, sf_dir))
 
 
 # Winnowing fingerprints (dedup.py WINNOW_*). Engine-identical by
@@ -286,7 +301,7 @@ _WINNOW_SQL = f"""
 )
 def q_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.winnowing_shared_report(
-        tables.load(spark, sf_dir, "documents")
+        _docs(spark, sf_dir)
     )
 
 
@@ -417,7 +432,7 @@ _LM_SELECT = """
     survey="corpus-trained bigram-LM likelihood scoring (CCNet-shape statistical-LM filter, datapipe)",
 )
 def q_lm_doc_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return lm.doc_lm_likelihood(tables.load(spark, sf_dir, "documents"))
+    return lm.doc_lm_likelihood(_docs(spark, sf_dir))
 
 
 @register(
@@ -438,7 +453,7 @@ def q_lm_heldout_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     this split exercises it for real (~20% OOV at sf0.01). The
     empty-train V=0 convention (p=0.0, all-OOV) is pinned by a
     dedicated unit test with a corpus containing no src0 docs."""
-    docs = tables.load(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return lm.doc_lm_likelihood(
         docs, train_docs=docs.filter(F.col("source") == "src0")
     )
@@ -455,7 +470,7 @@ def q_lm_heldout_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_model.quality_scores(
-        tables.load(spark, sf_dir, "documents")
+        _docs(spark, sf_dir)
     )
 
 
@@ -522,7 +537,7 @@ qtscore AS (
 )
 def q_quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_model.quality_scores(
-        tables.load(spark, sf_dir, "documents"),
+        _docs(spark, sf_dir),
         weights=quality_model.demo_trained_weights(),
     )
 
@@ -546,7 +561,7 @@ def q_quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_quality_keep_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_model.keep_rate_by_source(
-        tables.load(spark, sf_dir, "documents")
+        _docs(spark, sf_dir)
     )
 
 
@@ -567,7 +582,7 @@ def q_quality_keep_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="exact dedup via hash-groupBy (datapipe)",
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return exact_dedup_groups(tables.load(spark, sf_dir, "documents"))
+    return exact_dedup_groups(_docs(spark, sf_dir))
 
 
 _MINHASH_CTES = (
@@ -605,7 +620,7 @@ _BAND_COLS = ", ".join(
     survey="MinHash signatures + LSH band keys (datapipe)",
 )
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_signatures(tables.load(spark, sf_dir, "documents"))
+    return minhash_signatures(_docs(spark, sf_dir))
 
 
 _BAND_STACK = " UNION ALL ".join(
@@ -650,7 +665,7 @@ _CAPPED_PAIRS = (
     survey="LSH near-dup candidate pairs (datapipe)",
 )
 def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return lsh_candidate_pairs(tables.load(spark, sf_dir, "documents"))
+    return lsh_candidate_pairs(_docs(spark, sf_dir))
 
 
 @register(
@@ -676,7 +691,7 @@ def q_dedup_bucket_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signatures,
     )
 
-    sigs = minhash_signatures(tables.load(spark, sf_dir, "documents"))
+    sigs = minhash_signatures(_docs(spark, sf_dir))
     n_bands = NUM_HASHES // BAND_SIZE
     stacked = sigs.select(
         "doc_id",
@@ -727,7 +742,7 @@ _RARE_SHINGLES = f"""
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
-        tables.load(spark, sf_dir, "documents"), threshold=0.05
+        _docs(spark, sf_dir), threshold=0.05
     )
 
 
@@ -750,7 +765,7 @@ def q_dedup_shingle_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .datapipe.dedup import shingle_overflow_keys
 
     return shingle_overflow_keys(
-        tables.load(spark, sf_dir, "documents"), df_cap=2
+        _docs(spark, sf_dir), df_cap=2
     )
 
 
@@ -783,7 +798,7 @@ from .datapipe.dedup import SUBSTR_K, SUBSTR_STRIDE  # noqa: E402
 def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .datapipe.dedup import substring_dup_spans
 
-    return substring_dup_spans(tables.load(spark, sf_dir, "documents"))
+    return substring_dup_spans(_docs(spark, sf_dir))
 
 
 def _simhash_sql() -> str:
@@ -816,7 +831,7 @@ _SIMHASH_CTES, _SIMHASH_SELECT = _simhash_sql()
     survey="SimHash document sketches (datapipe)",
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash(tables.load(spark, sf_dir, "documents"))
+    return simhash(_docs(spark, sf_dir))
 
 
 from .datapipe.dedup import SIMHASH_BAND_BITS  # noqa: E402
@@ -852,7 +867,7 @@ _SIMHASH_BAND_STACK = " UNION ALL ".join(
     survey="SimHash near-dup pairs via 4-bit bands (datapipe)",
 )
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_near_pairs(tables.load(spark, sf_dir, "documents"))
+    return simhash_near_pairs(_docs(spark, sf_dir))
 
 
 # ----------------------------------------------------------------------
@@ -892,7 +907,7 @@ v AS (
     survey="brute-force cosine top-k ANN baseline (datapipe)",
 )
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return cosine_topk(tables.load(spark, sf_dir, "embeddings"), k=5)
+    return cosine_topk(_emb(spark, sf_dir), k=5)
 
 
 @register(
@@ -928,7 +943,7 @@ def q_decontam_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .datapipe.similarity import embedding_decontaminate
 
     return embedding_decontaminate(
-        tables.load(spark, sf_dir, "embeddings")
+        _emb(spark, sf_dir)
     )
 
 
@@ -1033,7 +1048,7 @@ def _near_dup_oracle() -> str:
 def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .datapipe.similarity import embedding_near_pairs
 
-    return embedding_near_pairs(tables.load(spark, sf_dir, "embeddings"))
+    return embedding_near_pairs(_emb(spark, sf_dir))
 
 
 @register(
@@ -1072,7 +1087,7 @@ def q_dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="hyperplane-LSH bucketed ANN (scale path, datapipe)",
 )
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return hyperplane_lsh_topk(tables.load(spark, sf_dir, "embeddings"), k=3)
+    return hyperplane_lsh_topk(_emb(spark, sf_dir), k=3)
 
 
 # ----------------------------------------------------------------------
@@ -1101,7 +1116,7 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="multimodal binary payload + Arrow-batched features (datapipe)",
 )
 def q_mm_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = to_media(tables.load(spark, sf_dir, "documents"))
+    media = to_media(_docs(spark, sf_dir))
     return payload_features(media)
 
 
@@ -1137,7 +1152,7 @@ def _frame_sample_oracle() -> str:
 def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .datapipe.multimodal import sample_frames
 
-    return sample_frames(to_media(tables.load(spark, sf_dir, "documents")))
+    return sample_frames(to_media(_docs(spark, sf_dir)))
 
 
 @register(
@@ -1164,7 +1179,7 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cosine_topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .datapipe.similarity import blas_cosine_topk
 
-    return blas_cosine_topk(tables.load(spark, sf_dir, "embeddings"), k=5)
+    return blas_cosine_topk(_emb(spark, sf_dir), k=5)
 
 
 def _ivf_assign_sql(src: str, cent: str, out: str) -> str:
@@ -1288,7 +1303,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IVF consumers (this and semdedup_prune) share ONE training —
     # the build-once/serve-many shape a persisted index has.
     return ivf_topk(
-        tables.load(spark, sf_dir, "embeddings"), k=3, cache_key=sf_dir
+        _emb(spark, sf_dir), k=3, cache_key=sf_dir
     )
 
 
@@ -1313,7 +1328,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .datapipe.dedup import dedup_clusters
 
-    return dedup_clusters(tables.load(spark, sf_dir, "documents"))
+    return dedup_clusters(_docs(spark, sf_dir))
 
 
 @register(
@@ -1343,7 +1358,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .datapipe.dedup import dedup_apply
 
-    return dedup_apply(tables.load(spark, sf_dir, "documents"))
+    return dedup_apply(_docs(spark, sf_dir))
 
 
 @register(
@@ -1378,8 +1393,8 @@ def q_dedup_clusters_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .datapipe.dedup import dedup_clusters_multi
 
     return dedup_clusters_multi(
-        tables.load(spark, sf_dir, "documents"),
-        tables.load(spark, sf_dir, "embeddings"),
+        _docs(spark, sf_dir),
+        _emb(spark, sf_dir),
     )
 
 
@@ -1419,10 +1434,10 @@ def q_dedup_modality_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .datapipe.similarity import embedding_near_pairs
 
     tp = lsh_candidate_pairs(
-        tables.load(spark, sf_dir, "documents")
+        _docs(spark, sf_dir)
     ).withColumn("in_text", F.lit(True))
     ep = (
-        embedding_near_pairs(tables.load(spark, sf_dir, "embeddings"))
+        embedding_near_pairs(_emb(spark, sf_dir))
         .select("doc_a", "doc_b")
         .withColumn("in_emb", F.lit(True))
     )
@@ -1477,7 +1492,7 @@ def q_dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _bytes(col: str) -> F.Column:
         return F.decode(F.encode(F.col(col), "UTF-8"), "ISO-8859-1")
 
-    docs = tables.load(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     pairs = lsh_candidate_pairs(docs)
     da = docs.select(
         F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")
@@ -1584,7 +1599,7 @@ _REPETITIVE_SQL = (
     survey="Gopher-style repetition filters (datapipe curation)",
 )
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return repetition_stats(tables.load(spark, sf_dir, "documents"))
+    return repetition_stats(_docs(spark, sf_dir))
 
 
 @register(
@@ -1611,7 +1626,7 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="benchmark decontamination via shingle overlap (datapipe curation)",
 )
 def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return decontaminate(tables.load(spark, sf_dir, "documents"))
+    return decontaminate(_docs(spark, sf_dir))
 
 
 def _rate_case_sql() -> str:
@@ -1639,7 +1654,7 @@ _PCT_SQL = (
     survey="deterministic stratified sampling for dataset mixing (datapipe curation)",
 )
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sample_stratified(tables.load(spark, sf_dir, "documents"))
+    return sample_stratified(_docs(spark, sf_dir))
 
 
 from .datapipe.curation import (  # noqa: E402
@@ -1671,7 +1686,7 @@ from .datapipe.curation import (  # noqa: E402
     survey="Poisson PPS sampling with Horvitz-Thompson weights: size-biased corpus auditing, map-only + one scalar agg (datapipe curation)",
 )
 def q_sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sample_pps(tables.load(spark, sf_dir, "documents"))
+    return sample_pps(_docs(spark, sf_dir))
 
 
 # ----------------------------------------------------------------------
@@ -1725,7 +1740,7 @@ _LEHMER_SQL = (
     survey="concat-and-chunk sequence packing into token-budget bins (datapipe curation)",
 )
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pack_sequences(tables.load(spark, sf_dir, "documents"))
+    return pack_sequences(_docs(spark, sf_dir))
 
 
 # The synthetic corpus contains no digits or @-signs by construction,
@@ -1808,7 +1823,7 @@ for _name, _pat in PII_PATTERNS:
     survey="PII detection counts: email/phone/SSN/IPv4 regex, map-only (datapipe curation)",
 )
 def q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pii_stats(_pii_augment(tables.load(spark, sf_dir, "documents")))
+    return pii_stats(_pii_augment(_docs(spark, sf_dir)))
 
 
 @register(
@@ -1823,7 +1838,7 @@ def q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="PII redaction via ordered regexp_replace chain (datapipe curation)",
 )
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pii_scrub(_pii_augment(tables.load(spark, sf_dir, "documents")))
+    return pii_scrub(_pii_augment(_docs(spark, sf_dir)))
 
 
 @register(
@@ -1840,7 +1855,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="corpus vocabulary: global top-K tokens by tf with df (datapipe curation)",
 )
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return vocab_topk(tables.load(spark, sf_dir, "documents"))
+    return vocab_topk(_docs(spark, sf_dir))
 
 
 # ----------------------------------------------------------------------
@@ -1898,7 +1913,7 @@ from .datapipe.similarity import QUANT_LEVELS, quantize_int8  # noqa: E402
     survey="end-to-end curation funnel: per-source survival through repetition/contamination/sampling (datapipe curation)",
 )
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return curation_funnel(tables.load(spark, sf_dir, "documents"))
+    return curation_funnel(_docs(spark, sf_dir))
 
 
 @register(
@@ -1937,7 +1952,7 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_curation_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .datapipe.curation import curation_apply
 
-    return curation_apply(tables.load(spark, sf_dir, "documents"))
+    return curation_apply(_docs(spark, sf_dir))
 
 
 def _split_pct2_sql() -> str:
@@ -1965,7 +1980,7 @@ def _split_pct2_sql() -> str:
 def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .datapipe.curation import split_assign
 
-    return split_assign(tables.load(spark, sf_dir, "documents"))
+    return split_assign(_docs(spark, sf_dir))
 
 
 @register(
@@ -2000,7 +2015,7 @@ def q_corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     term and is keyed by (source, fp) — uniform by md5."""
     from .datapipe.textstats import tokens
 
-    per_doc = tables.load(spark, sf_dir, "documents").select(
+    per_doc = _docs(spark, sf_dir).select(
         "source",
         F.size(tokens()).cast("long").alias("n_tokens"),
         F.length("text").cast("long").alias("n_chars"),
@@ -2045,7 +2060,7 @@ def q_corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="incremental-ingest dedup: new batch vs existing-corpus fingerprint index (datapipe)",
 )
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return incremental_dedup(tables.load(spark, sf_dir, "documents"))
+    return incremental_dedup(_docs(spark, sf_dir))
 
 
 _Q_RMSE = rnd_sql(
@@ -2086,7 +2101,7 @@ _Q_RMSE = rnd_sql(
     survey="symmetric int8 embedding quantization + reconstruction RMSE (datapipe)",
 )
 def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return quantize_int8(tables.load(spark, sf_dir, "embeddings"))
+    return quantize_int8(_emb(spark, sf_dir))
 
 
 # ----------------------------------------------------------------------
@@ -2183,7 +2198,7 @@ assert pq.PQ_ITERS == 2  # the oracle unrolls exactly two refinements
 )
 def q_emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.pq_codes(
-        tables.load(spark, sf_dir, "embeddings"), cache_key=sf_dir
+        _emb(spark, sf_dir), cache_key=sf_dir
     )
 
 
@@ -2227,7 +2242,7 @@ _PQ_ADC_CTES = _PQ_Q_LUT_CTES + f"""
 )
 def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.pq_adc_topk(
-        tables.load(spark, sf_dir, "embeddings"), k=3, cache_key=sf_dir
+        _emb(spark, sf_dir), k=3, cache_key=sf_dir
     )
 
 
@@ -2289,7 +2304,7 @@ LEFT JOIN ({approx_hits}) a USING (q_id, neighbor_id)
 )
 def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.pq_recall(
-        tables.load(spark, sf_dir, "embeddings"), k=3, cache_key=sf_dir
+        _emb(spark, sf_dir), k=3, cache_key=sf_dir
     )
 
 
@@ -2336,7 +2351,7 @@ _PQ_RERANK_CTES = (
 )
 def q_emb_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.pq_rerank_topk(
-        tables.load(spark, sf_dir, "embeddings"), k=3, cache_key=sf_dir
+        _emb(spark, sf_dir), k=3, cache_key=sf_dir
     )
 
 
@@ -2377,7 +2392,7 @@ LEFT JOIN (
 )
 def q_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.pq_rerank_recall(
-        tables.load(spark, sf_dir, "embeddings"), k=3, cache_key=sf_dir
+        _emb(spark, sf_dir), k=3, cache_key=sf_dir
     )
 
 
@@ -2417,7 +2432,7 @@ WHERE rank <= 3
 )
 def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.ivfpq_topk(
-        tables.load(spark, sf_dir, "embeddings"), k=3, cache_key=sf_dir
+        _emb(spark, sf_dir), k=3, cache_key=sf_dir
     )
 
 
@@ -2460,7 +2475,7 @@ def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.ivfpq_recall(
-        tables.load(spark, sf_dir, "embeddings"), k=3, cache_key=sf_dir
+        _emb(spark, sf_dir), k=3, cache_key=sf_dir
     )
 
 
@@ -2529,7 +2544,7 @@ _JAC_SQL = rnd_sql("n_common / (za.n_sh + zb.n_sh - n_common)", 6)
     survey="MinHash estimate vs exact Jaccard, candidate-bounded (sketch-accuracy audit, datapipe)",
 )
 def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_jaccard_estimate(tables.load(spark, sf_dir, "documents"))
+    return minhash_jaccard_estimate(_docs(spark, sf_dir))
 
 
 # ----------------------------------------------------------------------
@@ -2560,7 +2575,7 @@ from .datapipe.curation import RARITY_SCALE, rarity_scores  # noqa: E402
     survey="corpus-rarity quality score: integer-exact stand-in for LM-perplexity filtering (datapipe curation)",
 )
 def q_text_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return rarity_scores(tables.load(spark, sf_dir, "documents"))
+    return rarity_scores(_docs(spark, sf_dir))
 
 
 from .datapipe.curation import curriculum_order  # noqa: E402
@@ -2607,7 +2622,7 @@ from .datapipe.curation import curriculum_order  # noqa: E402
     survey="curriculum + source interleave: rising-rarity order within source, round-robin across sources via a CLOSED-FORM global position — no global sort (datapipe curation)",
 )
 def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return curriculum_order(tables.load(spark, sf_dir, "documents"))
+    return curriculum_order(_docs(spark, sf_dir))
 
 
 # ----------------------------------------------------------------------
@@ -2658,7 +2673,7 @@ from .datapipe.curation import corpus_drift  # noqa: E402
     survey="per-source token-distribution TV-distance drift audit, exact-integer numerator (datapipe curation)",
 )
 def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return corpus_drift(tables.load(spark, sf_dir, "documents"))
+    return corpus_drift(_docs(spark, sf_dir))
 
 
 # ----------------------------------------------------------------------
@@ -2690,7 +2705,7 @@ from .datapipe.similarity import SEMDEDUP_TAU, semdedup  # noqa: E402
 )
 def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(
-        tables.load(spark, sf_dir, "embeddings"), cache_key=sf_dir
+        _emb(spark, sf_dir), cache_key=sf_dir
     )
 
 
@@ -2724,7 +2739,7 @@ from .datapipe.curation import OOV_VOCAB_K, mixture_plan, oov_rates  # noqa: E40
     survey="uniform-mixture rebalance plan: integer-exact per-source keep fractions bounded by the scarcest source (datapipe curation)",
 )
 def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return mixture_plan(tables.load(spark, sf_dir, "documents"))
+    return mixture_plan(_docs(spark, sf_dir))
 
 
 @register(
@@ -2751,7 +2766,7 @@ def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="per-document OOV rate vs the corpus top-K vocabulary, integer-exact (datapipe curation)",
 )
 def q_oov_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return oov_rates(tables.load(spark, sf_dir, "documents"))
+    return oov_rates(_docs(spark, sf_dir))
 
 
 # ----------------------------------------------------------------------
@@ -2787,7 +2802,7 @@ from .datapipe.curation import CHUNK_STRIDE, CHUNK_TOKENS, doc_chunks  # noqa: E
     survey="overlapping token-window chunking, the RAG indexing unit — zero-shuffle map-side explode (datapipe curation)",
 )
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return doc_chunks(tables.load(spark, sf_dir, "documents"))
+    return doc_chunks(_docs(spark, sf_dir))
 
 
 @register(
@@ -2830,7 +2845,7 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_chunk_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .datapipe.curation import chunk_index_dedup
 
-    return chunk_index_dedup(tables.load(spark, sf_dir, "documents"))
+    return chunk_index_dedup(_docs(spark, sf_dir))
 
 
 # ----------------------------------------------------------------------
@@ -2890,7 +2905,7 @@ _CHUNK_CTE = f"""
     survey="per-document boilerplate ratio: chunk fingerprints shared across documents — the CCNet line-dedup signal at the chunk unit (datapipe curation)",
 )
 def q_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return boilerplate_chunks(tables.load(spark, sf_dir, "documents"))
+    return boilerplate_chunks(_docs(spark, sf_dir))
 
 
 def _cluster_pct2_sql(col: str) -> str:
@@ -2932,7 +2947,7 @@ def _cluster_pct2_sql(col: str) -> str:
     survey="leakage-safe train/val/test split: near-dup clusters assigned atomically by cluster-id hash (datapipe curation)",
 )
 def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return cluster_split(tables.load(spark, sf_dir, "documents"))
+    return cluster_split(_docs(spark, sf_dir))
 
 
 @register(
@@ -2963,7 +2978,7 @@ def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="uniform-mixture execution: per-source greedy doc selection to the scarcest-source token budget (datapipe curation)",
 )
 def q_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return mixture_apply(tables.load(spark, sf_dir, "documents"))
+    return mixture_apply(_docs(spark, sf_dir))
 
 
 @register(
@@ -2992,7 +3007,7 @@ def q_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="cumulative corpus coverage of the top-K tokens — the tokenizer-vocab sizing curve (datapipe curation)",
 )
 def q_token_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return token_coverage_curve(tables.load(spark, sf_dir, "documents"))
+    return token_coverage_curve(_docs(spark, sf_dir))
 
 
 # ----------------------------------------------------------------------
@@ -3055,7 +3070,7 @@ from .datapipe.similarity import ann_recall  # noqa: E402
     survey="ANN recall@k audit: hyperplane-LSH vs exact ground truth, per label (datapipe similarity)",
 )
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ann_recall(tables.load(spark, sf_dir, "embeddings"), k=3)
+    return ann_recall(_emb(spark, sf_dir), k=3)
 
 
 # ----------------------------------------------------------------------
@@ -3106,7 +3121,7 @@ def _mix_rel_sql() -> str:
     survey="weighted-mixture rebalance plan: arbitrary target domain shares bounded by the first source to run out (datapipe curation)",
 )
 def q_mixture_plan_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return mixture_plan_weighted(tables.load(spark, sf_dir, "documents"))
+    return mixture_plan_weighted(_docs(spark, sf_dir))
 
 
 @register(
@@ -3145,7 +3160,7 @@ def q_mixture_plan_temperature(
     from .datapipe.curation import mixture_plan_temperature
 
     return mixture_plan_temperature(
-        tables.load(spark, sf_dir, "documents")
+        _docs(spark, sf_dir)
     )
 
 
@@ -3216,7 +3231,7 @@ _BPE_SELECT = "\nUNION ALL ".join(
     survey="BPE tokenizer TRAINING: the full K-step merge loop over the word-frequency table (Sennrich ACL'16), merge table = the model (datapipe)",
 )
 def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return bpe_mod.bpe_train(tables.load(spark, sf_dir, "documents"))
+    return bpe_mod.bpe_train(_docs(spark, sf_dir))
 
 
 @register(
@@ -3233,7 +3248,7 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_bpe_apply_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_mod.bpe_apply_vocab(
-        tables.load(spark, sf_dir, "documents")
+        _docs(spark, sf_dir)
     )
 
 
@@ -3265,7 +3280,7 @@ def q_bpe_apply_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="dedup cluster-size histogram: unique vs redundant document mass per cluster size (datapipe reporting)",
 )
 def q_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return cluster_size_histogram(tables.load(spark, sf_dir, "documents"))
+    return cluster_size_histogram(_docs(spark, sf_dir))
 
 
 # ----------------------------------------------------------------------
@@ -3293,7 +3308,7 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .datapipe.textstats import lang_id
 
     return (
-        lang_id(tables.load(spark, sf_dir, "documents"))
+        lang_id(_docs(spark, sf_dir))
         .groupBy("declared_lang", "predicted_lang")
         .agg(F.count("*").alias("n_docs"))
     )
@@ -3320,7 +3335,7 @@ def q_jaccard_band_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .datapipe.dedup import ngram_jaccard_pairs
 
     pairs = ngram_jaccard_pairs(
-        tables.load(spark, sf_dir, "documents"), threshold=0.05
+        _docs(spark, sf_dir), threshold=0.05
     )
     return (
         pairs.groupBy(
@@ -3363,7 +3378,7 @@ def q_pack_fill_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     pack_sequences' windowed layout; fill_ppm is integer-exact."""
     from .datapipe.curation import PACK_BUDGET, pack_sequences
 
-    packed = pack_sequences(tables.load(spark, sf_dir, "documents"))
+    packed = pack_sequences(_docs(spark, sf_dir))
     return packed.groupBy("bucket").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("n_tokens"),
@@ -3398,7 +3413,7 @@ def q_emb_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection over the ≤C-row shortlist — one qid shuffle, O(C²K)
     local integer work per query, parallel in nq. λ=1/2 scaled into
     BIGINT so the unrolled 5-step DuckDB oracle hashes bit-for-bit."""
-    return mmr_topk(tables.load(spark, sf_dir, "embeddings"))
+    return mmr_topk(_emb(spark, sf_dir))
 
 
 # ----------------------------------------------------------------------
@@ -3480,7 +3495,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the probe terms only (filter inside the explode map stage),
     1-row corpus stats broadcast, integer ppm scoring, per-query
     top-k window (datapipe/bm25.py)."""
-    return bm25_topk(tables.load(spark, sf_dir, "documents"))
+    return bm25_topk(_docs(spark, sf_dir))
 
 
 # ----------------------------------------------------------------------
@@ -3609,7 +3624,7 @@ def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consecutive-token phrase matching (lengths 2-3) against the
     shingle-shaped n-gram stream; the literal-phrase filter runs
     inside the explode stage (datapipe/bm25.py)."""
-    return phrase_match(tables.load(spark, sf_dir, "documents"))
+    return phrase_match(_docs(spark, sf_dir))
 
 
 from .operators.skewstats import skew_report, skew_report_oracle_sql  # noqa: E402
@@ -3979,7 +3994,7 @@ def q_source_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rank-filter rewritten to WindowGroupLimit, so hot domains are
     truncated before the shuffle), then a same-keyed report
     aggregate (datapipe/budget.py)."""
-    return domain_cap_report(tables.load(spark, sf_dir, "documents"))
+    return domain_cap_report(_docs(spark, sf_dir))
 
 
 @register(
@@ -3991,7 +4006,7 @@ def q_token_budget_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget prefix over documents: one per-source cumsum
     window + report aggregate, integer-exact ppm utilization
     (datapipe/budget.py)."""
-    return token_budget_prefix(tables.load(spark, sf_dir, "documents"))
+    return token_budget_prefix(_docs(spark, sf_dir))
 
 
 from .datapipe.snm import snm_candidate_pairs, snm_oracle_sql  # noqa: E402
@@ -4009,7 +4024,7 @@ def q_dedup_sorted_neighborhood(
     (a hot block costs |block|*(W-1) pairs, still linear), explode-
     a-gap EQUI-join pairing, trigram sets joined back onto the
     small pair list only (datapipe/snm.py)."""
-    return snm_candidate_pairs(tables.load(spark, sf_dir, "documents"))
+    return snm_candidate_pairs(_docs(spark, sf_dir))
 
 
 from .operators.layout import (  # noqa: E402
@@ -4064,7 +4079,7 @@ def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One explode + two-phase groupBy per grain (hot tokens absorb
     map-side), vocab-keyed equi-joins for unigram attach, decimal
     lift (datapipe/textstats.py)."""
-    return collocations(tables.load(spark, sf_dir, "documents"))
+    return collocations(_docs(spark, sf_dir))
 
 
 from .datapipe.similarity import (  # noqa: E402
@@ -4082,4 +4097,4 @@ def q_emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explode a 1..EMB_DIM literal + element_at, map-side combine
     on the 64-value dim key, DECIMAL(38,0) square sums
     (datapipe/similarity.py)."""
-    return emb_dim_stats(tables.load(spark, sf_dir, "embeddings"))
+    return emb_dim_stats(_emb(spark, sf_dir))

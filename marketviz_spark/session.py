@@ -64,6 +64,15 @@ def get_spark(
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
     )
+    # Deployment-specific overrides without code changes:
+    # $SPARK_GRAFT_CONF="k=v;k=v" (production clusters set e.g.
+    # spark.sql.adaptive.advisoryPartitionSizeInBytes here). Applied
+    # before extra_conf so explicit callers win.
+    env_conf = os.environ.get("SPARK_GRAFT_CONF", "")
+    for item in env_conf.split(";"):
+        if "=" in item:
+            k, _, v = item.partition("=")
+            builder = builder.config(k.strip(), v.strip())
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

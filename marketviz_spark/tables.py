@@ -39,6 +39,28 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Widen a narrow scan to cluster parallelism BEFORE CPU-heavy
+    per-row derivation (optimization guide §2.5, input skew: a
+    single-row-group parquet file is one scan task no matter how many
+    cores — and every per-row expression above it then runs on one
+    core). The textstats collocation miner carried this guard locally
+    ("standing pitfall #2"); this is the shared form.
+
+    Conditional, so it is a NO-OP at real scale: when the scan
+    already has >= defaultParallelism partitions (any table of
+    cluster-relevant size), no shuffle is added. The round-robin
+    repartition is deterministic under retries
+    (spark.sql.execution.sortBeforeRepartition, default on), and
+    deterministic filters still push through an added Repartition
+    into the parquet scan, so pushdown is unaffected."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def normalize_events_ts(ev: DataFrame) -> DataFrame:
     """Normalize `ts` to a session-tz TimestampType, whatever the
     reader produced.
@@ -114,9 +136,11 @@ def stocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-null prices and the two engines can never diverge on NULL
     ordering (found by the r7 differential fuzzer, which feeds
     NULL-laced lineitem)."""
-    li = load(spark, sf_dir, "lineitem").filter(
-        F.col("l_partkey").isNotNull()
-        & F.col("l_shipdate").isNotNull()
+    li = fan_out(
+        load(spark, sf_dir, "lineitem").filter(
+            F.col("l_partkey").isNotNull()
+            & F.col("l_shipdate").isNotNull()
+        )
     )
     eff = (F.sum("l_quantity") * F.lit(1000.0)).alias(
         "effective_shares_outstanding"

@@ -1203,6 +1203,17 @@ def test_quality_scores_degenerate_inputs(spark):
     assert got[2] == (0, 0, 0.0, False)
 
 
+def _keyed_exchanges(plan: str) -> int:
+    """Exchange count EXCLUDING the r13 conditional fan-out's
+    round-robin exchange (tables.fan_out widens a sub-parallelism
+    local scan; it vanishes at real scale where the scan has >=
+    parallelism splits), so map-only / single-shuffle contracts pin
+    the shuffles that exist at 100 TB."""
+    return plan.count("Exchange") - plan.count(
+        "Exchange RoundRobinPartitioning"
+    )
+
+
 def test_quality_classifier_plan_is_map_only(spark):
     """The scoring query's executed plan must stay a single
     shuffle-free projection: no Exchange, no Python eval — the
@@ -1218,7 +1229,7 @@ def test_quality_classifier_plan_is_map_only(spark):
         spark, "/root/testdata/sf0.001"
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    assert _keyed_exchanges(plan) == 0
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
     assert plan.count("aggregate(transform(") == 1
     assert plan.count("split(lower(") == 1
@@ -1236,7 +1247,7 @@ def test_quality_classifier_trained_plan_is_map_only(spark):
         spark, "/root/testdata/sf0.001"
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan  # no shuffle, no broadcast table
+    assert _keyed_exchanges(plan) == 0  # no shuffle, no broadcast table
     assert "Join" not in plan  # weights ride as a literal, not a dim
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
     assert plan.count("aggregate(transform(") == 1
@@ -1753,7 +1764,7 @@ def test_pq_codes_plan_map_side_model_literal(spark):
         .toString()
     )
     assert "Join" not in plan
-    assert plan.count("Exchange") == 1
+    assert _keyed_exchanges(plan) == 1
     assert "Generate posexplode" in plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
 
