@@ -407,7 +407,10 @@ def q_composition_market_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.joins import upsert
 
-    s = tables.stocks(spark, sf_dir)
+    # fan=False: both branches are date-range slices whose work above
+    # the derive is one anti-join — too light to pay the widening
+    # shuffle (r13 bench: 1.19x with it, parity without).
+    s = tables.stocks(spark, sf_dir, fan=False)
     existing = s.filter(
         (F.col("date") >= "1998-01-01") & (F.col("date") <= "1998-03-31")
     )
@@ -2028,7 +2031,12 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    s = tables.stocks(spark, sf_dir).filter(F.col("date") == "1997-03-17")
+    # fan=False: the date point-filter pushes into the scan, so the
+    # frame is one date's rows — the widening shuffle has nothing to
+    # parallelize (r13 bench: 1.15x with it).
+    s = tables.stocks(spark, sf_dir, fan=False).filter(
+        F.col("date") == "1997-03-17"
+    )
     # INTENTIONAL global window (WindowExec warning expected): the
     # frame is ONE date's constituents — a few thousand rows after
     # the pushed-down point filter, bounded by universe size, not

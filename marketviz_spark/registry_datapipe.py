@@ -46,12 +46,21 @@ from .datapipe.textstats import (
 )
 from .registry import register
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs(
+    spark: SparkSession, sf_dir: str, fan: bool = True
+) -> DataFrame:
     """documents scan widened to cluster parallelism (tables.fan_out,
     guide §2.5): every consumer tokenizes/hashes/shingles per row,
     which a single-row-group local file would otherwise run on one
-    core. No-op at real scale (scan splits >= parallelism)."""
-    return tables.fan_out(tables.load(spark, sf_dir, "documents"))
+    core. No-op at real scale (scan splits >= parallelism).
+
+    ``fan=False`` for the consumers whose per-row work is too light
+    to amortize the local widening shuffle (measured r13: the
+    fanned form cost dedup_exact 1.69x / corpus_source_report 1.58x
+    isolated vs baseline while the tokenize/hash-heavy consumers
+    gained 16-76%); identical results either way."""
+    d = tables.load(spark, sf_dir, "documents")
+    return tables.fan_out(d) if fan else d
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -582,7 +591,7 @@ def q_quality_keep_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="exact dedup via hash-groupBy (datapipe)",
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return exact_dedup_groups(_docs(spark, sf_dir))
+    return exact_dedup_groups(_docs(spark, sf_dir, fan=False))
 
 
 _MINHASH_CTES = (
@@ -1980,7 +1989,7 @@ def _split_pct2_sql() -> str:
 def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .datapipe.curation import split_assign
 
-    return split_assign(_docs(spark, sf_dir))
+    return split_assign(_docs(spark, sf_dir, fan=False))
 
 
 @register(
@@ -2015,7 +2024,7 @@ def q_corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     term and is keyed by (source, fp) — uniform by md5."""
     from .datapipe.textstats import tokens
 
-    per_doc = _docs(spark, sf_dir).select(
+    per_doc = _docs(spark, sf_dir, fan=False).select(
         "source",
         F.size(tokens()).cast("long").alias("n_tokens"),
         F.length("text").cast("long").alias("n_chars"),
@@ -2575,7 +2584,7 @@ from .datapipe.curation import RARITY_SCALE, rarity_scores  # noqa: E402
     survey="corpus-rarity quality score: integer-exact stand-in for LM-perplexity filtering (datapipe curation)",
 )
 def q_text_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return rarity_scores(_docs(spark, sf_dir))
+    return rarity_scores(_docs(spark, sf_dir, fan=False))
 
 
 from .datapipe.curation import curriculum_order  # noqa: E402
@@ -2622,7 +2631,7 @@ from .datapipe.curation import curriculum_order  # noqa: E402
     survey="curriculum + source interleave: rising-rarity order within source, round-robin across sources via a CLOSED-FORM global position — no global sort (datapipe curation)",
 )
 def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return curriculum_order(_docs(spark, sf_dir))
+    return curriculum_order(_docs(spark, sf_dir, fan=False))
 
 
 # ----------------------------------------------------------------------
@@ -2739,7 +2748,7 @@ from .datapipe.curation import OOV_VOCAB_K, mixture_plan, oov_rates  # noqa: E40
     survey="uniform-mixture rebalance plan: integer-exact per-source keep fractions bounded by the scarcest source (datapipe curation)",
 )
 def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return mixture_plan(_docs(spark, sf_dir))
+    return mixture_plan(_docs(spark, sf_dir, fan=False))
 
 
 @register(
@@ -2978,7 +2987,7 @@ def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="uniform-mixture execution: per-source greedy doc selection to the scarcest-source token budget (datapipe curation)",
 )
 def q_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return mixture_apply(_docs(spark, sf_dir))
+    return mixture_apply(_docs(spark, sf_dir, fan=False))
 
 
 @register(
@@ -3007,7 +3016,7 @@ def q_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="cumulative corpus coverage of the top-K tokens — the tokenizer-vocab sizing curve (datapipe curation)",
 )
 def q_token_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return token_coverage_curve(_docs(spark, sf_dir))
+    return token_coverage_curve(_docs(spark, sf_dir, fan=False))
 
 
 # ----------------------------------------------------------------------

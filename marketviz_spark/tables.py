@@ -53,7 +53,14 @@ def fan_out(df: DataFrame) -> DataFrame:
     repartition is deterministic under retries
     (spark.sql.execution.sortBeforeRepartition, default on), and
     deterministic filters still push through an added Repartition
-    into the parquet scan, so pushdown is unaffected."""
+    into the parquet scan, so pushdown is unaffected.
+
+    NOT free locally: the widening shuffle ships the full row once,
+    ~0.15-0.2 s for the sf0.1 fact tables. Consumers whose
+    downstream work is too light to amortize that (measured, r13
+    bench: dedup_exact 1.69x, corpus_source_report 1.58x isolated)
+    opt out via their loader's ``fan=False``; at real scale the
+    choice is moot because the guard is a no-op either way."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:
@@ -128,20 +135,26 @@ HAVING max(l_extendedprice) IS NOT NULL
 """
 
 
-def stocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stocks(
+    spark: SparkSession, sf_dir: str, fan: bool = True
+) -> DataFrame:
     """Derived fact table. CONTRACT (both engines): a (ticker, date)
     with no observed price or no observed quantity is NOT a stocks
     row — NULL keys and all-NULL measure groups are dropped at the
     derivation, so every downstream ranking/percentile/window sees
     non-null prices and the two engines can never diverge on NULL
     ordering (found by the r7 differential fuzzer, which feeds
-    NULL-laced lineitem)."""
-    li = fan_out(
-        load(spark, sf_dir, "lineitem").filter(
-            F.col("l_partkey").isNotNull()
-            & F.col("l_shipdate").isNotNull()
-        )
+    NULL-laced lineitem).
+
+    ``fan=False`` skips the local scan-widening guard for consumers
+    whose work above the derivation is too light to pay the widening
+    shuffle (see fan_out); identical results either way."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey").isNotNull()
+        & F.col("l_shipdate").isNotNull()
     )
+    if fan:
+        li = fan_out(li)
     eff = (F.sum("l_quantity") * F.lit(1000.0)).alias(
         "effective_shares_outstanding"
     )
