@@ -42,17 +42,69 @@ MIN_SUPPORT = 2  # pair must co-occur in >= 2 baskets
 BASKET_CAP = 256  # max items per basket entering pair generation
 
 
-def basket_pairs(lineitem: DataFrame) -> DataFrame:
-    """(item_a, item_b, support, conf_ab_ppm, lift_ppm) for every
-    frequent pair. conf_ab = P(b ∈ basket | a ∈ basket);
-    lift = support·n_baskets / (sup_a·sup_b), both ppm-truncated."""
-    baskets = (
+def _baskets(lineitem: DataFrame) -> DataFrame:
+    """Distinct (basket, item) rows, CLUSTERED BY basket: the one
+    full-data exchange every mining level shares (r13, guide §2.4).
+    Distinct needs rows clustered on (basket, item) and hash(basket)
+    satisfies that, so the explicit basket repartition lets the
+    dedup, the per-basket cap window, AND the in-basket pair/triple
+    generation all run on ONE exchange — the previous shape paid a
+    (basket, item) exchange for the distinct plus a second basket
+    exchange for the window. Trade, documented: the raw rows cross
+    the wire un-deduped (no map-side combine), which is a wash at
+    the low (order, part) duplication any order-lines table has; a
+    corpus with heavy in-basket duplication should reinstate the
+    distinct-first form."""
+    return (
         lineitem.select(
             F.col("l_orderkey").alias("basket"),
             F.col("l_partkey").alias("item"),
         )
+        .repartition("basket")
         .distinct()
     )
+
+
+def _capped_items(
+    baskets: DataFrame, frequent: DataFrame, cap: int
+) -> DataFrame:
+    """(basket, items): each basket's frequent items, ascending,
+    capped at `cap` by item rank — one row per basket, array
+    bounded by the cap, so the collect buffer is model-sized at
+    any corpus scale. No exchange beyond _baskets' when the prune
+    broadcasts (the window and the grouped collect both reuse the
+    basket clustering)."""
+    pruned = baskets.join(
+        frequent.select("item"), "item", "left_semi"
+    )
+    return (
+        pruned.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("basket").orderBy("item")
+            ),
+        )
+        .filter(F.col("rn") <= cap)
+        .groupBy("basket")
+        .agg(F.sort_array(F.collect_list("item")).alias("items"))
+    )
+
+
+def basket_pairs(lineitem: DataFrame) -> DataFrame:
+    """(item_a, item_b, support, conf_ab_ppm, lift_ppm) for every
+    frequent pair. conf_ab = P(b ∈ basket | a ∈ basket);
+    lift = support·n_baskets / (sup_a·sup_b), both ppm-truncated.
+
+    Pair generation (r13 rework): in-basket combinations are
+    generated MAP-SIDE from the capped per-basket item array
+    (ordered nested transform over the ascending items, a < b by
+    construction) instead of a basket-keyed self-join — same pair
+    stream into the same (item_a, item_b) aggregation, one fewer
+    pass over the capped frame, and the whole prune→cap→pair chain
+    rides the single basket-clustered exchange (see _baskets). The
+    per-basket work and memory stay cap²-bounded exactly as the
+    self-join form's were."""
+    baskets = _baskets(lineitem)
     n1 = baskets.agg(
         F.countDistinct("basket").cast("long").alias("n_baskets")
     )
@@ -66,30 +118,27 @@ def basket_pairs(lineitem: DataFrame) -> DataFrame:
     # be the bug the round-8 RI-audit advice removed elsewhere —
     # Catalyst/AQE broadcasts it when (and only when) it fits;
     # with a realistic support threshold at scale it does.
-    pruned = baskets.join(
-        frequent.select("item"), "item", "left_semi"
-    )
-    capped = (
-        pruned.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("basket").orderBy("item")
-            ),
-        )
-        .filter(F.col("rn") <= BASKET_CAP)
-        .drop("rn")
-    )
-    a = capped.alias("a")
-    b = capped.alias("b")
+    capped = _capped_items(baskets, frequent, BASKET_CAP)
+    it = F.col("items")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.basket") == F.col("b.basket"))
-            & (F.col("a.item") < F.col("b.item")),
+        capped.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        it,
+                        lambda x, i: F.transform(
+                            F.slice(it, i + F.lit(2), F.size(it)),
+                            lambda y: F.struct(
+                                x.alias("item_a"), y.alias("item_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
         .groupBy(
-            F.col("a.item").alias("item_a"),
-            F.col("b.item").alias("item_b"),
+            F.col("p.item_a").alias("item_a"),
+            F.col("p.item_b").alias("item_b"),
         )
         .agg(F.count("*").cast("long").alias("support"))
         .filter(F.col("support") >= MIN_SUPPORT)
@@ -393,13 +442,7 @@ def basket_triples(lineitem: DataFrame) -> DataFrame:
     baskets (<= 7 items) capped == raw and the output is identical
     (ADVICE r11).
     """
-    baskets = (
-        lineitem.select(
-            F.col("l_orderkey").alias("basket"),
-            F.col("l_partkey").alias("item"),
-        )
-        .distinct()
-    )
+    baskets = _baskets(lineitem)
     n1 = baskets.agg(
         F.countDistinct("basket").cast("long").alias("n_baskets")
     )
@@ -407,40 +450,52 @@ def basket_triples(lineitem: DataFrame) -> DataFrame:
         F.count("*").cast("long").alias("sup_i")
     )
     frequent = item_sup.filter(F.col("sup_i") >= MIN_SUPPORT)
-    pruned = baskets.join(
-        frequent.select("item"), "item", "left_semi"
-    )
-    capped = (
-        pruned.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("basket").orderBy("item")
-            ),
-        )
-        .filter(F.col("rn") <= TRIPLE_BASKET_CAP)
-        .drop("rn")
-    )
+    capped = _capped_items(baskets, frequent, TRIPLE_BASKET_CAP)
     # lift denominators from the capped frame — same population as
     # the triple supports (see docstring)
-    capped_sup = capped.groupBy("item").agg(
-        F.count("*").cast("long").alias("sup_i")
+    capped_sup = (
+        capped.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count("*").cast("long").alias("sup_i"))
     )
-    a, b, c = capped.alias("a"), capped.alias("b"), capped.alias("c")
+    # In-basket triple combinations map-side (r13, same rework as
+    # basket_pairs): ordered nested transforms over the ascending
+    # capped item array replace BOTH basket-keyed self-joins; for a
+    # at 0-based i, b at 0-based j within the post-a tail, the c
+    # tail starts at 1-based position i+j+3. Work and memory are
+    # C(cap,3)-bounded per basket, mirroring the joins' fan-out.
+    it = F.col("items")
     triples = (
-        a.join(
-            b,
-            (F.col("a.basket") == F.col("b.basket"))
-            & (F.col("a.item") < F.col("b.item")),
-        )
-        .join(
-            c,
-            (F.col("a.basket") == F.col("c.basket"))
-            & (F.col("b.item") < F.col("c.item")),
+        capped.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        it,
+                        lambda a, i: F.flatten(
+                            F.transform(
+                                F.slice(it, i + F.lit(2), F.size(it)),
+                                lambda b, j: F.transform(
+                                    F.slice(
+                                        it,
+                                        i + j + F.lit(3),
+                                        F.size(it),
+                                    ),
+                                    lambda c: F.struct(
+                                        a.alias("item_a"),
+                                        b.alias("item_b"),
+                                        c.alias("item_c"),
+                                    ),
+                                ),
+                            )
+                        ),
+                    )
+                )
+            ).alias("t")
         )
         .groupBy(
-            F.col("a.item").alias("item_a"),
-            F.col("b.item").alias("item_b"),
-            F.col("c.item").alias("item_c"),
+            F.col("t.item_a").alias("item_a"),
+            F.col("t.item_b").alias("item_b"),
+            F.col("t.item_c").alias("item_c"),
         )
         .agg(F.count("*").cast("long").alias("support"))
         .filter(F.col("support") >= MIN_SUPPORT)
