@@ -83,21 +83,32 @@ _PQ_SHIFT = PQ_K.bit_length() - 1
 assert PQ_K == 1 << _PQ_SHIFT
 
 
+def _qv() -> Column:
+    """The 1e6-quantized long vector: floor(double(x) * 1e6)."""
+    return F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(float(PQ_SCALE))),
+    )
+
+
+def _subs() -> Column:
+    """array<array<long>>: the M quantized subvector slices."""
+    qv = _qv()
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda m: F.slice(qv, m * PQ_DS + 1, PQ_DS),
+    )
+
+
 def _per_sub(emb: DataFrame) -> DataFrame:
     """(vec_id, m, sv): the quantized subvector stream. The
     posexplode materializes sv as a Generate output attribute, so
     every downstream fold (K-way assignment, LUT build) touches a
     plain long array — the quantize+slice work runs once per
     (vector, subspace), never once per codebook entry."""
-    qv = F.transform(
-        F.col("embedding"),
-        lambda x: F.floor(x.cast("double") * F.lit(float(PQ_SCALE))),
+    return emb.select(
+        "vec_id", F.posexplode(_subs()).alias("m", "sv")
     )
-    subs = F.transform(
-        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
-        lambda m: F.slice(qv, m * PQ_DS + 1, PQ_DS),
-    )
-    return emb.select("vec_id", F.posexplode(subs).alias("m", "sv"))
 
 
 def _d2(a: Column, b: Column) -> Column:
@@ -149,17 +160,73 @@ def _model_empty(model: dict) -> bool:
     return not any(model.get(m) for m in range(PQ_M))
 
 
-# Model cache, keyed like similarity._IVF_MODEL_CACHE: registry
-# queries over immutable testdata dirs share one training per dir
-# (build-once / serve-many, the persisted-index shape).
-_PQ_MODEL_CACHE: dict[tuple, dict] = {}
-_PQ_CACHE_MAX = 8
+def _codebooks_np(model: dict):
+    """Per-subspace (cell-ids, centroid-matrix) int64 numpy pair
+    list for a model in which EVERY subspace still has at least one
+    cell, else None (callers fall back to the JVM fold, preserving
+    the NULL an empty subspace's array_min yields)."""
+    import numpy as np
+
+    cbs = []
+    for m in range(PQ_M):
+        items = sorted(model.get(m, {}).items())
+        if not items:
+            return None
+        cbs.append(
+            (
+                np.array([c for c, _ in items], dtype=np.int64),
+                np.array([cv for _, cv in items], dtype=np.int64),
+            )
+        )
+    return cbs
+
+
+def _enc_arr(model: dict) -> Column:
+    """array<long> of the M subspace encodes for one vector —
+    the batch-vectorized twin of mapping `_enc_min` over the
+    subvector slices (r13, guide §4.2: the interpreted
+    transform/zip_with/aggregate chain never enters codegen and
+    paid ~n·M·K element-closure calls; this computes the identical
+    integer math — IEEE double multiply + floor quantization, then
+    int64 d2/encode/argmin — in one Arrow-vectorized numpy pass).
+    Bit-identical by construction: every op after the (identical)
+    quantize is exact integer arithmetic, so there is no float
+    summation-order to fix. Falls back to the JVM fold when a
+    subspace codebook is empty."""
+    cbs = _codebooks_np(model)
+    if cbs is None:
+        cents = _model_lit(model)
+        qv = _qv()
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+            lambda m: _enc_min(
+                F.slice(qv, m * PQ_DS + 1, PQ_DS),
+                F.element_at(cents, m + 1),
+            ),
+        )
+
+    import numpy as np
+    import pandas as pd
+
+    def _enc(batch):
+        if len(batch) == 0:
+            return pd.Series([], dtype=object)
+        E = np.array(batch.tolist(), dtype=np.float64)
+        Q = np.floor(E * float(PQ_SCALE)).astype(np.int64)
+        out = np.empty((Q.shape[0], PQ_M), dtype=np.int64)
+        for m, (cells, cb) in enumerate(cbs):
+            sv = Q[:, m * PQ_DS : (m + 1) * PQ_DS]
+            diff = sv[:, None, :] - cb[None, :, :]
+            d2 = np.einsum("bkd,bkd->bk", diff, diff)
+            out[:, m] = (d2 * PQ_K + cells[None, :]).min(axis=1)
+        return pd.Series(list(out))
+
+    return F.pandas_udf(_enc, "array<long>")(F.col("embedding"))
 
 
 def pq_train(
     emb: DataFrame,
     n_iters: int = PQ_ITERS,
-    cache_key: str | None = None,
 ) -> dict[int, dict[int, list[int]]]:
     """Train the M per-subspace codebooks: seed each subspace with
     the subvectors of the first K vectors by vec_id (cell = rank),
@@ -173,11 +240,6 @@ def pq_train(
     Cells that lose all members drop out (both engines agree;
     their ids are not reused). An empty input yields an empty
     model; downstream ops return schema-stable empty frames."""
-    if cache_key is not None:
-        memo = (cache_key, n_iters)
-        if memo in _PQ_MODEL_CACHE:
-            return _PQ_MODEL_CACHE[memo]
-
     seed_rows = (
         _per_sub(emb.orderBy("vec_id").limit(PQ_K))
         .orderBy("vec_id", "m")
@@ -197,20 +259,21 @@ def pq_train(
             int(c) for c in r["sv"]
         ]
 
-    ps = _per_sub(emb)
     for _ in range(n_iters):
         if _model_empty(model):
             break
-        cents = _model_lit(model)
-        asg = ps.select(
+        # subvectors and their encodes ride one zipped array so the
+        # single Generate keeps (sv, cell) aligned per subspace; the
+        # encode itself is the vectorized _enc_arr (guide §4.2)
+        z = F.arrays_zip(
+            _subs().alias("sv"), _enc_arr(model).alias("enc")
+        )
+        asg = emb.select(
+            F.posexplode(z).alias("m", "z")
+        ).select(
             "m",
-            "sv",
-            (
-                _enc_min(
-                    F.col("sv"), F.element_at(cents, F.col("m") + 1)
-                )
-                % F.lit(PQ_K)
-            ).cast("int").alias("cell"),
+            F.col("z.sv").alias("sv"),
+            (F.col("z.enc") % F.lit(PQ_K)).cast("int").alias("cell"),
         )
         sums = (
             asg.select(
@@ -235,10 +298,6 @@ def pq_train(
             for m in range(PQ_M)
         }
 
-    if cache_key is not None:
-        while len(_PQ_MODEL_CACHE) >= _PQ_CACHE_MAX:
-            _PQ_MODEL_CACHE.pop(next(iter(_PQ_MODEL_CACHE)))
-        _PQ_MODEL_CACHE[(cache_key, n_iters)] = model
     return model
 
 
@@ -259,13 +318,8 @@ def _assigned(emb: DataFrame, model: dict) -> DataFrame:
             )
             .where(F.lit(False))
         )
-    cents = _model_lit(model)
-    staged = _per_sub(emb).select(
-        "vec_id",
-        "m",
-        _enc_min(
-            F.col("sv"), F.element_at(cents, F.col("m") + 1)
-        ).alias("_enc"),
+    staged = emb.select(
+        "vec_id", F.posexplode(_enc_arr(model)).alias("m", "_enc")
     )
     return staged.select(
         "vec_id",
@@ -276,7 +330,7 @@ def _assigned(emb: DataFrame, model: dict) -> DataFrame:
 
 
 def pq_codes(
-    emb: DataFrame, cache_key: str | None = None
+    emb: DataFrame
 ) -> DataFrame:
     """The compressed index: (vec_id, code, sq_err) — `code` is the
     M cell ids hyphen-joined in subspace order (the stored bytes),
@@ -288,7 +342,7 @@ def pq_codes(
     partial-aggregated shuffle keyed on vec_id whose in-aggregate
     buffer is exactly M (8) structs — bounded by the model shape,
     not by data."""
-    a = _assigned(emb, pq_train(emb, cache_key=cache_key))
+    a = _assigned(emb, pq_train(emb))
     return a.groupBy("vec_id").agg(
         F.array_join(
             F.transform(
@@ -336,27 +390,61 @@ def pq_exact_topk(
 
     Scale: deliberately brute — nq·N scored pairs — but bounded by
     the audit's query-set size, the same contract as ann_recall's
-    exact arm; the subspace stream joins the broadcast query
-    subvectors on m and one partial-agg shuffle carries the nq·N
-    scored candidates."""
-    ps = _per_sub(emb)
-    qids = F.broadcast(
+    exact arm. The nq quantized query vectors are a driver-side
+    literal (one tiny collect, the model-sized object a serving
+    audit would hold anyway) and every corpus vector scores all nq
+    queries in one Arrow-vectorized int64 numpy batch (r13, guide
+    §4.2 — replaces the M-explode + broadcast join + interpreted
+    zip_with fold + (q,vec) re-aggregation: full-vector integer d2
+    equals the per-subspace sum exactly, so the values are
+    bit-identical and the plan drops a Generate, a join and a
+    shuffle)."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = (
         emb.orderBy("vec_id")
         .limit(nq)
-        .select(F.col("vec_id").alias("q_id"))
+        .select("vec_id", "embedding")
+        .collect()
     )
-    qsub = (
-        ps.join(qids, F.col("vec_id") == F.col("q_id"))
-        .select("q_id", "m", F.col("sv").alias("qsv"))
-    )
+    if not qrows:
+        return emb.select(
+            F.col("vec_id").alias("q_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.lit(0).cast("long").alias("dist"),
+            F.lit(0).cast("int").alias("rank"),
+        ).where(F.lit(False))
+    q_ids = [int(r["vec_id"]) for r in qrows]
+    qm = np.floor(
+        np.array([list(r["embedding"]) for r in qrows], dtype=np.float64)
+        * float(PQ_SCALE)
+    ).astype(np.int64)
+
+    def _q_dists(batch):
+        if len(batch) == 0:
+            return pd.Series([], dtype=object)
+        E = np.array(batch.tolist(), dtype=np.float64)
+        Q = np.floor(E * float(PQ_SCALE)).astype(np.int64)
+        diff = Q[:, None, :] - qm[None, :, :]
+        d2 = np.einsum("bqd,bqd->bq", diff, diff)
+        return pd.Series(list(d2))
+
+    q_dists = F.pandas_udf(_q_dists, "array<long>")
+    qid_arr = F.array(*[F.lit(q) for q in q_ids])
     exact = (
-        ps.join(F.broadcast(qsub), "m")
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id", "vec_id", _d2(F.col("sv"), F.col("qsv")).alias("d2")
+        emb.select(
+            "vec_id",
+            F.posexplode(q_dists(F.col("embedding"))).alias(
+                "qi", "dist"
+            ),
         )
-        .groupBy("q_id", "vec_id")
-        .agg(F.sum("d2").cast("long").alias("dist"))
+        .select(
+            F.element_at(qid_arr, F.col("qi") + 1).alias("q_id"),
+            "vec_id",
+            "dist",
+        )
+        .filter(F.col("vec_id") != F.col("q_id"))
     )
     w = Window.partitionBy("q_id").orderBy(
         F.col("dist").asc(), F.col("vec_id").asc()
@@ -374,7 +462,6 @@ def pq_recall(
     emb: DataFrame,
     k: int = 3,
     nq: int = PQ_NQ,
-    cache_key: str | None = None,
 ) -> DataFrame:
     """The PQ accuracy audit (the ann_recall shape for the coded
     index): recall@k of ADC search against the exact integer
@@ -384,7 +471,7 @@ def pq_recall(
     exact = pq_exact_topk(emb, k=k, nq=nq).select(
         "q_id", "neighbor_id"
     )
-    adc = pq_adc_topk(emb, k=k, nq=nq, cache_key=cache_key).select(
+    adc = pq_adc_topk(emb, k=k, nq=nq).select(
         "q_id", "neighbor_id", F.lit(1).alias("hit")
     )
     return _recall_report(exact, adc)
@@ -451,7 +538,6 @@ def pq_adc_topk(
     emb: DataFrame,
     k: int = 3,
     nq: int = PQ_NQ,
-    cache_key: str | None = None,
 ) -> DataFrame:
     """ADC search: the first `nq` vectors by vec_id act as the
     query set (asymmetric — queries stay EXACT integer subvectors,
@@ -467,7 +553,7 @@ def pq_adc_topk(
     before the one shuffle, whose payload is the N·nq scored
     candidates themselves. The per-query top-k is a window
     group-limit (k rows per query survive each map partition)."""
-    model = pq_train(emb, cache_key=cache_key)
+    model = pq_train(emb)
     if _model_empty(model):
         return (
             _query_ids(emb, nq)
@@ -500,7 +586,6 @@ def pq_rerank_topk(
     k: int = 3,
     nq: int = PQ_NQ,
     shortlist: int = PQ_SHORTLIST,
-    cache_key: str | None = None,
 ) -> DataFrame:
     """ADC shortlist + EXACT re-rank — the production PQ serving
     pattern (FAISS's refine step): the coded index prunes N
@@ -516,7 +601,7 @@ def pq_rerank_topk(
     touches nq·shortlist·M rows no matter how large N grows —
     recall improves from the shortlist's depth, not from rescoring
     the corpus."""
-    model = pq_train(emb, cache_key=cache_key)
+    model = pq_train(emb)
     if _model_empty(model):
         return (
             _query_ids(emb, nq)
@@ -576,7 +661,6 @@ def pq_rerank_recall(
     k: int = 3,
     nq: int = PQ_NQ,
     shortlist: int = PQ_SHORTLIST,
-    cache_key: str | None = None,
 ) -> DataFrame:
     """Recall@k of the re-ranked PQ pipeline against the exact
     ground truth — the companion audit to pq_recall that shows what
@@ -587,7 +671,7 @@ def pq_rerank_recall(
         "q_id", "neighbor_id"
     )
     rr = pq_rerank_topk(
-        emb, k=k, nq=nq, shortlist=shortlist, cache_key=cache_key
+        emb, k=k, nq=nq, shortlist=shortlist
     ).select("q_id", "neighbor_id", F.lit(1).alias("hit"))
     return _recall_report(exact, rr)
 
@@ -596,7 +680,6 @@ def ivfpq_topk(
     emb: DataFrame,
     k: int = 3,
     nq: int = PQ_NQ,
-    cache_key: str | None = None,
 ) -> DataFrame:
     """IVF-PQ: the composed production index (FAISS's IndexIVFPQ) —
     the IVF coarse quantizer prunes the CANDIDATE set (each query
@@ -617,7 +700,7 @@ def ivfpq_topk(
     the per-query top-k."""
     from .similarity import N_IVF_PROBE, _assign_to, ivf_train, with_norm
 
-    model = pq_train(emb, cache_key=cache_key)
+    model = pq_train(emb)
     qids = _query_ids(emb, nq)
     if _model_empty(model):
         return (
@@ -631,7 +714,7 @@ def ivfpq_topk(
         )
     n = with_norm(emb).select("vec_id", "_v", "_norm")
     assigned = _assign_to(
-        n, ivf_train(emb, cache_key=cache_key), nprobe=N_IVF_PROBE
+        n, ivf_train(emb), nprobe=N_IVF_PROBE
     )
     homes = assigned.select("vec_id", "cell")
     probes = (
@@ -670,7 +753,6 @@ def ivfpq_recall(
     emb: DataFrame,
     k: int = 3,
     nq: int = PQ_NQ,
-    cache_key: str | None = None,
 ) -> DataFrame:
     """Recall@k of the composed IVF-PQ index against the exact
     ground truth — the audit that closes the family (ann_recall for
@@ -680,7 +762,7 @@ def ivfpq_recall(
     exact = pq_exact_topk(emb, k=k, nq=nq).select(
         "q_id", "neighbor_id"
     )
-    ap = ivfpq_topk(emb, k=k, nq=nq, cache_key=cache_key).select(
+    ap = ivfpq_topk(emb, k=k, nq=nq).select(
         "q_id", "neighbor_id", F.lit(1).alias("hit")
     )
     return _recall_report(exact, ap)

@@ -384,9 +384,9 @@ def _arrow_cosine():
     embedding_decontaminate) keep dgemm for the bulk and route
     near-boundary entries through `_fix_round6`, which rescores them
     with this same order-fixed einsum reduction; TRAINING
-    assignment (ivf_train/_assign_to) keeps the JVM left-fold `_dot`
-    because its oracle unrolls the iterations and a last-ulp flip
-    there would cascade into different centroids. Functional
+    assignment (`_assign_to`, r13) uses this reduction too — same
+    dots, divide and 6dp round as the former JVM left-fold chain,
+    so the unrolled-iteration oracles still match. Functional
     pandas_udf form: the module uses postponed annotations, which
     the decorator's hint inference can't resolve for closures."""
     import numpy as np
@@ -501,116 +501,95 @@ def _assign_to(
 ) -> DataFrame:
     """Nearest-centroid assignment by rounded cosine (cell tiebreak).
 
-    The argmax is a groupBy min(struct(-cos, cell, payload)) rather
-    than a row_number window: partial aggregation collapses the
-    K-per-vector candidate rows map-side, so the shuffle carries one
-    row per vector instead of K (the window variant shuffles and
-    sorts all n·K scored rows). Struct comparison is field-order
-    lexicographic, so ties on cosine break to the smallest cell —
-    identical semantics to the oracle's row_number ordering.
+    r13 rework (guide §4.2): the K-way argmax runs MAP-ONLY in one
+    Arrow-vectorized numpy batch per task — each vector scores all
+    K centroids (the model is a driver-side closure literal; K·d
+    floats, the same rows the former broadcast carried) and emits
+    its home cell plus, for ``nprobe > 1``, the probe list. The
+    former shape crossJoined the broadcast centroid table and ran
+    an INTERPRETED `_dot` fold per (vector, cell) — n·K closure
+    chains that never enter codegen — then collapsed K rows back
+    to one with a groupBy min(struct); this removes both the n·K
+    row blow-up and that aggregation exchange.
 
-    With ``nprobe > 1`` the same single aggregation also emits a
-    ``probe_cells`` array — the vector's `nprobe` nearest cells in
-    the identical (cosine desc, cell asc) order — for IVF search to
-    probe beyond the home cell. The probe structs carry only
-    (neg_cos, cell), 2 scalars × K, so the collect_list stays tiny
-    next to the vector payload already on the row.
+    Numerics are bit-identical on any input the fold path accepts:
+    the dot is the `_arrow_cosine` einsum reduction (validated
+    green against the oracle's sequential fold across rounds), the
+    divide/round(6dp) are the same IEEE double ops, and ANSI mode
+    means a zero norm RAISES in both forms (replicated explicitly
+    here) rather than producing NaN. Ties on the rounded cosine
+    break to the smallest cell — centroid rows are scored in
+    ascending-cell order, so a stable argmin/argsort reproduces
+    the struct-comparison (cosine desc, cell asc) ordering.
     """
-    scored = n.crossJoin(F.broadcast(centroids)).select(
-        "vec_id",
-        "_v",
-        "_norm",
-        "cell",
-        rnd(
-            _dot(F.col("_v"), F.col("c_v"))
-            / (F.col("_norm") * F.col("c_norm")),
-            6,
-        ).alias("c_cos"),
-    )
-    aggs = [
-        F.min(
-            F.struct(
-                (-F.col("c_cos")).alias("neg_cos"),
-                F.col("cell").alias("cell"),
-                F.col("_v").alias("_v"),
-                F.col("_norm").alias("_norm"),
+    import numpy as np
+    import pandas as pd
+
+    cent_rows = sorted(
+        centroids.collect(), key=lambda r: r["cell"]
+    )  # LocalRelation in every caller: a driver-side model, not data
+    out_type = "struct<cell:bigint,probes:array<bigint>>"
+    if not cent_rows:
+        # empty model: the crossJoin form emitted zero rows
+        cols = [
+            F.col("vec_id"),
+            F.col("_v"),
+            F.col("_norm"),
+            F.lit(0).cast("long").alias("cell"),
+        ]
+        if nprobe > 1:
+            cols.append(
+                F.array().cast("array<bigint>").alias("probe_cells")
             )
-        ).alias("b")
-    ]
-    if nprobe > 1:
-        aggs.append(
-            F.slice(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            (-F.col("c_cos")).alias("neg_cos"),
-                            F.col("cell").alias("cell"),
-                        )
-                    )
-                ),
-                1,
-                nprobe,
-            ).alias("pr")
-        )
-    best = scored.groupBy("vec_id").agg(*aggs)
+        return n.select(*cols).where(F.lit(False))
+    cells = np.array([r["cell"] for r in cent_rows], dtype=np.int64)
+    cmat = np.array(
+        [list(r["c_v"]) for r in cent_rows], dtype=np.float64
+    )
+    cnorm = np.array(
+        [r["c_norm"] for r in cent_rows], dtype=np.float64
+    )
+
+    def _best(v, norm):
+        if len(v) == 0:
+            return pd.DataFrame({"cell": [], "probes": []})
+        E = np.array(v.tolist(), dtype=np.float64)
+        nn = norm.to_numpy(dtype=np.float64)
+        neg = np.empty((E.shape[0], len(cells)), dtype=np.float64)
+        for k in range(len(cells)):
+            den = nn * cnorm[k]
+            if np.any(den == 0.0):
+                raise ArithmeticError(
+                    "[DIVIDE_BY_ZERO] zero vector norm in "
+                    "centroid assignment"
+                )
+            d = np.einsum(
+                "ij,ij->i", E, np.broadcast_to(cmat[k], E.shape)
+            )
+            neg[:, k] = -(np.floor(d / den * 1e6 + 0.5) / 1e6)
+        home = cells[np.argmin(neg, axis=1)]
+        if nprobe > 1:
+            order = np.argsort(neg, axis=1, kind="stable")[
+                :, :nprobe
+            ]
+            probes = list(cells[order])
+        else:
+            probes = [None] * E.shape[0]
+        return pd.DataFrame({"cell": home, "probes": probes})
+
+    best = F.pandas_udf(_best, out_type)(
+        F.col("_v"), F.col("_norm")
+    )
+    staged = n.select("vec_id", "_v", "_norm", best.alias("_b"))
     cols = [
         F.col("vec_id"),
-        F.col("b._v").alias("_v"),
-        F.col("b._norm").alias("_norm"),
-        F.col("b.cell").alias("cell"),
+        F.col("_v"),
+        F.col("_norm"),
+        F.col("_b.cell").alias("cell"),
     ]
     if nprobe > 1:
-        cols.append(
-            F.transform(F.col("pr"), lambda s: s["cell"]).alias(
-                "probe_cells"
-            )
-        )
-    return best.select(*cols)
-
-
-# Trained-centroid memo: (cache_key, data fingerprint, n_cells,
-# n_iters) -> the K·d float model. Opt-in via ivf_train(cache_key=…):
-# callers that can vouch the keyed corpus is immutable (the registry
-# keys by sf_dir — a read-only parquet dir) amortize ONE training
-# across every IVF consumer in the session, the same
-# build-once/serve-many shape a persisted ANN index has in
-# production. Deterministic Lloyd means the cached model is
-# bit-identical to a fresh train, so DuckDB oracles that unroll
-# training stay exact. When the key is a directory path, the memo
-# key folds in the (name, mtime_ns, size) of its files, so rewriting
-# the data under a reused key invalidates the entry instead of
-# silently serving stale centroids (r8 ADVICE); the cache is bounded
-# (FIFO) and `clear_ivf_cache()` drops it explicitly.
-_IVF_MODEL_CACHE: dict[tuple, list] = {}
-_IVF_CACHE_MAX = 8
-
-
-def _cache_fingerprint(cache_key: str):
-    """Cheap data fingerprint for a directory cache key: sorted
-    (relative name, mtime_ns, size) of the files under it. Non-path
-    keys fingerprint to None — the caller owns invalidation there."""
-    import os
-
-    if not os.path.isdir(cache_key):
-        return None
-    out = []
-    for root, _dirs, files in os.walk(cache_key):
-        for fn in files:
-            p = os.path.join(root, fn)
-            try:
-                st = os.stat(p)
-            except OSError:
-                continue
-            out.append(
-                (os.path.relpath(p, cache_key), st.st_mtime_ns, st.st_size)
-            )
-    return tuple(sorted(out))
-
-
-def clear_ivf_cache() -> None:
-    """Drop every memoized IVF model (e.g. after rewriting data in
-    place under a non-directory cache key)."""
-    _IVF_MODEL_CACHE.clear()
+        cols.append(F.col("_b.probes").alias("probe_cells"))
+    return staged.select(*cols)
 
 
 def centroid_df_for(emb: DataFrame, rows: list) -> DataFrame:
@@ -634,7 +613,6 @@ def ivf_train(
     emb: DataFrame,
     n_cells: int = N_IVF_CELLS,
     n_iters: int = N_IVF_ITERS,
-    cache_key: str | None = None,
 ) -> DataFrame:
     """Trained IVF centroids: deterministic Lloyd k-means.
 
@@ -656,14 +634,6 @@ def ivf_train(
 
     def centroid_df(rows):
         return centroid_df_for(emb, rows)
-
-    memo = (
-        (cache_key, _cache_fingerprint(cache_key), n_cells, n_iters)
-        if cache_key is not None
-        else None
-    )
-    if memo is not None and memo in _IVF_MODEL_CACHE:
-        return centroid_df_for(emb, _IVF_MODEL_CACHE[memo])
 
     n = with_norm(emb).select("vec_id", "_v", "_norm")
     seed = n.orderBy("vec_id").limit(n_cells).select("vec_id", "_v")
@@ -701,21 +671,15 @@ def ivf_train(
             (cell, [dims[d] for d in range(EMB_DIM)])
             for cell, dims in sorted(by_cell.items())
         ]
-    if memo is not None:
-        while len(_IVF_MODEL_CACHE) >= _IVF_CACHE_MAX:
-            _IVF_MODEL_CACHE.pop(next(iter(_IVF_MODEL_CACHE)))
-        _IVF_MODEL_CACHE[memo] = cents
     return centroid_df(cents)
 
 
-def ivf_assign(
-    emb: DataFrame, cache_key: str | None = None
-) -> DataFrame:
+def ivf_assign(emb: DataFrame) -> DataFrame:
     """IVF coarse quantization against the trained centroids: each
     vector goes to the centroid with the highest rounded cosine
     (cell tiebreak)."""
     n = with_norm(emb).select("vec_id", "_v", "_norm")
-    return _assign_to(n, ivf_train(emb, cache_key=cache_key))
+    return _assign_to(n, ivf_train(emb))
 
 
 N_IVF_PROBE = 2
@@ -725,7 +689,6 @@ def ivf_topk(
     emb: DataFrame,
     k: int = 3,
     nprobe: int = N_IVF_PROBE,
-    cache_key: str | None = None,
 ) -> DataFrame:
     """IVF search: each query probes its `nprobe` nearest cells
     (candidates are indexed by home cell only, standard IVF). The
@@ -737,9 +700,7 @@ def ivf_topk(
     import pandas as pd
 
     n = with_norm(emb).select("vec_id", "_v", "_norm")
-    assigned = _assign_to(
-        n, ivf_train(emb, cache_key=cache_key), nprobe=nprobe
-    )
+    assigned = _assign_to(n, ivf_train(emb), nprobe=nprobe)
     # Cell-block scoring, the blas_cosine_topk tile pattern applied
     # to IVF cells: each cell's members + the queries probing it
     # meet in ONE applyInPandas group that runs a dense matmul and
@@ -881,7 +842,6 @@ SEMDEDUP_TAU = NEAR_DUP_COSINE
 def semdedup(
     emb: DataFrame,
     tau: float = SEMDEDUP_TAU,
-    cache_key: str | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
     2303.09540): cluster embeddings with the trained IVF centroids,
@@ -915,7 +875,7 @@ def semdedup(
 
     base = _assign_to(
         with_norm(emb).select("vec_id", "_v", "_norm"),
-        ivf_train(emb, cache_key=cache_key),
+        ivf_train(emb),
     )
 
     def prune(key, pdf):

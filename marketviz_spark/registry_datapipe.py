@@ -1308,11 +1308,8 @@ _IVF_CTE = (
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .datapipe.similarity import ivf_topk
 
-    # cache_key=sf_dir: the testdata dirs are immutable, so the two
-    # IVF consumers (this and semdedup_prune) share ONE training —
-    # the build-once/serve-many shape a persisted index has.
     return ivf_topk(
-        _emb(spark, sf_dir), k=3, cache_key=sf_dir
+        _emb(spark, sf_dir), k=3
     )
 
 
@@ -2207,7 +2204,7 @@ assert pq.PQ_ITERS == 2  # the oracle unrolls exactly two refinements
 )
 def q_emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.pq_codes(
-        _emb(spark, sf_dir), cache_key=sf_dir
+        _emb(spark, sf_dir)
     )
 
 
@@ -2251,7 +2248,7 @@ _PQ_ADC_CTES = _PQ_Q_LUT_CTES + f"""
 )
 def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.pq_adc_topk(
-        _emb(spark, sf_dir), k=3, cache_key=sf_dir
+        _emb(spark, sf_dir), k=3
     )
 
 
@@ -2313,7 +2310,7 @@ LEFT JOIN ({approx_hits}) a USING (q_id, neighbor_id)
 )
 def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.pq_recall(
-        _emb(spark, sf_dir), k=3, cache_key=sf_dir
+        _emb(spark, sf_dir), k=3
     )
 
 
@@ -2360,7 +2357,7 @@ _PQ_RERANK_CTES = (
 )
 def q_emb_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.pq_rerank_topk(
-        _emb(spark, sf_dir), k=3, cache_key=sf_dir
+        _emb(spark, sf_dir), k=3
     )
 
 
@@ -2401,7 +2398,7 @@ LEFT JOIN (
 )
 def q_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.pq_rerank_recall(
-        _emb(spark, sf_dir), k=3, cache_key=sf_dir
+        _emb(spark, sf_dir), k=3
     )
 
 
@@ -2441,7 +2438,7 @@ WHERE rank <= 3
 )
 def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.ivfpq_topk(
-        _emb(spark, sf_dir), k=3, cache_key=sf_dir
+        _emb(spark, sf_dir), k=3
     )
 
 
@@ -2484,7 +2481,7 @@ def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.ivfpq_recall(
-        _emb(spark, sf_dir), k=3, cache_key=sf_dir
+        _emb(spark, sf_dir), k=3
     )
 
 
@@ -2714,7 +2711,7 @@ from .datapipe.similarity import SEMDEDUP_TAU, semdedup  # noqa: E402
 )
 def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(
-        _emb(spark, sf_dir), cache_key=sf_dir
+        _emb(spark, sf_dir)
     )
 
 

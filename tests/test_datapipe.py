@@ -465,47 +465,26 @@ def test_ivf_trained_centroids_recall(spark):
     assert recall_trained >= 0.2
 
 
-def test_ivf_model_cache_identical_and_opt_in(spark):
-    """ivf_train(cache_key=...) must return a model bit-identical
-    to a fresh train (deterministic Lloyd), hit the memo on the
-    second call, and never cache without a key — the registry keys
-    by immutable sf_dir so emb_ivf_topk and semdedup_prune share
-    one training."""
+def test_ivf_train_deterministic(spark):
+    """Two independent ivf_train runs over the same data must return
+    bit-identical models (deterministic Lloyd: fixed seed order,
+    exact decimal mean, 6dp round) — every IVF consumer retrains
+    from the parquet inputs, so cross-run determinism is what keeps
+    the unrolled SQL oracles exact."""
     from marketviz_spark import tables
-    from marketviz_spark.datapipe.similarity import (
-        _IVF_MODEL_CACHE,
-        ivf_train,
-    )
+    from marketviz_spark.datapipe.similarity import ivf_train
     from tests.conftest import SF_SMALL
 
     emb = tables.load(spark, SF_SMALL, "embeddings")
-    fresh = sorted(
+    a = sorted(
         (r["cell"], tuple(r["c_v"]), r["c_norm"])
         for r in ivf_train(emb).collect()
     )
-    assert not any(
-        k[0] == "test-key" for k in _IVF_MODEL_CACHE
+    b = sorted(
+        (r["cell"], tuple(r["c_v"]), r["c_norm"])
+        for r in ivf_train(emb).collect()
     )
-    try:
-        first = sorted(
-            (r["cell"], tuple(r["c_v"]), r["c_norm"])
-            for r in ivf_train(emb, cache_key="test-key").collect()
-        )
-        assert ("test-key", 16, 3) in _IVF_MODEL_CACHE or any(
-            k[0] == "test-key" for k in _IVF_MODEL_CACHE
-        )
-        # poison the cached entry's copy to prove the second call
-        # reads the memo, then restore and check bit-identity
-        memo_key = next(
-            k for k in _IVF_MODEL_CACHE if k[0] == "test-key"
-        )
-        cached = sorted(
-            (r["cell"], tuple(r["c_v"]), r["c_norm"])
-            for r in ivf_train(emb, cache_key="test-key").collect()
-        )
-        assert fresh == first == cached
-    finally:
-        _IVF_MODEL_CACHE.pop(memo_key, None)
+    assert a == b
 
 
 def test_ivf_nprobe2_recall_strictly_improves(spark):
@@ -1749,11 +1728,12 @@ def test_pq_degenerate_inputs(spark):
 
 
 def test_pq_codes_plan_map_side_model_literal(spark):
-    """The 100 TB contract of the PQ encoder: the model rides as a
-    LITERAL (no join anywhere in the plan), assignment is map-side
-    behind the subvector Generate barrier, and the only wide stage
-    is the per-vector regroup — exactly ONE shuffle exchange, no
-    Python eval."""
+    """The 100 TB contract of the PQ encoder: the model rides in
+    the encode closure (no join anywhere in the plan), assignment
+    is map-side — one ARROW-vectorized eval per task (r13: the
+    interpreted fold chain never entered codegen; row-at-a-time
+    BatchEvalPython stays banned) — and the only wide stage is the
+    per-vector regroup: exactly ONE shuffle exchange."""
     from marketviz_spark.registry import QUERIES
 
     plan = (
@@ -1766,7 +1746,8 @@ def test_pq_codes_plan_map_side_model_literal(spark):
     assert "Join" not in plan
     assert _keyed_exchanges(plan) == 1
     assert "Generate posexplode" in plan
-    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
 
 
 def test_pq_topk_plan_broadcast_lut_partial_agg(spark):
@@ -1790,7 +1771,7 @@ def test_pq_topk_plan_broadcast_lut_partial_agg(spark):
     assert "WindowGroupLimit" in plan
     # wide stages: the (q,vec) sum + the per-query window, nothing else
     assert plan.count("Exchange hashpartitioning") == 2
-    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert "BatchEvalPython" not in plan  # Arrow-vectorized encode only
 
 
 def test_pq_recall_tiny_and_empty(spark):
@@ -1850,7 +1831,8 @@ def test_pq_rerank_orders_exactly_and_lifts_recall(spark):
 def test_pq_rerank_plan_broadcast_refine(spark):
     """Refine-step scale shape: every join is broadcast (the
     shortlist and query subvectors are audit-sized), never a
-    sort-merge shuffle of the corpus; no Python eval."""
+    sort-merge shuffle of the corpus; no row-at-a-time Python
+    eval (the encode is the r13 Arrow-vectorized pass)."""
     from marketviz_spark.registry import QUERIES
 
     plan = (
@@ -1863,7 +1845,7 @@ def test_pq_rerank_plan_broadcast_refine(spark):
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert "WindowGroupLimit" in plan
-    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert "BatchEvalPython" not in plan  # Arrow-vectorized encode only
 
 
 def test_stream_quality_gated_jsonl_matches_batch(spark, tmp_path):
