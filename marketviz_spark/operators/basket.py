@@ -334,11 +334,11 @@ def item_recommendations(
     # reverse direction: conf = support/sup_b, recomputed from the
     # symmetric fields support·n_baskets·10⁶/(sup_a·sup_b) × sup_a
     # is NOT recoverable from the row alone — rejoin the supports.
-    baskets = lineitem.select(
-        F.col("l_orderkey").alias("basket"),
-        F.col("l_partkey").alias("item"),
-    ).distinct()
-    item_sup = baskets.groupBy("item").agg(
+    # Same _baskets subtree as the miner (r13): the identical
+    # repartition+distinct plan lets AQE reuse the miner's exchange
+    # instead of paying a second full lineitem pass (the former
+    # plain distinct here could never line up with it).
+    item_sup = _baskets(lineitem).groupBy("item").agg(
         F.count("*").cast("long").alias("sup_i")
     )
     rev = (

@@ -383,6 +383,14 @@ def kcore(
         return df.localCheckpoint(eager=True)
 
     cur = ckpt(edges.select("src", "dst").distinct())
+    # Early exit at the fixed point (r13): peeling only ever REMOVES
+    # edges, so an unchanged edge count after a round means no node
+    # fell below k — every remaining round is the identity and the
+    # output (including the certificate) is unchanged by skipping
+    # them. The count runs over the just-checkpointed blocks (no
+    # recompute), one light job per executed round in exchange for
+    # the converged tail's full peel jobs (3 shuffles each).
+    prev_n = cur.count()
     for _ in range(iters):
         keep = (
             cur.groupBy("src")
@@ -395,6 +403,10 @@ def kcore(
             .join(keep.withColumnRenamed("src", "dst"), "dst")
             .select("src", "dst")
         )
+        n = cur.count()
+        if n == prev_n:
+            break
+        prev_n = n
     deg = cur.groupBy("src").agg(
         F.count("*").cast("long").alias("core_deg")
     )
