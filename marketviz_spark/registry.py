@@ -2704,7 +2704,9 @@ def q_ts_corr_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature is sized right (the ann_recall pattern for series)."""
     from .operators.timeseries import corr_recall
 
-    return corr_recall(tables.stocks(spark, sf_dir))
+    # fan=False: measured-regressed under the widening shuffle
+    # (r13 adjudicator 1.50x iso; A/B 3.25-3.50 s fan vs 2.60 s)
+    return corr_recall(tables.stocks(spark, sf_dir, fan=False))
 
 @register(
     "dq_documents_gate",

@@ -2772,7 +2772,9 @@ def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="per-document OOV rate vs the corpus top-K vocabulary, integer-exact (datapipe curation)",
 )
 def q_oov_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return oov_rates(_docs(spark, sf_dir))
+    # fan=False: measured-regressed under the widening shuffle
+    # (r13 adjudicator 1.46x iso; A/B 1.03-1.18 s fan vs 0.63 s)
+    return oov_rates(_docs(spark, sf_dir, fan=False))
 
 
 # ----------------------------------------------------------------------
