@@ -63,6 +63,7 @@ all; this module extends the beyond-reference training-data layer
 from __future__ import annotations
 
 import math
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -689,8 +690,13 @@ def ivfpq_topk(
     (q_id, neighbor_id, adc_dist, rank), self excluded.
 
     Both trainings are the repo's existing verified loops
-    (similarity.ivf_train, pq_train), shared per data dir through
-    their model caches — the build-once/serve-many shape.
+    (similarity.ivf_train, pq_train), retrained from the input on
+    every invocation. They are INDEPENDENT driver-resident job
+    ladders (seed collect + fixed Lloyd rounds of one small job
+    each), so they run from two driver threads and their jobs
+    interleave on the cluster (optimization guide §2.6 — overlap
+    independent jobs; each model is a pure function of `emb`, so
+    results are identical to the sequential order).
 
     Scale: the probe list (nq·nprobe rows) broadcasts; the
     candidate pair list is |cell-members| x |queries probing the
@@ -700,7 +706,11 @@ def ivfpq_topk(
     the per-query top-k."""
     from .similarity import N_IVF_PROBE, _assign_to, ivf_train, with_norm
 
-    model = pq_train(emb)
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        pq_fut = ex.submit(pq_train, emb)
+        ivf_fut = ex.submit(ivf_train, emb)
+        model = pq_fut.result()
+        ivf_model = ivf_fut.result()
     qids = _query_ids(emb, nq)
     if _model_empty(model):
         return (
@@ -713,9 +723,7 @@ def ivfpq_topk(
             .where(F.lit(False))
         )
     n = with_norm(emb).select("vec_id", "_v", "_norm")
-    assigned = _assign_to(
-        n, ivf_train(emb), nprobe=N_IVF_PROBE
-    )
+    assigned = _assign_to(n, ivf_model, nprobe=N_IVF_PROBE)
     homes = assigned.select("vec_id", "cell")
     probes = (
         assigned.join(qids, F.col("vec_id") == F.col("q_id"))
