@@ -468,11 +468,26 @@ def pq_recall(
     index): recall@k of ADC search against the exact integer
     ground truth over the same queries. One report row:
     (n_queries, n_exact, n_hits, recall_ppm) — recall in exact
-    integer parts-per-million, so the row hashes cross-engine."""
-    exact = pq_exact_topk(emb, k=k, nq=nq).select(
-        "q_id", "neighbor_id"
-    )
-    adc = pq_adc_topk(emb, k=k, nq=nq).select(
+    integer parts-per-million, so the row hashes cross-engine.
+
+    r13 batch 8 (guide §2.6 — overlap independent jobs): the exact
+    ground-truth arm is independent of the trained model, so it
+    materializes (tiny nq·k localCheckpoint) in a driver thread
+    WHILE the pq_train ladder runs — the training jobs are
+    driver-latency-bound and leave the executors mostly idle, so the
+    exact arm's corpus pass back-fills them. Values are unchanged:
+    both arms are pure functions of `emb`; the checkpoint only cuts
+    the exact subtree out of the final plan (it is recomputed fresh
+    on every invocation)."""
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        exact_fut = ex.submit(
+            lambda: pq_exact_topk(emb, k=k, nq=nq)
+            .select("q_id", "neighbor_id")
+            .localCheckpoint()
+        )
+        model = pq_train(emb)
+        exact = exact_fut.result()
+    adc = pq_adc_topk(emb, k=k, nq=nq, _model=model).select(
         "q_id", "neighbor_id", F.lit(1).alias("hit")
     )
     return _recall_report(exact, adc)
@@ -539,6 +554,7 @@ def pq_adc_topk(
     emb: DataFrame,
     k: int = 3,
     nq: int = PQ_NQ,
+    _model: dict | None = None,
 ) -> DataFrame:
     """ADC search: the first `nq` vectors by vec_id act as the
     query set (asymmetric — queries stay EXACT integer subvectors,
@@ -554,7 +570,7 @@ def pq_adc_topk(
     before the one shuffle, whose payload is the N·nq scored
     candidates themselves. The per-query top-k is a window
     group-limit (k rows per query survive each map partition)."""
-    model = pq_train(emb)
+    model = pq_train(emb) if _model is None else _model
     if _model_empty(model):
         return (
             _query_ids(emb, nq)
@@ -587,6 +603,7 @@ def pq_rerank_topk(
     k: int = 3,
     nq: int = PQ_NQ,
     shortlist: int = PQ_SHORTLIST,
+    _model: dict | None = None,
 ) -> DataFrame:
     """ADC shortlist + EXACT re-rank — the production PQ serving
     pattern (FAISS's refine step): the coded index prunes N
@@ -602,7 +619,7 @@ def pq_rerank_topk(
     touches nq·shortlist·M rows no matter how large N grows —
     recall improves from the shortlist's depth, not from rescoring
     the corpus."""
-    model = pq_train(emb)
+    model = pq_train(emb) if _model is None else _model
     if _model_empty(model):
         return (
             _query_ids(emb, nq)
@@ -667,12 +684,18 @@ def pq_rerank_recall(
     ground truth — the companion audit to pq_recall that shows what
     the refine step buys back (a true neighbor is recovered iff it
     survives into the ADC shortlist; the exact re-rank then orders
-    it correctly). Same one-row integer report as pq_recall."""
-    exact = pq_exact_topk(emb, k=k, nq=nq).select(
-        "q_id", "neighbor_id"
-    )
+    it correctly). Same one-row integer report as pq_recall, and the
+    same §2.6 exact-arm/training overlap (see pq_recall)."""
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        exact_fut = ex.submit(
+            lambda: pq_exact_topk(emb, k=k, nq=nq)
+            .select("q_id", "neighbor_id")
+            .localCheckpoint()
+        )
+        model = pq_train(emb)
+        exact = exact_fut.result()
     rr = pq_rerank_topk(
-        emb, k=k, nq=nq, shortlist=shortlist
+        emb, k=k, nq=nq, shortlist=shortlist, _model=model
     ).select("q_id", "neighbor_id", F.lit(1).alias("hit"))
     return _recall_report(exact, rr)
 
@@ -681,6 +704,7 @@ def ivfpq_topk(
     emb: DataFrame,
     k: int = 3,
     nq: int = PQ_NQ,
+    _models: tuple | None = None,
 ) -> DataFrame:
     """IVF-PQ: the composed production index (FAISS's IndexIVFPQ) —
     the IVF coarse quantizer prunes the CANDIDATE set (each query
@@ -706,11 +730,16 @@ def ivfpq_topk(
     the per-query top-k."""
     from .similarity import N_IVF_PROBE, _assign_to, ivf_train, with_norm
 
-    with ThreadPoolExecutor(max_workers=2) as ex:
-        pq_fut = ex.submit(pq_train, emb)
-        ivf_fut = ex.submit(ivf_train, emb)
-        model = pq_fut.result()
-        ivf_model = ivf_fut.result()
+    if _models is None:
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            pq_fut = ex.submit(pq_train, emb)
+            ivf_fut = ex.submit(ivf_train, emb)
+            model = pq_fut.result()
+            ivf_model = ivf_fut.result()
+    else:
+        # recall audits pass the models they trained while their
+        # exact ground-truth arm materialized (guide §2.6)
+        model, ivf_model = _models
     qids = _query_ids(emb, nq)
     if _model_empty(model):
         return (
@@ -722,12 +751,28 @@ def ivfpq_topk(
             )
             .where(F.lit(False))
         )
+    # r13 batch 8 (guide §2.4): homes and probes used to be two
+    # references to one nprobe=N_IVF_PROBE assignment frame, which
+    # the physical plan expanded into two FULL-corpus assignment
+    # subtrees — and the probe branch threw away all but the nq query
+    # rows AFTER assigning every vector. The home pass now runs
+    # nprobe=1 (same home cell — the probe list is an argsort prefix
+    # whose first entry is the argmin) over the corpus, and the probe
+    # pass assigns ONLY the nq query vectors (broadcast semi-join
+    # first, then assign): the second corpus-sized Arrow pass becomes
+    # an nq-row one. Zero-norm ANSI raise behavior is unchanged —
+    # every corpus vector still passes through the home assignment.
     n = with_norm(emb).select("vec_id", "_v", "_norm")
-    assigned = _assign_to(n, ivf_model, nprobe=N_IVF_PROBE)
-    homes = assigned.select("vec_id", "cell")
+    homes = _assign_to(n, ivf_model).select("vec_id", "cell")
+    qn = n.join(qids, F.col("vec_id") == F.col("q_id")).select(
+        "vec_id", "_v", "_norm"
+    )
     probes = (
-        assigned.join(qids, F.col("vec_id") == F.col("q_id"))
-        .select("q_id", F.explode("probe_cells").alias("cell"))
+        _assign_to(qn, ivf_model, nprobe=N_IVF_PROBE)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.explode("probe_cells").alias("cell"),
+        )
     )
     pairs = (
         homes.join(F.broadcast(probes), "cell")
@@ -766,11 +811,27 @@ def ivfpq_recall(
     ground truth — the audit that closes the family (ann_recall for
     LSH, pq_recall for plain ADC, pq_rerank_recall for the refine
     step): losses here combine CELL misses (the true neighbor's
-    home cell was not probed) with CODE distortion."""
-    exact = pq_exact_topk(emb, k=k, nq=nq).select(
-        "q_id", "neighbor_id"
-    )
-    ap = ivfpq_topk(emb, k=k, nq=nq).select(
-        "q_id", "neighbor_id", F.lit(1).alias("hit")
-    )
+    home cell was not probed) with CODE distortion.
+
+    r13 batch 8 (guide §2.6): all THREE independent pieces — the PQ
+    training ladder, the IVF training ladder, and the exact
+    ground-truth arm — run concurrently from driver threads (the
+    batch-7 overlap covered the two trainings; the exact arm's corpus
+    pass now back-fills the same window). Each is a pure function of
+    `emb`, so the result is identical to the sequential order."""
+    from .similarity import ivf_train
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        exact_fut = ex.submit(
+            lambda: pq_exact_topk(emb, k=k, nq=nq)
+            .select("q_id", "neighbor_id")
+            .localCheckpoint()
+        )
+        pq_fut = ex.submit(pq_train, emb)
+        ivf_model = ivf_train(emb)
+        model = pq_fut.result()
+        exact = exact_fut.result()
+    ap = ivfpq_topk(
+        emb, k=k, nq=nq, _models=(model, ivf_model)
+    ).select("q_id", "neighbor_id", F.lit(1).alias("hit"))
     return _recall_report(exact, ap)

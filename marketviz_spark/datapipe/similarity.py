@@ -577,7 +577,17 @@ def _assign_to(
             probes = [None] * E.shape[0]
         return pd.DataFrame({"cell": home, "probes": probes})
 
-    best = F.pandas_udf(_best, out_type)(
+    # asNondeterministic (guide §4.4): consumers join/explode on the
+    # assignment's fields, and the optimizer was pushing the inferred
+    # predicates (isnotnull(cell), size(probes)>0) below the scan
+    # fan-out exchange by DUPLICATING the whole UDF call — two full
+    # Arrow assignment passes over the corpus per branch (measured in
+    # plans/r13/*_prebatch8.txt, nodes 3+8). The assignment is a pure
+    # function of (_v, _norm); the flag only forbids the optimizer
+    # from re-evaluating or reordering it, never changes a value. The
+    # inferred filters it blocks were no-ops anyway (cell is never
+    # null; every vector probes >= 1 cell).
+    best = F.pandas_udf(_best, out_type).asNondeterministic()(
         F.col("_v"), F.col("_norm")
     )
     staged = n.select("vec_id", "_v", "_norm", best.alias("_b"))
@@ -714,21 +724,48 @@ def ivf_topk(
     # (at 100 TB also salt the query side per cell, same candidate
     # replication trick as the LSH bucket cap). A pair meets in
     # exactly one group: candidates are indexed by home cell only.
-    cand = assigned.select(
-        "vec_id", "_v", "_norm", "cell", F.lit("c").alias("side")
+    # One assignment pass (r13 batch 8, guide §2.4/§4.4): the former
+    # cand/qry UNION referenced `assigned` twice, so the physical plan
+    # re-ran the scan + norm fold + Arrow assignment once per branch
+    # (and predicate pushdown through the fan-out exchange duplicated
+    # the UDF again inside the qry branch — 3 full corpus passes,
+    # plans/r13/emb_ivf_topk_prebatch8.txt). Emitting each vector's
+    # home entry ('c') and its probe entries ('q') from ONE explode
+    # over a struct array keeps a single assignment subtree. The row
+    # multiset is identical to the union; `score` separates sides per
+    # cell group exactly as before. explode_outer (not explode): the
+    # array always holds >= 1 + nprobe entries, so the outer form
+    # emits the same rows while keeping the optimizer from inferring
+    # a size()>0 filter it would push below the exchange by cloning
+    # the UDF.
+    probe_src = (
+        F.col("probe_cells") if nprobe > 1 else F.array(F.col("cell"))
     )
-    qry = assigned.select(
-        "vec_id",
-        "_v",
-        "_norm",
-        F.explode(
-            F.col("probe_cells")
-            if nprobe > 1
-            else F.array(F.col("cell"))
-        ).alias("cell"),
-        F.lit("q").alias("side"),
+    entries = F.concat(
+        F.array(
+            F.struct(
+                F.col("cell").alias("cell"), F.lit("c").alias("side")
+            )
+        ),
+        F.transform(
+            probe_src,
+            lambda pc: F.struct(
+                pc.alias("cell"), F.lit("q").alias("side")
+            ),
+        ),
     )
-    both = cand.unionByName(qry)
+    both = (
+        assigned.select(
+            "vec_id", "_v", "_norm", F.explode_outer(entries).alias("e")
+        )
+        .select(
+            "vec_id",
+            "_v",
+            "_norm",
+            F.col("e.cell").alias("cell"),
+            F.col("e.side").alias("side"),
+        )
+    )
 
     def score(key, pdf):
         Q = pdf[pdf["side"] == "q"]
