@@ -723,3 +723,35 @@ def test_exact_rank_paths_no_single_partition_window(spark):
         assert "ExistingRDD" in plan, (
             f"{name}: missing the pinned phase-1 range materialization"
         )
+
+
+def test_ivf_assignment_single_pass(spark):
+    """r13 batch 8: the Arrow centroid assignment runs exactly ONCE
+    over the corpus in emb_ivf_topk. The former cand/qry union
+    rebuilt the scan+norm+assignment subtree per branch, and the
+    optimizer cloned the UDF a third time by pushing the inferred
+    size(probes)>0 filter below the fan-out exchange (the UDF is now
+    nondeterministic, which forbids that). Pinned: one executed
+    ArrowEvalPython, one parquet scan, and the home+probe entry
+    Generate ABOVE the assignment (explode of the combined struct
+    array, not of a re-assigned branch)."""
+    plan = _plan(QUERIES["emb_ivf_topk"].fn(spark, SF_SMALL))
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert plan.count("Scan parquet") == 1, plan
+    gen = plan.index("Generate explode")
+    arrow = plan.index("ArrowEvalPython")
+    assert gen < arrow, plan  # top-down text: explode consumes the UDF
+
+
+def test_ivfpq_probe_assignment_query_sized(spark):
+    """r13 batch 8: emb_ivfpq_topk probe-assigns ONLY the nq query
+    vectors — the corpus-wide Arrow passes are the home assignment
+    and the PQ encode; the probe branch's assignment sits ABOVE a
+    broadcast join with the tiny query-id frame, so its input is
+    nq rows however large the corpus grows."""
+    plan = _plan(QUERIES["emb_ivfpq_topk"].fn(spark, SF_SMALL))
+    # three corpus-scale Arrow evals total: home assignment, PQ
+    # encode (codes), query-side encode for the LUT; plus the nq-row
+    # probe assignment = 4. The prebatch8 plan had 5 (two of them
+    # full-corpus duplicates).
+    assert plan.count("ArrowEvalPython") <= 4, plan
