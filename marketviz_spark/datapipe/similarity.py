@@ -497,7 +497,10 @@ N_IVF_ITERS = 2
 
 
 def _assign_to(
-    n: DataFrame, centroids: DataFrame, nprobe: int = 1
+    n: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 1,
+    allow_reeval: bool = False,
 ) -> DataFrame:
     """Nearest-centroid assignment by rounded cosine (cell tiebreak).
 
@@ -587,9 +590,19 @@ def _assign_to(
     # from re-evaluating or reordering it, never changes a value. The
     # inferred filters it blocks were no-ops anyway (cell is never
     # null; every vector probes >= 1 cell).
-    best = F.pandas_udf(_best, out_type).asNondeterministic()(
-        F.col("_v"), F.col("_norm")
-    )
+    #
+    # allow_reeval=True keeps the UDF deterministic for the ONE
+    # consumer where the optimizer's freedom to re-derive predicates
+    # through it is load-bearing: ivf_search_index's probe side must
+    # seed DYNAMIC PARTITION PRUNING of the cell-partitioned postings
+    # scan (the on-disk inverted-list lookup), and DPP will not build
+    # a pruning subquery over a nondeterministic expression. There
+    # the input is the nq-row query set, so a duplicated evaluation
+    # costs nq rows, not a corpus pass.
+    udf = F.pandas_udf(_best, out_type)
+    if not allow_reeval:
+        udf = udf.asNondeterministic()
+    best = udf(F.col("_v"), F.col("_norm"))
     staged = n.select("vec_id", "_v", "_norm", best.alias("_b"))
     cols = [
         F.col("vec_id"),

@@ -68,7 +68,12 @@ def ivf_search_index(
     cents = spark.read.parquet(os.path.join(root, "centroids"))
     postings = spark.read.parquet(os.path.join(root, "postings"))
     qn = with_norm(queries).select("vec_id", "_v", "_norm")
-    qa = _assign_to(qn, cents, nprobe=nprobe)
+    # allow_reeval: the probe join must seed dynamic partition
+    # pruning of the cell-partitioned postings scan, and DPP refuses
+    # nondeterministic expressions; the query set is tiny, so the
+    # optimizer re-evaluating the assignment UDF around its inferred
+    # filters costs nq rows (see _assign_to).
+    qa = _assign_to(qn, cents, nprobe=nprobe, allow_reeval=True)
     probes = qa.select(
         "vec_id",
         "_v",
