@@ -84,6 +84,56 @@ _PQ_SHIFT = PQ_K.bit_length() - 1
 assert PQ_K == 1 << _PQ_SHIFT
 
 
+# How many prefix rows every model/query consumer needs: the PQ seed
+# takes the first PQ_K vectors, the IVF seed the first N_IVF_CELLS
+# (== PQ_K here), the audit query set the first PQ_NQ.
+_PREFIX_N = max(PQ_K, PQ_NQ)
+
+
+def _prefix_rows(emb: DataFrame, n: int = _PREFIX_N) -> list:
+    """The first `n` (vec_id, embedding) rows by vec_id — ONE tiny
+    driver collect (r14, guide §2.6/§5): the PQ seed, the IVF seed,
+    the audit query-id set, the ADC lookup-table queries and the
+    exact ground-truth arm all consume exactly this prefix, and each
+    used to run its own sort-limit job (or worse, a corpus-scan
+    semi-join subtree inside the final plan). The prefix is
+    model-sized (16 vectors), the same driver-resident object the
+    training ladders already hold. Rows are re-sorted driver-side so
+    callers never depend on collect order."""
+    rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(n)
+        .collect()
+    )
+    return sorted(rows, key=lambda r: r["vec_id"])
+
+
+def _quant_list(embedding) -> list[int]:
+    """floor(double(x) * 1e6) per component, driver-side — the same
+    one IEEE multiply + floor on the float32→double widening `_qv`
+    computes plan-side (Python floats ARE IEEE doubles, so the
+    arithmetic is bit-identical)."""
+    return [
+        math.floor(float(x) * float(PQ_SCALE)) for x in embedding
+    ]
+
+
+def _seed_model(rows: list) -> dict[int, dict[int, list[int]]]:
+    """The PQ seed model from the first PQ_K prefix rows: cell i of
+    every subspace is vector i's quantized subvector slice — exactly
+    the (vec_id rank → cell) mapping the former seed collect built
+    from the exploded subvector stream."""
+    model: dict[int, dict[int, list[int]]] = {
+        m: {} for m in range(PQ_M)
+    }
+    for i, r in enumerate(rows[:PQ_K]):
+        qv = _quant_list(r["embedding"])
+        for m in range(PQ_M):
+            model[m][i] = qv[m * PQ_DS : (m + 1) * PQ_DS]
+    return model
+
+
 def _qv() -> Column:
     """The 1e6-quantized long vector: floor(double(x) * 1e6)."""
     return F.transform(
@@ -228,6 +278,7 @@ def _enc_arr(model: dict) -> Column:
 def pq_train(
     emb: DataFrame,
     n_iters: int = PQ_ITERS,
+    _prefix: list | None = None,
 ) -> dict[int, dict[int, list[int]]]:
     """Train the M per-subspace codebooks: seed each subspace with
     the subvectors of the first K vectors by vec_id (cell = rank),
@@ -240,25 +291,15 @@ def pq_train(
     M·K·(d/M)-row component-sum table — the only thing collected.
     Cells that lose all members drop out (both engines agree;
     their ids are not reused). An empty input yields an empty
-    model; downstream ops return schema-stable empty frames."""
-    seed_rows = (
-        _per_sub(emb.orderBy("vec_id").limit(PQ_K))
-        .orderBy("vec_id", "m")
-        .collect()
-    )  # K quantized seed vectors x M — the model seed, tiny
-    seed_cell = {
-        v: i
-        for i, v in enumerate(
-            sorted({r["vec_id"] for r in seed_rows})
-        )
-    }
-    model: dict[int, dict[int, list[int]]] = {
-        m: {} for m in range(PQ_M)
-    }
-    for r in seed_rows:
-        model[r["m"]][seed_cell[r["vec_id"]]] = [
-            int(c) for c in r["sv"]
-        ]
+    model; downstream ops return schema-stable empty frames.
+
+    ``_prefix`` (r14, guide §2.6): the `_prefix_rows` collect,
+    passed in by consumers that already hold it so one prefix job
+    serves the PQ seed, the IVF seed and the query set — the seed
+    quantize/slice runs driver-side on 16 vectors with bit-identical
+    arithmetic (see `_quant_list`)."""
+    rows = _prefix_rows(emb, PQ_K) if _prefix is None else _prefix
+    model = _seed_model(rows)
 
     for _ in range(n_iters):
         if _model_empty(model):
@@ -381,7 +422,10 @@ def _recall_report(exact: DataFrame, approx: DataFrame) -> DataFrame:
 
 
 def pq_exact_topk(
-    emb: DataFrame, k: int = 3, nq: int = PQ_NQ
+    emb: DataFrame,
+    k: int = 3,
+    nq: int = PQ_NQ,
+    _prefix: list | None = None,
 ) -> DataFrame:
     """Ground truth for the ADC audit: EXACT integer squared-L2
     top-k for the first `nq` queries over the full (uncoded)
@@ -404,11 +448,8 @@ def pq_exact_topk(
     import pandas as pd
 
     qrows = (
-        emb.orderBy("vec_id")
-        .limit(nq)
-        .select("vec_id", "embedding")
-        .collect()
-    )
+        _prefix_rows(emb, nq) if _prefix is None else _prefix
+    )[:nq]
     if not qrows:
         return emb.select(
             F.col("vec_id").alias("q_id"),
@@ -478,72 +519,105 @@ def pq_recall(
     exact arm's corpus pass back-fills them. Values are unchanged:
     both arms are pure functions of `emb`; the checkpoint only cuts
     the exact subtree out of the final plan (it is recomputed fresh
-    on every invocation)."""
+    on every invocation). r14: ONE prefix collect feeds the seed,
+    the query set and the exact arm (guide §2.6), and a failed
+    training cancels/surfaces the exact future instead of silently
+    dropping its error (r13 ADVICE)."""
+    prefix = _prefix_rows(emb)
     with ThreadPoolExecutor(max_workers=2) as ex:
         exact_fut = ex.submit(
-            lambda: pq_exact_topk(emb, k=k, nq=nq)
+            lambda: pq_exact_topk(emb, k=k, nq=nq, _prefix=prefix)
             .select("q_id", "neighbor_id")
             .localCheckpoint()
         )
-        model = pq_train(emb)
+        try:
+            model = pq_train(emb, _prefix=prefix)
+        except BaseException:
+            exact_fut.cancel()
+            raise
         exact = exact_fut.result()
-    adc = pq_adc_topk(emb, k=k, nq=nq, _model=model).select(
-        "q_id", "neighbor_id", F.lit(1).alias("hit")
-    )
+    adc = pq_adc_topk(
+        emb, k=k, nq=nq, _model=model, _prefix=prefix
+    ).select("q_id", "neighbor_id", F.lit(1).alias("hit"))
     return _recall_report(exact, adc)
 
 
-def _query_ids(emb: DataFrame, nq: int) -> DataFrame:
+def _query_ids(
+    emb: DataFrame, nq: int, _prefix: list | None = None
+) -> DataFrame:
+    """The nq-row audit query-id set as a broadcast LocalRelation
+    (r14): the former sort-limit subtree re-scanned the corpus
+    inside every consuming plan; the ids are the `_prefix_rows`
+    prefix the caller already holds (collected fresh per
+    invocation when not passed)."""
+    rows = _prefix_rows(emb, nq) if _prefix is None else _prefix
+    ids = [(int(r["vec_id"]),) for r in rows[:nq]]
     return F.broadcast(
-        emb.orderBy("vec_id")
-        .limit(nq)
-        .select(F.col("vec_id").alias("q_id"))
+        emb.sparkSession.createDataFrame(ids, "q_id long")
     )
 
 
-def _query_subs(emb: DataFrame, nq: int) -> DataFrame:
-    """(q_id, m, sv): the query set's exact quantized subvectors."""
-    return (
-        _per_sub(emb)
-        .join(_query_ids(emb, nq), F.col("vec_id") == F.col("q_id"))
-        .select("q_id", "m", "sv")
-    )
-
-
-def _adc_lut(emb: DataFrame, model: dict, nq: int) -> DataFrame:
-    """(q_id, m, cell, d2): the per-query subspace lookup table —
-    nq·M·K rows, always broadcastable."""
-    cents = _model_lit(model)
-    return _query_subs(emb, nq).select(
-        "q_id",
-        "m",
-        F.explode(
-            F.transform(
-                F.element_at(cents, F.col("m") + 1),
-                lambda e: F.struct(
-                    e["cell"].alias("cell"),
-                    _d2(F.col("sv"), e["cv"]).alias("d2"),
-                ),
+def _query_subs(
+    emb: DataFrame, nq: int, _prefix: list | None = None
+) -> DataFrame:
+    """(q_id, m, sv): the query set's exact quantized subvectors as
+    a LocalRelation (nq·M rows) computed driver-side from the prefix
+    (r14 — replaces a full corpus subvector scan semi-joined down to
+    nq rows inside every audit plan; `_quant_list` is bit-identical
+    to the plan-side quantize)."""
+    rows = _prefix_rows(emb, nq) if _prefix is None else _prefix
+    data = []
+    for r in rows[:nq]:
+        qv = _quant_list(r["embedding"])
+        for m in range(PQ_M):
+            data.append(
+                (int(r["vec_id"]), m, qv[m * PQ_DS : (m + 1) * PQ_DS])
             )
-        ).alias("e"),
-    ).select(
-        "q_id",
-        "m",
-        F.col("e.cell").alias("cell"),
-        F.col("e.d2").alias("d2"),
+    return emb.sparkSession.createDataFrame(
+        data, "q_id long, m int, sv array<bigint>"
+    )
+
+
+def _adc_lut(
+    emb: DataFrame, model: dict, nq: int, _prefix: list | None = None
+) -> DataFrame:
+    """(q_id, m, cell, d2): the per-query subspace lookup table —
+    nq·M·K rows, always broadcastable. Computed DRIVER-SIDE (r14,
+    guide §2.4): the queries are the prefix the caller holds and the
+    model is a driver dict, so the LUT is pure integer arithmetic
+    over model-sized inputs — the former plan-side form re-scanned
+    the whole corpus (posexplode + semi-join + literal-codebook
+    explode) just to produce these 1,024 rows inside every ADC
+    plan. Integer d2 is order-free exact, identical in Python."""
+    rows = _prefix_rows(emb, nq) if _prefix is None else _prefix
+    data = []
+    for r in rows[:nq]:
+        q_id = int(r["vec_id"])
+        qv = _quant_list(r["embedding"])
+        for m in range(PQ_M):
+            sv = qv[m * PQ_DS : (m + 1) * PQ_DS]
+            for cell, cv in sorted(model.get(m, {}).items()):
+                d2 = sum(
+                    (a - b) * (a - b) for a, b in zip(sv, cv)
+                )
+                data.append((q_id, m, int(cell), d2))
+    return F.broadcast(
+        emb.sparkSession.createDataFrame(
+            data, "q_id long, m int, cell int, d2 long"
+        )
     )
 
 
 def _adc_scored(
-    emb: DataFrame, model: dict, nq: int
+    emb: DataFrame, model: dict, nq: int, _prefix: list | None = None
 ) -> DataFrame:
     """(q_id, vec_id, adc_dist): every (query, vector) candidate
     scored through the code lookup table — the shared core of the
     plain ADC top-k and the re-ranked variant."""
-    lut = _adc_lut(emb, model, nq)
+    lut = _adc_lut(emb, model, nq, _prefix)
     codes = _assigned(emb, model).select("vec_id", "m", "cell")
     return (
-        codes.join(F.broadcast(lut), ["m", "cell"])
+        codes.join(lut, ["m", "cell"])
         .filter(F.col("vec_id") != F.col("q_id"))
         .groupBy("q_id", "vec_id")
         .agg(F.sum("d2").cast("long").alias("adc_dist"))
@@ -555,6 +629,7 @@ def pq_adc_topk(
     k: int = 3,
     nq: int = PQ_NQ,
     _model: dict | None = None,
+    _prefix: list | None = None,
 ) -> DataFrame:
     """ADC search: the first `nq` vectors by vec_id act as the
     query set (asymmetric — queries stay EXACT integer subvectors,
@@ -570,10 +645,12 @@ def pq_adc_topk(
     before the one shuffle, whose payload is the N·nq scored
     candidates themselves. The per-query top-k is a window
     group-limit (k rows per query survive each map partition)."""
-    model = pq_train(emb) if _model is None else _model
+    if _prefix is None:
+        _prefix = _prefix_rows(emb)
+    model = pq_train(emb, _prefix=_prefix) if _model is None else _model
     if _model_empty(model):
         return (
-            _query_ids(emb, nq)
+            _query_ids(emb, nq, _prefix)
             .select(
                 "q_id",
                 F.lit(0).cast("long").alias("neighbor_id"),
@@ -582,7 +659,7 @@ def pq_adc_topk(
             )
             .where(F.lit(False))
         )
-    scored = _adc_scored(emb, model, nq)
+    scored = _adc_scored(emb, model, nq, _prefix)
     w = Window.partitionBy("q_id").orderBy(
         F.col("adc_dist").asc(), F.col("vec_id").asc()
     )
@@ -604,6 +681,7 @@ def pq_rerank_topk(
     nq: int = PQ_NQ,
     shortlist: int = PQ_SHORTLIST,
     _model: dict | None = None,
+    _prefix: list | None = None,
 ) -> DataFrame:
     """ADC shortlist + EXACT re-rank — the production PQ serving
     pattern (FAISS's refine step): the coded index prunes N
@@ -619,10 +697,12 @@ def pq_rerank_topk(
     touches nq·shortlist·M rows no matter how large N grows —
     recall improves from the shortlist's depth, not from rescoring
     the corpus."""
-    model = pq_train(emb) if _model is None else _model
+    if _prefix is None:
+        _prefix = _prefix_rows(emb)
+    model = pq_train(emb, _prefix=_prefix) if _model is None else _model
     if _model_empty(model):
         return (
-            _query_ids(emb, nq)
+            _query_ids(emb, nq, _prefix)
             .select(
                 "q_id",
                 F.lit(0).cast("long").alias("neighbor_id"),
@@ -631,7 +711,7 @@ def pq_rerank_topk(
             )
             .where(F.lit(False))
         )
-    scored = _adc_scored(emb, model, nq)
+    scored = _adc_scored(emb, model, nq, _prefix)
     ws = Window.partitionBy("q_id").orderBy(
         F.col("adc_dist").asc(), F.col("vec_id").asc()
     )
@@ -640,29 +720,27 @@ def pq_rerank_topk(
         .filter(F.col("_r") <= shortlist)
         .select("q_id", F.col("vec_id").alias("neighbor_id"))
     )
-    qsub = _query_subs(emb, nq).select(
-        F.col("q_id").alias("_qq"),
-        F.col("m").alias("_qm"),
-        F.col("sv").alias("qsv"),
-    )
+    # r14 refine (guide §4.2/§2.4): the corpus joins the BROADCAST
+    # nq·shortlist pair list first, then one Arrow eval rescores each
+    # surviving row against the driver-resident quantized query
+    # matrix with a FULL-VECTOR integer d2 (== the per-subspace sum,
+    # exactly — the pq_exact_topk identity). The former shape
+    # re-quantized the whole corpus through the interpreted _per_sub
+    # explode and paid a (q, neighbor) re-aggregation shuffle to sum
+    # the M subspace terms.
     exact = (
-        _per_sub(emb)
+        emb.select("vec_id", "embedding")
         .join(
             F.broadcast(short),
             F.col("vec_id") == F.col("neighbor_id"),
         )
-        .join(
-            F.broadcast(qsub),
-            (F.col("q_id") == F.col("_qq"))
-            & (F.col("m") == F.col("_qm")),
-        )
         .select(
             "q_id",
             "neighbor_id",
-            _d2(F.col("sv"), F.col("qsv")).alias("d2"),
+            _exact_dist_udf(_prefix, nq)(
+                F.col("embedding"), F.col("q_id")
+            ).alias("dist"),
         )
-        .groupBy("q_id", "neighbor_id")
-        .agg(F.sum("d2").cast("long").alias("dist"))
     )
     w = Window.partitionBy("q_id").orderBy(
         F.col("dist").asc(), F.col("neighbor_id").asc()
@@ -685,19 +763,190 @@ def pq_rerank_recall(
     the refine step buys back (a true neighbor is recovered iff it
     survives into the ADC shortlist; the exact re-rank then orders
     it correctly). Same one-row integer report as pq_recall, and the
-    same §2.6 exact-arm/training overlap (see pq_recall)."""
+    same §2.6 exact-arm/training overlap + shared prefix collect +
+    failure-path future cancel (see pq_recall)."""
+    prefix = _prefix_rows(emb)
     with ThreadPoolExecutor(max_workers=2) as ex:
         exact_fut = ex.submit(
-            lambda: pq_exact_topk(emb, k=k, nq=nq)
+            lambda: pq_exact_topk(emb, k=k, nq=nq, _prefix=prefix)
             .select("q_id", "neighbor_id")
             .localCheckpoint()
         )
-        model = pq_train(emb)
+        try:
+            model = pq_train(emb, _prefix=prefix)
+        except BaseException:
+            exact_fut.cancel()
+            raise
         exact = exact_fut.result()
     rr = pq_rerank_topk(
-        emb, k=k, nq=nq, shortlist=shortlist, _model=model
+        emb, k=k, nq=nq, shortlist=shortlist, _model=model,
+        _prefix=prefix,
     ).select("q_id", "neighbor_id", F.lit(1).alias("hit"))
     return _recall_report(exact, rr)
+
+
+def _prefix_norm_df(
+    emb: DataFrame, prefix: list, nq: int
+) -> DataFrame:
+    """(vec_id, _v, _norm) for the first nq prefix rows as a
+    LocalRelation — the query side of the IVF probe assignment
+    (r14): the former shape semi-joined the full `with_norm` corpus
+    down to nq rows, paying a corpus scan + norm fold inside the
+    plan. `_v` is the same float→double widening and `_norm` the
+    same left-to-right fold `with_norm` computes (the
+    centroid_df_for arithmetic), so values are bit-identical."""
+    data = []
+    for r in prefix[:nq]:
+        v = [float(x) for x in r["embedding"]]
+        s = 0.0
+        for x in v:
+            s = s + x * x
+        data.append((int(r["vec_id"]), v, math.sqrt(s)))
+    return emb.sparkSession.createDataFrame(
+        data, "vec_id long, _v array<double>, _norm double"
+    )
+
+
+def _probe_rows(
+    prefix: list, ivf_rows: list, nq: int, nprobe: int
+) -> list[tuple[int, int]]:
+    """(q_id, cell) probe list computed DRIVER-side (r14, guide
+    §2.6/§5): both inputs are driver-resident model-sized objects —
+    the nq prefix query vectors and the K IVF centroids — so the
+    probe assignment is a tiny numpy argsort on the driver, not a
+    pandas-UDF eval over an nq-row frame inside the plan. The
+    arithmetic is `_assign_to._best` verbatim (float→double widen,
+    einsum dot, IEEE divide, 6dp floor-round, stable argsort over
+    ascending cells, ANSI zero-norm raise), so the probe list is
+    bit-identical to the former in-plan assignment."""
+    import numpy as np
+
+    cells = np.array([r["cell"] for r in ivf_rows], dtype=np.int64)
+    cmat = np.array(
+        [list(r["c_v"]) for r in ivf_rows], dtype=np.float64
+    )
+    cnorm = np.array(
+        [r["c_norm"] for r in ivf_rows], dtype=np.float64
+    )
+    out: list[tuple[int, int]] = []
+    for r in prefix[:nq]:
+        v = np.array(
+            [float(x) for x in r["embedding"]], dtype=np.float64
+        )
+        s = 0.0
+        for x in v:
+            s = s + x * x
+        nn = math.sqrt(s)
+        den = nn * cnorm
+        if np.any(den == 0.0):
+            raise ArithmeticError(
+                "[DIVIDE_BY_ZERO] zero vector norm in "
+                "centroid assignment"
+            )
+        d = cmat @ v
+        neg = -(np.floor(d / den * 1e6 + 0.5) / 1e6)
+        order = np.argsort(neg, kind="stable")[:nprobe]
+        out.extend(
+            (int(r["vec_id"]), int(c)) for c in cells[order]
+        )
+    return out
+
+
+def _exact_dist_udf(prefix: list, nq: int):
+    """long d2(embedding, query q_id) over the nq driver-resident
+    quantized query vectors — the rerank refine's exact rescore as
+    ONE Arrow eval on the broadcast-joined shortlist rows (r14,
+    guide §4.2/§2.4: the former refine re-quantized the WHOLE corpus
+    through the interpreted `_per_sub` explode, joined two broadcast
+    tables and paid a (q, neighbor) re-aggregation shuffle to sum M
+    subspace terms — full-vector integer d2 equals the per-subspace
+    sum exactly, the pq_exact_topk identity)."""
+    import numpy as np
+    import pandas as pd
+
+    rows = prefix[:nq]
+    q_ids = np.array(
+        [int(r["vec_id"]) for r in rows], dtype=np.int64
+    )
+    qsort = np.argsort(q_ids)
+    q_ids = q_ids[qsort]
+    qm = np.array(
+        [_quant_list(rows[i]["embedding"]) for i in qsort],
+        dtype=np.int64,
+    )
+
+    def _fn(emb_s, qid_s):
+        if len(emb_s) == 0:
+            return pd.Series([], dtype="int64")
+        E = np.array(emb_s.tolist(), dtype=np.float64)
+        Q = np.floor(E * float(PQ_SCALE)).astype(np.int64)
+        qi = np.searchsorted(q_ids, qid_s.to_numpy(dtype=np.int64))
+        diff = Q - qm[qi]
+        return pd.Series(np.einsum("bd,bd->b", diff, diff))
+
+    return F.pandas_udf(_fn, "long")
+
+
+def _home_enc_udf(ivf_rows: list, model: dict):
+    """ONE Arrow pass computing each corpus vector's IVF home cell
+    AND its PQ encode array (r14, guide §2.4 — remove shuffles
+    outright): ivfpq_topk previously ran two separate corpus Arrow
+    passes (home assignment, PQ encode) and then shuffle-joined the
+    corpus-sized code table back onto the candidate pairs on
+    vec_id. Fusing them makes the candidate pair list carry its
+    codes, so the pairs⋈codes exchange pair disappears and the plan
+    is: one scan → one ArrowEval → broadcast probe join → broadcast
+    LUT join → one partial-agg shuffle.
+
+    Numerics: the home argmin is `_assign_to._best` verbatim
+    (einsum dot, IEEE divide, 6dp floor-round, ascending-cell
+    stable argmin, ANSI zero-norm raise); the encode is
+    `_enc_arr._enc` verbatim (exact int64). Marked
+    asNondeterministic for the same §4.4 reason as `_assign_to`:
+    consumers join on the emitted cell, and optimizer-inferred
+    no-op predicates must not clone a corpus-wide Arrow pass."""
+    import numpy as np
+    import pandas as pd
+
+    cells = np.array([r["cell"] for r in ivf_rows], dtype=np.int64)
+    cmat = np.array(
+        [list(r["c_v"]) for r in ivf_rows], dtype=np.float64
+    )
+    cnorm = np.array(
+        [r["c_norm"] for r in ivf_rows], dtype=np.float64
+    )
+    cbs = _codebooks_np(model)
+
+    def _fn(v, norm):
+        if len(v) == 0:
+            return pd.DataFrame({"cell": [], "enc": []})
+        E = np.array(v.tolist(), dtype=np.float64)
+        nn = norm.to_numpy(dtype=np.float64)
+        neg = np.empty((E.shape[0], len(cells)), dtype=np.float64)
+        for kk in range(len(cells)):
+            den = nn * cnorm[kk]
+            if np.any(den == 0.0):
+                raise ArithmeticError(
+                    "[DIVIDE_BY_ZERO] zero vector norm in "
+                    "centroid assignment"
+                )
+            d = np.einsum(
+                "ij,ij->i", E, np.broadcast_to(cmat[kk], E.shape)
+            )
+            neg[:, kk] = -(np.floor(d / den * 1e6 + 0.5) / 1e6)
+        home = cells[np.argmin(neg, axis=1)]
+        Q = np.floor(E * float(PQ_SCALE)).astype(np.int64)
+        out = np.empty((Q.shape[0], PQ_M), dtype=np.int64)
+        for m, (cls, cb) in enumerate(cbs):
+            sv = Q[:, m * PQ_DS : (m + 1) * PQ_DS]
+            diff = sv[:, None, :] - cb[None, :, :]
+            d2 = np.einsum("bkd,bkd->bk", diff, diff)
+            out[:, m] = (d2 * PQ_K + cls[None, :]).min(axis=1)
+        return pd.DataFrame({"cell": home, "enc": list(out)})
+
+    return F.pandas_udf(
+        _fn, "struct<cell:bigint,enc:array<bigint>>"
+    ).asNondeterministic()
 
 
 def ivfpq_topk(
@@ -705,6 +954,7 @@ def ivfpq_topk(
     k: int = 3,
     nq: int = PQ_NQ,
     _models: tuple | None = None,
+    _prefix: list | None = None,
 ) -> DataFrame:
     """IVF-PQ: the composed production index (FAISS's IndexIVFPQ) —
     the IVF coarse quantizer prunes the CANDIDATE set (each query
@@ -730,20 +980,22 @@ def ivfpq_topk(
     the per-query top-k."""
     from .similarity import N_IVF_PROBE, _assign_to, ivf_train, with_norm
 
+    if _prefix is None:
+        _prefix = _prefix_rows(emb)
     if _models is None:
         with ThreadPoolExecutor(max_workers=2) as ex:
-            pq_fut = ex.submit(pq_train, emb)
-            ivf_fut = ex.submit(ivf_train, emb)
+            pq_fut = ex.submit(pq_train, emb, PQ_ITERS, _prefix)
+            ivf_fut = ex.submit(ivf_train, emb, _prefix=_prefix)
             model = pq_fut.result()
             ivf_model = ivf_fut.result()
     else:
         # recall audits pass the models they trained while their
         # exact ground-truth arm materialized (guide §2.6)
         model, ivf_model = _models
-    qids = _query_ids(emb, nq)
     if _model_empty(model):
         return (
-            qids.select(
+            _query_ids(emb, nq, _prefix)
+            .select(
                 "q_id",
                 F.lit(0).cast("long").alias("neighbor_id"),
                 F.lit(0).cast("long").alias("adc_dist"),
@@ -751,42 +1003,80 @@ def ivfpq_topk(
             )
             .where(F.lit(False))
         )
-    # r13 batch 8 (guide §2.4): homes and probes used to be two
-    # references to one nprobe=N_IVF_PROBE assignment frame, which
-    # the physical plan expanded into two FULL-corpus assignment
-    # subtrees — and the probe branch threw away all but the nq query
-    # rows AFTER assigning every vector. The home pass now runs
-    # nprobe=1 (same home cell — the probe list is an argsort prefix
-    # whose first entry is the argmin) over the corpus, and the probe
-    # pass assigns ONLY the nq query vectors (broadcast semi-join
-    # first, then assign): the second corpus-sized Arrow pass becomes
-    # an nq-row one. Zero-norm ANSI raise behavior is unchanged —
+    # r13 batch 8 (guide §2.4): the probe pass assigns ONLY the nq
+    # query vectors; r14 computes that probe list entirely on the
+    # driver (`_probe_rows` — queries and centroids are both
+    # driver-resident model objects) and fuses the corpus
+    # home-assignment and PQ-encode passes into ONE Arrow eval whose
+    # output rides directly into the broadcast probe/LUT joins — see
+    # _home_enc_udf. Zero-norm ANSI raise behavior is unchanged:
     # every corpus vector still passes through the home assignment.
     n = with_norm(emb).select("vec_id", "_v", "_norm")
-    homes = _assign_to(n, ivf_model).select("vec_id", "cell")
-    qn = n.join(qids, F.col("vec_id") == F.col("q_id")).select(
-        "vec_id", "_v", "_norm"
-    )
-    probes = (
-        _assign_to(qn, ivf_model, nprobe=N_IVF_PROBE)
-        .select(
+    lut = _adc_lut(emb, model, nq, _prefix)
+    ivf_rows = sorted(
+        ivf_model.collect(), key=lambda r: r["cell"]
+    )  # LocalRelation: the driver-side model, not data
+    if ivf_rows:
+        probes = F.broadcast(
+            emb.sparkSession.createDataFrame(
+                _probe_rows(_prefix, ivf_rows, nq, N_IVF_PROBE),
+                "q_id long, cell long",
+            )
+        )
+    else:
+        qn = _prefix_norm_df(emb, _prefix, nq)
+        probes = _assign_to(
+            qn, ivf_model, nprobe=N_IVF_PROBE
+        ).select(
             F.col("vec_id").alias("q_id"),
             F.explode("probe_cells").alias("cell"),
         )
-    )
-    pairs = (
-        homes.join(F.broadcast(probes), "cell")
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id")
-    )
-    lut = _adc_lut(emb, model, nq)
-    codes = _assigned(emb, model).select("vec_id", "m", "cell")
-    scored = (
-        pairs.join(codes, "vec_id")
-        .join(F.broadcast(lut), ["q_id", "m", "cell"])
-        .groupBy("q_id", "vec_id")
-        .agg(F.sum("d2").cast("long").alias("adc_dist"))
-    )
+    if ivf_rows and _codebooks_np(model) is not None:
+        hc = n.select(
+            "vec_id",
+            _home_enc_udf(ivf_rows, model)(
+                F.col("_v"), F.col("_norm")
+            ).alias("_hc"),
+        ).select(
+            "vec_id",
+            F.col("_hc.cell").alias("cell"),
+            F.col("_hc.enc").alias("enc"),
+        )
+        scored = (
+            hc.join(F.broadcast(probes), "cell")
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .select(
+                "q_id",
+                "vec_id",
+                F.posexplode("enc").alias("m", "_enc"),
+            )
+            .select(
+                "q_id",
+                "vec_id",
+                "m",
+                (F.col("_enc") % F.lit(PQ_K)).cast("int").alias("cell"),
+            )
+            .join(lut, ["q_id", "m", "cell"])
+            .groupBy("q_id", "vec_id")
+            .agg(F.sum("d2").cast("long").alias("adc_dist"))
+        )
+    else:
+        # degenerate model (an empty subspace codebook / no IVF
+        # centroids): keep the r13 two-pass shape, whose JVM fold
+        # fallback preserves the empty-subspace NULL semantics
+        homes = _assign_to(n, ivf_model).select("vec_id", "cell")
+        pairs = (
+            homes.join(F.broadcast(probes), "cell")
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .select("q_id", "vec_id")
+        )
+        codes = _assigned(emb, model).select("vec_id", "m", "cell")
+        scored = (
+            pairs.join(codes, "vec_id")
+            .join(lut, ["q_id", "m", "cell"])
+            .groupBy("q_id", "vec_id")
+            .agg(F.sum("d2").cast("long").alias("adc_dist"))
+        )
     w = Window.partitionBy("q_id").orderBy(
         F.col("adc_dist").asc(), F.col("vec_id").asc()
     )
@@ -821,17 +1111,23 @@ def ivfpq_recall(
     `emb`, so the result is identical to the sequential order."""
     from .similarity import ivf_train
 
+    prefix = _prefix_rows(emb)
     with ThreadPoolExecutor(max_workers=3) as ex:
         exact_fut = ex.submit(
-            lambda: pq_exact_topk(emb, k=k, nq=nq)
+            lambda: pq_exact_topk(emb, k=k, nq=nq, _prefix=prefix)
             .select("q_id", "neighbor_id")
             .localCheckpoint()
         )
-        pq_fut = ex.submit(pq_train, emb)
-        ivf_model = ivf_train(emb)
+        pq_fut = ex.submit(pq_train, emb, PQ_ITERS, prefix)
+        try:
+            ivf_model = ivf_train(emb, _prefix=prefix)
+        except BaseException:
+            exact_fut.cancel()
+            pq_fut.cancel()
+            raise
         model = pq_fut.result()
         exact = exact_fut.result()
     ap = ivfpq_topk(
-        emb, k=k, nq=nq, _models=(model, ivf_model)
+        emb, k=k, nq=nq, _models=(model, ivf_model), _prefix=prefix
     ).select("q_id", "neighbor_id", F.lit(1).alias("hit"))
     return _recall_report(exact, ap)

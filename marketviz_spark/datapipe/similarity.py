@@ -636,6 +636,7 @@ def ivf_train(
     emb: DataFrame,
     n_cells: int = N_IVF_CELLS,
     n_iters: int = N_IVF_ITERS,
+    _prefix: list | None = None,
 ) -> DataFrame:
     """Trained IVF centroids: deterministic Lloyd k-means.
 
@@ -659,13 +660,26 @@ def ivf_train(
         return centroid_df_for(emb, rows)
 
     n = with_norm(emb).select("vec_id", "_v", "_norm")
-    seed = n.orderBy("vec_id").limit(n_cells).select("vec_id", "_v")
     # The MODEL (K·d floats) is driver-resident between iterations —
     # that's K rows of aggregate output, not a data collect (same
     # shape pyspark.ml.KMeans keeps internally). Materializing it
     # cuts the lineage so downstream self-joins don't re-run
     # training, and each assignment broadcasts a literal table.
-    cents = [(r["vec_id"], list(r["_v"])) for r in seed.collect()]
+    # r14 (guide §2.6): the seed is the same first-n_cells-by-vec_id
+    # prefix the PQ seed and the audit query set consume, so callers
+    # that hold a pq._prefix_rows collect pass it in and the seed
+    # job disappears; the float→double widening below is the same
+    # arithmetic the former `_v` projection ran plan-side.
+    if _prefix is not None:
+        cents = [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in _prefix[:n_cells]
+        ]
+    else:
+        seed = (
+            n.orderBy("vec_id").limit(n_cells).select("vec_id", "_v")
+        )
+        cents = [(r["vec_id"], list(r["_v"])) for r in seed.collect()]
     for _ in range(n_iters):
         assigned = _assign_to(n, centroid_df(cents))
         # Elementwise mean via posexplode + narrow (cell, pos) agg:
