@@ -678,10 +678,24 @@ def _star_components(
             "cannot certify convergence"
         )
 
-    def ckpt(df: DataFrame) -> DataFrame:
+    def ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
         if reliable_checkpoint:
+            # reliable checkpoints stay eager: non-eager RDD
+            # checkpointing recomputes the lineage a second time to
+            # write the checkpoint files
             return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+        return df.localCheckpoint(eager=eager)
+
+    # r14 (guide §2.6 — the CC loop is driver-job-latency bound, ~2
+    # jobs per alternation of sub-second stages): every local
+    # checkpoint in this function is LAZY (eager=False), so the
+    # bookkeeping action that immediately follows it — the
+    # star-forest probe, the orig isEmpty, the certificate — both
+    # MATERIALIZES the checkpoint and answers the test in ONE job
+    # instead of a materialize job plus a probe job. Local
+    # checkpoint blocks persist as they compute, so nothing is
+    # evaluated twice; Spark's post-job fill-in covers any reduce
+    # partitions a take-style probe skipped.
 
     # Canonical orientation u > v; self-loops add nothing.
     orig = ckpt(
@@ -690,7 +704,8 @@ def _star_components(
             F.greatest("doc_a", "doc_b").alias("u"),
             F.least("doc_a", "doc_b").alias("v"),
         )
-        .distinct()
+        .distinct(),
+        eager=False,
     )
 
     def alternate(e: DataFrame) -> DataFrame:
@@ -759,7 +774,8 @@ def _star_components(
     converged = orig.isEmpty()  # no edges: every node is isolated
     if not converged:
         for _ in range(max_iter):
-            edges = ckpt(alternate(edges))
+            # lazy checkpoint + probe = one job per alternation
+            edges = ckpt(alternate(edges), eager=False)
             if is_star_forest(edges):
                 converged = True
                 break
@@ -780,7 +796,8 @@ def _star_components(
             F.coalesce(F.col("v"), F.col("doc_id")).alias("cluster_id"),
         )
     )
-    labels = ckpt(labels)
+    # lazy: the certificate's isEmpty below materializes it
+    labels = ckpt(labels, eager=False)
 
     # EXACT convergence certificate (the fingerprint loop is
     # probabilistic): one job, two violation shapes unioned —

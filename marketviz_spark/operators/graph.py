@@ -196,21 +196,32 @@ def pagerank_weighted(
     and one node-table left join — two wide stages over the edges.
     """
 
-    def ckpt(df: DataFrame) -> DataFrame:
+    def ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
         if reliable_checkpoint:
+            # reliable checkpoints stay eager: non-eager RDD
+            # checkpointing recomputes lineage to write the files
             return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+        return df.localCheckpoint(eager=eager)
 
     # Cut the (expensive) edge mining ONCE; derive strength, the
-    # join input, and (optionally) the node set from the cut.
+    # join input, and (optionally) the node set from the cut. `raw`
+    # stays EAGER: its first consumer job reads it through two
+    # branches (node_src and strength), and a lazy checkpoint would
+    # let both recompute the miner concurrently. The three derived
+    # cuts are LAZY (r14, guide §2.6): each has a single first
+    # consumer — nodes2/strength materialize inside the n-count job,
+    # edges inside iteration 1's job — so three materialize-only job
+    # submissions disappear.
     raw = ckpt(edges.select("src", "dst", "w"))
     strength = ckpt(
         raw.groupBy("src").agg(
             F.sum("w").cast("long").alias("s_out")
-        )
+        ),
+        eager=False,
     )
     edges = ckpt(
-        raw.join(strength, "src").select("src", "dst", "w", "s_out")
+        raw.join(strength, "src").select("src", "dst", "w", "s_out"),
+        eager=False,
     )
     node_src = (
         raw.select(F.col("src").alias("node"))
@@ -220,7 +231,8 @@ def pagerank_weighted(
     nodes2 = ckpt(
         node_src.distinct()
         .join(strength, F.col("node") == F.col("src"), "left")
-        .select("node", F.col("s_out").isNull().alias("_dangling"))
+        .select("node", F.col("s_out").isNull().alias("_dangling")),
+        eager=False,
     )
     # One bounded driver scalar (the pq_train model-collect shape):
     # nodes2 is already materialized, so this is a cheap count, and
@@ -377,19 +389,22 @@ def kcore(
     cluster for HDFS checkpoints).
     """
 
-    def ckpt(df: DataFrame) -> DataFrame:
+    def ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
         if reliable_checkpoint:
+            # reliable checkpoints stay eager: non-eager RDD
+            # checkpointing recomputes lineage to write the files
             return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+        return df.localCheckpoint(eager=eager)
 
-    cur = ckpt(edges.select("src", "dst").distinct())
     # Early exit at the fixed point (r13): peeling only ever REMOVES
     # edges, so an unchanged edge count after a round means no node
     # fell below k — every remaining round is the identity and the
     # output (including the certificate) is unchanged by skipping
-    # them. The count runs over the just-checkpointed blocks (no
-    # recompute), one light job per executed round in exchange for
-    # the converged tail's full peel jobs (3 shuffles each).
+    # them. r14 (guide §2.6): the checkpoint is LAZY and the count
+    # is its materializing action, so each round is ONE job
+    # (peel + persist + count) instead of a materialize job plus a
+    # count job; blocks persist as they compute, nothing runs twice.
+    cur = ckpt(edges.select("src", "dst").distinct(), eager=False)
     prev_n = cur.count()
     for _ in range(iters):
         keep = (
@@ -401,7 +416,8 @@ def kcore(
         cur = ckpt(
             cur.join(keep, "src")
             .join(keep.withColumnRenamed("src", "dst"), "dst")
-            .select("src", "dst")
+            .select("src", "dst"),
+            eager=False,
         )
         n = cur.count()
         if n == prev_n:
