@@ -136,6 +136,16 @@ def bpe_train(
                     F.lit(a + b),
                 ).alias("seq"),
             )
+            # r14 (guide §5 — very large plans / re-execution depth):
+            # each step re-executes ALL prior replaces over the
+            # cached inventory, O(k²) replace applications across the
+            # loop. A LAZY localCheckpoint every third merge bounds
+            # the chain at 3 — the NEXT step's pair-count job
+            # materializes it (no extra job), after which later steps
+            # re-execute at most 2 replaces from the cut. Values are
+            # unchanged (checkpointing only truncates lineage).
+            if step % 3 == 0 and step < k:
+                wdf = wdf.localCheckpoint(eager=False)
     finally:
         # the merge table is already driver-resident; the cached
         # inventory has served its K pair-count jobs
