@@ -25,6 +25,10 @@ downstream reads (see pipelines/upsert.py).
 
 from __future__ import annotations
 
+import math
+import os
+from urllib.parse import unquote, urlparse
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -60,12 +64,73 @@ def fan_out(df: DataFrame) -> DataFrame:
     downstream work is too light to amortize that (measured, r13
     bench: dedup_exact 1.69x, corpus_source_report 1.58x isolated)
     opt out via their loader's ``fan=False``; at real scale the
-    choice is moot because the guard is a no-op either way."""
+    choice is moot because the guard is a no-op either way.
+
+    The probe (r14, guide §1/§7.3 — plan-compile time IS driver
+    time): the former ``df.rdd.getNumPartitions()`` forced a full
+    physical-plan → RDD conversion on every loader call (~45
+    consumer paths pay it once per query build). The scan's split
+    count is instead ESTIMATED from file metadata with Spark's own
+    packing arithmetic (maxSplitBytes = min(maxPartitionBytes,
+    max(openCostInBytes, bytesPerCore))) — the decision only needs
+    the `< defaultParallelism` comparison, where the estimate and
+    the real planner agree except exactly at the boundary, where
+    the conditional repartition is a semantic no-op anyway. Falls
+    back to the RDD probe for non-file or unreadable sources."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    est = _scan_splits_estimate(df, target)
+    if est is None:
+        est = df.rdd.getNumPartitions()
+    if est < target:
         return df.repartition(target)
     return df
+
+
+def _scan_splits_estimate(df: DataFrame, parallelism: int) -> int | None:
+    """Estimated scan-partition count of a file-backed DataFrame from
+    file sizes + the session's split confs (FilePartition's packing
+    arithmetic), or None when the plan is not a local-file scan."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    conf = df.sparkSession.conf
+    try:
+        max_pb = _size_bytes(
+            conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        )
+        open_cost = _size_bytes(
+            conf.get("spark.sql.files.openCostInBytes", "4194304")
+        )
+        sizes = []
+        for uri in files:
+            p = urlparse(uri)
+            if p.scheme not in ("file", ""):
+                return None
+            sizes.append(os.path.getsize(unquote(p.path)))
+    except (OSError, ValueError):
+        return None
+    total = sum(sizes) + open_cost * len(files)
+    bytes_per_core = total / max(parallelism, 1)
+    max_split = min(max_pb, max(open_cost, bytes_per_core))
+    return max(1, math.ceil(total / max(max_split, 1)))
+
+
+_SIZE_SUFFIX = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+
+
+def _size_bytes(v: str) -> int:
+    """Parse a Spark byte-size conf value ('134217728', '128m',
+    '1g', '4194304b')."""
+    s = str(v).strip().lower()
+    if s.endswith("b"):
+        s = s[:-1]
+    if s and s[-1] in _SIZE_SUFFIX:
+        return int(float(s[:-1]) * _SIZE_SUFFIX[s[-1]])
+    return int(s)
 
 
 def normalize_events_ts(ev: DataFrame) -> DataFrame:
