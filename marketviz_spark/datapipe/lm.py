@@ -130,9 +130,21 @@ def doc_lm_likelihood(
     per-document array buffer (module docstring).
     """
     train = docs if train_docs is None else train_docs
-    uni = unigram_counts(train)
+    # r14 (guide §2.4 — remove shuffles outright): the unigram table
+    # is the trained model (vocabulary-sized, the object a CCNet-
+    # style gate ships with the filter), and it was consumed TWICE as
+    # independent plan subtrees — once for the c1 join and once just
+    # to count V — so the train corpus was scanned and tokenized
+    # twice and the plan carried an extra aggregate + broadcast
+    # crossJoin. One lazy localCheckpoint materializes it in the
+    # count job; V becomes a driver scalar folded in as a literal
+    # (the pagerank-n / pq-model collect pattern), and the c1 join
+    # reads the cached table. Values are identical: V is the same
+    # exact integer, and AQE still picks the join strategy from the
+    # checkpoint's runtime size.
+    uni = unigram_counts(train).localCheckpoint(eager=False)
+    v = uni.count()
     big = bigram_counts(train)
-    vocab = uni.agg(F.count("*").cast("long").alias("v"))
 
     # V = 0 (empty training corpus) is a defined case, not an Inf:
     # no model means nothing is likely — every p is 0.0 and every
@@ -142,22 +154,23 @@ def doc_lm_likelihood(
         _bigram_stream(docs)
         .join(big, ["w1", "w2"], "left")
         .join(uni, F.col("w1") == uni["w"], "left")
-        .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",
             F.coalesce(F.col("c12"), F.lit(0)).alias("c12"),
-            F.when(
-                F.col("v") > 0,
-                (
-                    F.coalesce(F.col("c12"), F.lit(0)) + F.lit(SMOOTH_K)
-                ).cast("double")
-                / (
-                    F.coalesce(F.col("c1"), F.lit(0))
-                    + F.lit(SMOOTH_K) * F.col("v")
-                ).cast("double"),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("p"),
+            (
+                F.when(
+                    F.lit(v > 0),
+                    (
+                        F.coalesce(F.col("c12"), F.lit(0))
+                        + F.lit(SMOOTH_K)
+                    ).cast("double")
+                    / (
+                        F.coalesce(F.col("c1"), F.lit(0))
+                        + F.lit(SMOOTH_K) * F.lit(v)
+                    ).cast("double"),
+                )
+                .otherwise(F.lit(0.0))
+            ).alias("p"),
         )
     )
     # Order-free exact per-doc sum: quantize each p to
