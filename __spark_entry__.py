@@ -29,66 +29,67 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver checks queries in dict insertion order and stops at a
-# ~50-query budget. Round-13 rotation (VERDICT r12 item 3): the 3
-# queries re-based onto operators/ranks.py in round 12 lead (their
-# latest driver rows predate the plan change; judge + local ladder
-# verified at sf0.01/sf1/empty/one/skew, but the driver row is the
-# hard signal), followed by the complete 47-query r09-stale block —
-# 50 entries, exactly one driver budget. After this run the oldest
-# registry row is r10 and the full re-proof cycle is 4 rounds.
+# ~50-query budget. Round-14 rotation (VERDICT r13 item 8, the
+# standing cadence): the 50 oldest driver rows lead — the complete
+# 47-query r10 block plus the 3 alphabetically-first r11 rows. This
+# block happens to contain most of the r14 optimization targets
+# (the PQ/IVF family, the pagerank pair, bpe, lm_heldout_score), so
+# the plan-restructured queries get fresh driver rows this round.
+# After this run the oldest registry row is r11 and the full
+# re-proof cycle stays <= 4 rounds.
 _FIRST = [
-    # Plan-changed in r12 (ranks.py re-base) — driver rows predate it.
-    "skew_report",
-    "customer_rfm",
-    "token_budget_prefix",
-    # r09-stale block (47): oldest driver rows in the registry.
-    "agg_approx_sketches",
-    "dedup_apply",
-    "dedup_clusters",
-    "dedup_clusters_multi",
-    "dedup_winnowing",
-    "dq_referential_integrity",
-    "events_anomaly_days",
-    "events_asof_prev",
-    "events_bars_gapfill",
-    "events_bars_incremental",
-    "events_enrich_static",
-    "events_hll_intersection",
-    "events_retention_cohorts",
-    "events_top_paths",
-    "grouping_sets_revenue",
-    "json_props",
-    "json_props_struct",
-    "p4_ticker_history",
-    "p6_split_repair",
-    "price_equidepth_hist",
-    "price_winsorize",
-    "q10_returned_revenue",
-    "q11_part_value_share",
-    "q12_priority_by_delay",
-    "q14_promo_revenue_pct",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q17_small_qty_revenue",
-    "q18_large_order_customers",
-    "q19_bracket_disjunction",
-    "q20_promo_volume_suppliers",
-    "q21_sole_late_supplier",
-    "q22_idle_customer_balance",
-    "q2_min_cost_supplier",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_nation_profit",
-    "quality_classifier",
-    "quality_keep_rate",
-    "scalar_bundle",
-    "set_ops",
-    "split_assign",
-    "ticker_mad_outliers",
-    "w_longest_up_streak",
-    "w_max_drawdown",
-    "w_ticker_trend_slope",
-    "w_trend_slope_closed",
+    # r10 block (47): oldest driver rows in the registry.
+    "basket_pairs",
+    "bm25_topk",
+    "boilerplate_chunks",
+    "bpe_apply_vocab",
+    "bpe_merge_pairs",
+    "bpe_train_merges",
+    "chunk_index_dedup",
+    "cluster_size_histogram",
+    "cluster_split",
+    "cms_heavy_hitters",
+    "corpus_drift",
+    "curriculum_order",
+    "doc_chunks",
+    "emb_cosine_topk",
+    "emb_ivfpq_topk",
+    "emb_mmr_topk",
+    "emb_pq_codes",
+    "emb_pq_rerank_topk",
+    "emb_pq_topk",
+    "events_cms_cells",
+    "funnel_time_percentiles",
+    "graph_pagerank",
+    "graph_pagerank_weighted",
+    "graph_triangles",
+    "item_recommendations",
+    "ivfpq_recall",
+    "join_size_estimate",
+    "layout_rle_audit",
+    "layout_skipping_audit",
+    "layout_zorder",
+    "lm_doc_likelihood",
+    "lm_heldout_score",
+    "mixture_apply",
+    "mixture_plan",
+    "mixture_plan_temperature",
+    "mixture_plan_weighted",
+    "oov_rates",
+    "phrase_match",
+    "pq_recall",
+    "pq_rerank_recall",
+    "profile_lineitem",
+    "quality_classifier_trained",
+    "sample_pps",
+    "scd2_composition",
+    "token_coverage_curve",
+    "w3_w4_returns",
+    "w5_w6_composition_changes",
+    # r11 rows (3): the next-oldest, completing one driver budget.
+    "a4_a5_summary_metrics",
+    "agg_distinct_percentile",
+    "curation_funnel",
 ]
 
 

@@ -36,20 +36,36 @@ def fuzz_dir(tmp_path_factory):
     return d
 
 
-def _registry_sweep(spark, data_dir):
+def _registry_sweep(spark, data_dir, workers: int = 4):
+    """Full-registry Spark-vs-DuckDB sweep, fanned over a small
+    driver thread pool (r14, guide §2.6 — the sweep is per-query
+    job-latency bound at this scale, and Spark happily runs several
+    jobs at once; DuckDB gets one cursor per query, the documented
+    concurrent-use shape). Identical coverage and assertions to the
+    sequential form; ~3x wall."""
+    from concurrent.futures import ThreadPoolExecutor
+
     con = duck_con(data_dir)
-    failures = []
-    for name, qd in sorted(QUERIES.items()):
+
+    def check(item):
+        name, qd = item
+        cur = con.cursor()
         try:
             df = qd.fn(spark, data_dir)
             if qd.oracle is None or name in ROWS_ONLY:
                 df.count()
-                continue
-            problems = compare(df, con, qd.oracle, name)
+                return None
+            problems = compare(df, cur, qd.oracle, name)
         except Exception as e:  # noqa: BLE001
             problems = [f"EXCEPTION {e}"]
-        if problems:
-            failures.append((name, problems[:3]))
+        finally:
+            cur.close()
+        return (name, problems[:3]) if problems else None
+
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        failures = [
+            r for r in ex.map(check, sorted(QUERIES.items())) if r
+        ]
     assert not failures, failures
 
 

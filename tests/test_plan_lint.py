@@ -24,8 +24,14 @@ FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
 
 
 def test_no_query_plans_cartesian_or_rowwise_python(spark):
-    offenders: dict[str, list[str]] = {}
-    for name, qd in sorted(QUERIES.items()):
+    # Fanned over driver threads (r14, guide §2.6): most of this
+    # test's wall is the iterative queries EXECUTING their training
+    # jobs while the DataFrame is built, which overlap cleanly.
+    # Same coverage and assertion as the sequential form.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def lint(item):
+        name, qd = item
         plan = (
             qd.fn(spark, SF_SMALL)
             ._jdf.queryExecution()
@@ -33,8 +39,12 @@ def test_no_query_plans_cartesian_or_rowwise_python(spark):
             .toString()
         )
         hits = [p for p in FORBIDDEN if p in plan]
-        if hits:
-            offenders[name] = hits
+        return (name, hits) if hits else None
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        offenders = dict(
+            r for r in ex.map(lint, sorted(QUERIES.items())) if r
+        )
     assert not offenders, offenders
 
 

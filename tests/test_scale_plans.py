@@ -744,14 +744,21 @@ def test_ivf_assignment_single_pass(spark):
 
 
 def test_ivfpq_probe_assignment_query_sized(spark):
-    """r13 batch 8: emb_ivfpq_topk probe-assigns ONLY the nq query
-    vectors — the corpus-wide Arrow passes are the home assignment
-    and the PQ encode; the probe branch's assignment sits ABOVE a
-    broadcast join with the tiny query-id frame, so its input is
-    nq rows however large the corpus grows."""
+    """r14 contract (tightened per the r13 ADVICE — the old <= 4
+    bound could mask a re-added corpus-scale duplicate): the ONLY
+    Arrow eval in emb_ivfpq_topk is the fused home-assignment +
+    PQ-encode pass over the ONE corpus scan; the probe list and the
+    ADC lookup table are driver-computed LocalRelations (the nq
+    queries and both models are driver-resident), so they appear as
+    LocalTableScan — no probe-side Python eval at all, and a
+    regression that re-adds any corpus-scale pass fails the exact
+    counts below."""
     plan = _plan(QUERIES["emb_ivfpq_topk"].fn(spark, SF_SMALL))
-    # three corpus-scale Arrow evals total: home assignment, PQ
-    # encode (codes), query-side encode for the LUT; plus the nq-row
-    # probe assignment = 4. The prebatch8 plan had 5 (two of them
-    # full-corpus duplicates).
-    assert plan.count("ArrowEvalPython") <= 4, plan
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Scan ExistingRDD" in plan, plan  # driver-built probe/LUT
+    # the fused eval consumes the scan directly: no exchange may sit
+    # between them (top-down text: ArrowEvalPython ... Scan parquet)
+    arrow = plan.index("ArrowEvalPython")
+    scan = plan.index("Scan parquet")
+    assert arrow < scan, plan

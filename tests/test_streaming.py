@@ -900,12 +900,15 @@ def test_quote_stream_into_upsert_sink_latest_per_symbol(spark):
             .trigger(processingTime="0 seconds")
             .start()
         )
-        # drained = the feed's rows all arrived AND an empty batch
-        # followed (no polling of the output table mid-rewrite)
+        # drained = all 25 feed rows arrived; `sizes` is appended
+        # AFTER the sink call returns, so sum == 25 already proves
+        # every write completed (and the output read below happens
+        # after stop()+awaitTermination anyway). The old condition
+        # additionally waited for a trailing EMPTY micro-batch,
+        # which an exhausted source never produces — the loop always
+        # burned its full 60 s deadline (r14 measurement fix).
         deadline = time.time() + 60
-        while time.time() < deadline and not (
-            sum(sizes) == 25 and sizes and sizes[-1] == 0
-        ):
+        while time.time() < deadline and sum(sizes) != 25:
             time.sleep(0.3)
         q.stop()
         q.awaitTermination()

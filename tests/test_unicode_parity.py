@@ -140,10 +140,10 @@ def test_degenerate_corpus_crashes_nothing(spark, null_dir):
         "doc_", "boilerplate", "token_", "langid", "jaccard",
         "bpe_", "chunk_", "curriculum",
     )
-    failures = []
-    for name, qd in QUERIES.items():
-        if not name.startswith(prefixes):
-            continue
+    from concurrent.futures import ThreadPoolExecutor
+
+    def probe(item):
+        name, qd = item
         try:
             # noop write, NOT .count(): count lets Catalyst prune
             # the projection, hiding exactly the ANSI
@@ -152,7 +152,24 @@ def test_degenerate_corpus_crashes_nothing(spark, null_dir):
                 "noop"
             ).save()
         except Exception as e:  # noqa: BLE001
-            failures.append((name, str(e).splitlines()[0][:100]))
+            return (name, str(e).splitlines()[0][:100])
+        return None
+
+    # fanned over driver threads (guide §2.6): per-query job latency
+    # dominates on a 6-row corpus; coverage/assertions unchanged
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        failures = [
+            r
+            for r in ex.map(
+                probe,
+                (
+                    (n, q)
+                    for n, q in QUERIES.items()
+                    if n.startswith(prefixes)
+                ),
+            )
+            if r
+        ]
     assert failures == [], failures
 
 
@@ -199,16 +216,33 @@ def test_events_family_survives_empty_and_single_event(spark):
             pq.write_table(
                 table, os.path.join(d, "events.parquet")
             )
-            failures = []
-            for name, qd in QUERIES.items():
-                if not name.startswith("events_"):
-                    continue
+            from concurrent.futures import ThreadPoolExecutor
+
+            def probe(item, _d=d, _label=label):
+                name, qd = item
                 try:
-                    qd.fn(spark, d).write.mode(
+                    qd.fn(spark, _d).write.mode(
                         "overwrite"
                     ).format("noop").save()
                 except Exception as e:  # noqa: BLE001
-                    failures.append(
-                        (label, name, str(e).splitlines()[0][:100])
+                    return (
+                        _label, name, str(e).splitlines()[0][:100]
                     )
+                return None
+
+            # fanned over driver threads (guide §2.6); coverage
+            # and assertions unchanged
+            with ThreadPoolExecutor(max_workers=4) as ex:
+                failures = [
+                    r
+                    for r in ex.map(
+                        probe,
+                        (
+                            (n, q)
+                            for n, q in QUERIES.items()
+                            if n.startswith("events_")
+                        ),
+                    )
+                    if r
+                ]
             assert failures == [], failures
