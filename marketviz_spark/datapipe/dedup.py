@@ -687,14 +687,17 @@ def _star_components(
         return df.localCheckpoint(eager=eager)
 
     # r14 (guide §2.6 — the CC loop is driver-job-latency bound, ~2
-    # jobs per alternation of sub-second stages): every local
-    # checkpoint in this function is LAZY (eager=False), so the
-    # bookkeeping action that immediately follows it — the
-    # star-forest probe, the orig isEmpty, the certificate — both
-    # MATERIALIZES the checkpoint and answers the test in ONE job
-    # instead of a materialize job plus a probe job. Local
-    # checkpoint blocks persist as they compute, so nothing is
-    # evaluated twice; Spark's post-job fill-in covers any reduce
+    # jobs per alternation of sub-second stages): the LOOP
+    # checkpoints are LAZY (eager=False), so the bookkeeping action
+    # that immediately follows each — the star-forest probe / the
+    # orig isEmpty — both MATERIALIZES the checkpoint and answers
+    # the test in ONE job instead of a materialize job plus a probe
+    # job. This is only safe where the materializing action reads
+    # the frame through ONE branch (the probe was restructured to a
+    # single-read explode for exactly that reason); the final label
+    # table stays EAGER because the certificate reads it through
+    # three projections at once. Local checkpoint blocks persist as
+    # they compute; Spark's post-job fill-in covers any reduce
     # partitions a take-style probe skipped.
 
     # Canonical orientation u > v; self-loops add nothing.
@@ -744,18 +747,29 @@ def _star_components(
     def is_star_forest(e: DataFrame) -> bool:
         # Fixed-point test: each child has exactly one parent and
         # the child / parent node sets are disjoint. One light
-        # shuffle over 2·|E| single-column rows.
+        # shuffle over 2·|E| single-column rows. The roles stream is
+        # ONE read of `e` exploded into two rows per edge (r14) —
+        # the former two-branch union read the edge frame twice,
+        # which was free against an eagerly-cached checkpoint but
+        # would make this probe (the LAZY checkpoint's materializing
+        # action) compute every alternation partition twice
+        # concurrently.
         roles = e.select(
-            F.col("u").alias("node"),
-            F.lit(1).alias("child"),
-            F.lit(0).alias("parent"),
-        ).unionByName(
-            e.select(
-                F.col("v").alias("node"),
-                F.lit(0).alias("child"),
-                F.lit(1).alias("parent"),
-            )
-        )
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("u").alias("node"),
+                        F.lit(1).alias("child"),
+                        F.lit(0).alias("parent"),
+                    ),
+                    F.struct(
+                        F.col("v").alias("node"),
+                        F.lit(0).alias("child"),
+                        F.lit(1).alias("parent"),
+                    ),
+                )
+            ).alias("r")
+        ).select("r.node", "r.child", "r.parent")
         bad = (
             roles.groupBy("node")
             .agg(
@@ -796,8 +810,11 @@ def _star_components(
             F.coalesce(F.col("v"), F.col("doc_id")).alias("cluster_id"),
         )
     )
-    # lazy: the certificate's isEmpty below materializes it
-    labels = ckpt(labels, eager=False)
+    # EAGER (unlike the loop checkpoints): the certificate reads
+    # labels through three projections (la, lb, offmin) in one job —
+    # a lazy cut would recompute the nodes⋈edges join concurrently
+    # per branch instead of reading cache.
+    labels = ckpt(labels)
 
     # EXACT convergence certificate (the fingerprint loop is
     # probabilistic): one job, two violation shapes unioned —
