@@ -519,7 +519,10 @@ def pq_recall(
     exact arm's corpus pass back-fills them. Values are unchanged:
     both arms are pure functions of `emb`; the checkpoint only cuts
     the exact subtree out of the final plan (it is recomputed fresh
-    on every invocation). r14: ONE prefix collect feeds the seed,
+    on every invocation). Note (r13 ADVICE): localCheckpoint blocks
+    are unreplicated executor state — fine for this tiny nq·k frame
+    locally; audits on preemptible executors should collect-and-
+    recreate or use a reliable checkpoint instead. r14: ONE prefix collect feeds the seed,
     the query set and the exact arm (guide §2.6), and a failed
     training cancels/surfaces the exact future instead of silently
     dropping its error (r13 ADVICE)."""
